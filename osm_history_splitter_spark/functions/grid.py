@@ -1,0 +1,177 @@
+"""Hierarchical lon/lat grid index (the engine's H3/S2 stand-in).
+
+Neither the ``h3`` nor ``s2`` bindings exist in this environment, so the
+engine uses a deterministic equal-angle grid — the same filter-and-refine
+role the reference fills with GEOS's ``IndexedPointInAreaLocator`` built once
+per extract (reference ``cut.hpp:111``), re-cast for a distributed engine:
+
+- every point maps to exactly one cell id at resolution ``res``
+  (cell width = 180 / 2**res degrees; ~0.35km at res=16 near the equator);
+- every extract polygon maps to a small *cover*: the set of cells its
+  boundary could touch, each flagged ``fully_inside`` (accept without the
+  exact test) or boundary (refine with exact PIP);
+- the cover is broadcast and the node×extract spatial join becomes a
+  cell equi-join instead of a cross join — the classic filter-and-refine
+  split, with Catalyst free to hash-partition on the cell key.
+
+Cell ids are plain int64 ``ix * 2**32 + iy`` so the encode is expressible in
+*pure Catalyst arithmetic* (no UDF on the hot path) and in ANSI SQL for the
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .geometry import close_ring, points_in_rings
+
+__all__ = [
+    "cell_width",
+    "cell_id_expr",
+    "cell_ids_np",
+    "cover_rings",
+    "cover_bbox",
+    "neighbor_ring",
+]
+
+CELL_SHIFT = 2**32
+
+
+def cell_width(res: int) -> float:
+    """Degrees per cell at resolution ``res``; powers of two keep the width
+    binary-exact so Spark and any SQL oracle compute identical cell ids."""
+    return 180.0 / (1 << res)
+
+
+def cell_id_expr(lon: Column, lat: Column, res: int) -> Column:
+    """Catalyst-only cell encode: floor-quantized lon/lat packed into int64.
+
+    Stays inside whole-stage codegen — no Python on the hot path (the
+    ``input_hint`` forbids per-row Python).
+    """
+    w = cell_width(res)
+    ix = F.floor((lon + F.lit(180.0)) / F.lit(w)).cast("long")
+    iy = F.floor((lat + F.lit(90.0)) / F.lit(w)).cast("long")
+    return (ix * F.lit(CELL_SHIFT) + iy).cast("long")
+
+
+def cell_id_sql(lon_sql: str, lat_sql: str, res: int) -> str:
+    """The identical encode as an ANSI-SQL fragment (DuckDB oracle)."""
+    w = cell_width(res)
+    return (
+        f"(CAST(floor(({lon_sql} + 180.0) / {w!r}) AS BIGINT) * {CELL_SHIFT} "
+        f"+ CAST(floor(({lat_sql} + 90.0) / {w!r}) AS BIGINT))"
+    )
+
+
+def cell_ids_np(lon: np.ndarray, lat: np.ndarray, res: int) -> np.ndarray:
+    w = cell_width(res)
+    ix = np.floor((np.asarray(lon, np.float64) + 180.0) / w).astype(np.int64)
+    iy = np.floor((np.asarray(lat, np.float64) + 90.0) / w).astype(np.int64)
+    return ix * CELL_SHIFT + iy
+
+
+def _cells_for_span(
+    minlon: float, minlat: float, maxlon: float, maxlat: float, res: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Index ranges of cells overlapping a bbox."""
+    w = cell_width(res)
+    ix0 = int(np.floor((minlon + 180.0) / w))
+    ix1 = int(np.floor((maxlon + 180.0) / w))
+    iy0 = int(np.floor((minlat + 90.0) / w))
+    iy1 = int(np.floor((maxlat + 90.0) / w))
+    return np.arange(ix0, ix1 + 1), np.arange(iy0, iy1 + 1)
+
+
+def pick_res(minlon, minlat, maxlon, maxlat, max_cells: int = 4096) -> int:
+    """Finest resolution whose cover of the bbox stays under ``max_cells``.
+
+    Bounds the broadcast cover size per extract regardless of extract area —
+    planet-sized extracts get coarse cells, city extracts get fine ones.
+    """
+    for res in range(20, -1, -1):
+        xs, ys = _cells_for_span(minlon, minlat, maxlon, maxlat, res)
+        if len(xs) * len(ys) <= max_cells:
+            return res
+    return 0
+
+
+def cover_rings(
+    rings: list[np.ndarray], res: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Cell cover of a multipolygon at resolution ``res``.
+
+    Returns ``(cells, fully_inside)``. Classification is conservative: any
+    cell whose rectangle overlaps the bbox of *any* ring edge is marked
+    boundary (exact PIP will refine it); remaining covered cells contain no
+    boundary, so their center's parity decides the whole cell. Conservative
+    boundary marking can only add exact-PIP work, never wrong answers.
+    """
+    rings = [close_ring(r) for r in rings]
+    from .geometry import rings_bbox
+
+    minlon, minlat, maxlon, maxlat = rings_bbox(rings)
+    w = cell_width(res)
+    xs, ys = _cells_for_span(minlon, minlat, maxlon, maxlat, res)
+    nx, ny = len(xs), len(ys)
+    # 0 = untouched, 1 = boundary
+    touched = np.zeros((nx, ny), dtype=bool)
+    x_off, y_off = xs[0], ys[0]
+    for r in rings:
+        ex0 = np.floor((np.minimum(r[:-1, 0], r[1:, 0]) + 180.0) / w).astype(int)
+        ex1 = np.floor((np.maximum(r[:-1, 0], r[1:, 0]) + 180.0) / w).astype(int)
+        ey0 = np.floor((np.minimum(r[:-1, 1], r[1:, 1]) + 90.0) / w).astype(int)
+        ey1 = np.floor((np.maximum(r[:-1, 1], r[1:, 1]) + 90.0) / w).astype(int)
+        for i in range(len(ex0)):
+            gx0 = max(ex0[i] - x_off, 0)
+            gx1 = min(ex1[i] - x_off, nx - 1)
+            gy0 = max(ey0[i] - y_off, 0)
+            gy1 = min(ey1[i] - y_off, ny - 1)
+            if gx0 <= gx1 and gy0 <= gy1:
+                touched[gx0 : gx1 + 1, gy0 : gy1 + 1] = True
+
+    gx, gy = np.meshgrid(np.arange(nx), np.arange(ny), indexing="ij")
+    gx, gy = gx.ravel(), gy.ravel()
+    is_boundary = touched.ravel()
+    # centers of untouched cells decide interior/exterior for the whole cell
+    cx = (gx + x_off + 0.5) * w - 180.0
+    cy = (gy + y_off + 0.5) * w - 90.0
+    interior = np.zeros(gx.shape[0], dtype=bool)
+    untouched = ~is_boundary
+    if untouched.any():
+        interior[untouched] = points_in_rings(cx[untouched], cy[untouched], rings)
+    keep = is_boundary | interior
+    cells = (gx[keep] + x_off).astype(np.int64) * CELL_SHIFT + (
+        gy[keep] + y_off
+    ).astype(np.int64)
+    return cells, interior[keep]
+
+
+def cover_bbox(
+    minlon: float, minlat: float, maxlon: float, maxlat: float, res: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Cell cover of a bbox extract: interior cells strictly inside the open
+    box are ``fully_inside`` (strict predicate, reference ``cut.hpp:36-40``);
+    cells overlapping the boundary are refine-cells."""
+    w = cell_width(res)
+    xs, ys = _cells_for_span(minlon, minlat, maxlon, maxlat, res)
+    gx, gy = np.meshgrid(xs, ys, indexing="ij")
+    gx, gy = gx.ravel(), gy.ravel()
+    lo_x = gx * w - 180.0
+    hi_x = lo_x + w
+    lo_y = gy * w - 90.0
+    hi_y = lo_y + w
+    fully = (lo_x > minlon) & (hi_x < maxlon) & (lo_y > minlat) & (hi_y < maxlat)
+    cells = gx.astype(np.int64) * CELL_SHIFT + gy.astype(np.int64)
+    return cells, fully
+
+
+def neighbor_ring(cell: int, k: int) -> np.ndarray:
+    """All cells within Chebyshev distance k (inclusive square ring) — the
+    grid analog of H3's kRing, used by kNN candidate expansion."""
+    ix, iy = divmod(int(cell), CELL_SHIFT)
+    dx = np.arange(-k, k + 1)
+    gx, gy = np.meshgrid(ix + dx, iy + dx, indexing="ij")
+    return gx.ravel().astype(np.int64) * CELL_SHIFT + gy.ravel().astype(np.int64)

@@ -1,0 +1,141 @@
+"""Extract catalog: the engine's analog of the reference's ``CutInfo``
+registry (reference ``cut.hpp:11-118``, built by ``readConfig`` at
+``splitter.cpp:101-184``).
+
+An extract is an output region: name + predicate geometry. The catalog is
+driver-side (10s..1000s of extracts), broadcast into joins — never shuffled.
+Each extract also gets a grid cell cover (see ``functions.grid``) at a
+per-extract resolution; the cover is the broadcast spatial index replacing
+the reference's per-extract GEOS ``IndexedPointInAreaLocator``
+(``cut.hpp:111``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..functions import grid
+from ..functions.geometry import close_ring, rings_bbox
+from ..model import EXTRACT_SCHEMA
+
+__all__ = ["Extract", "ExtractCatalog"]
+
+
+@dataclass
+class Extract:
+    name: str
+    kind: str  # 'BBOX' | 'POLY' | 'OSM'
+    minlon: float
+    minlat: float
+    maxlon: float
+    maxlat: float
+    rings: list[np.ndarray] | None = None  # closed rings, lon/lat
+
+    @classmethod
+    def bbox(cls, name: str, minlon: float, minlat: float, maxlon: float, maxlat: float) -> "Extract":
+        return cls(name, "BBOX", minlon, minlat, maxlon, maxlat)
+
+    @classmethod
+    def poly(cls, name: str, rings: list, kind: str = "POLY") -> "Extract":
+        rings = [close_ring(np.asarray(r, dtype=np.float64)) for r in rings]
+        minlon, minlat, maxlon, maxlat = rings_bbox(rings)
+        return cls(name, kind, minlon, minlat, maxlon, maxlat, rings)
+
+
+@dataclass
+class ExtractCatalog:
+    extracts: list[Extract] = field(default_factory=list)
+    max_cover_cells: int = 4096
+
+    def add(self, e: Extract) -> "ExtractCatalog":
+        self.extracts.append(e)
+        return self
+
+    def __iter__(self):
+        return iter(self.extracts)
+
+    def __len__(self):
+        return len(self.extracts)
+
+    # -- driver-side tables ------------------------------------------------
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        rows = [
+            (
+                e.name,
+                e.kind,
+                float(e.minlon),
+                float(e.minlat),
+                float(e.maxlon),
+                float(e.maxlat),
+                None if e.rings is None else [[list(map(float, p)) for p in r] for r in e.rings],
+            )
+            for e in self.extracts
+        ]
+        return spark.createDataFrame(rows, schema=EXTRACT_SCHEMA)
+
+    def resolutions(self) -> dict[str, int]:
+        """Per-extract grid resolution bounded by ``max_cover_cells``."""
+        return {
+            e.name: grid.pick_res(
+                e.minlon, e.minlat, e.maxlon, e.maxlat, self.max_cover_cells
+            )
+            for e in self.extracts
+        }
+
+    def cover_rows(self) -> list[tuple]:
+        """(extract, res, cell, fully_inside) for every covered cell of every
+        extract — the broadcastable spatial index."""
+        out = []
+        res_by_name = self.resolutions()
+        for e in self.extracts:
+            res = res_by_name[e.name]
+            if e.kind == "BBOX":
+                cells, fully = grid.cover_bbox(
+                    e.minlon, e.minlat, e.maxlon, e.maxlat, res
+                )
+            else:
+                cells, fully = grid.cover_rings(e.rings, res)
+            out.extend(
+                (e.name, res, int(c), bool(f)) for c, f in zip(cells, fully)
+            )
+        return out
+
+    def cover_df(self, spark: SparkSession) -> DataFrame:
+        schema = T.StructType(
+            [
+                T.StructField("extract", T.StringType(), False),
+                T.StructField("res", T.IntegerType(), False),
+                T.StructField("cell", T.LongType(), False),
+                T.StructField("fully_inside", T.BooleanType(), False),
+            ]
+        )
+        return spark.createDataFrame(self.cover_rows(), schema=schema)
+
+    # -- geometry payload for the refine UDF -------------------------------
+
+    def rings_payload(self) -> dict[str, list]:
+        """{extract -> list of rings as nested float lists} for pickling into
+        the exact-PIP pandas UDF closure (or an explicit sc.broadcast)."""
+        return {
+            e.name: [np.asarray(r, dtype=np.float64) for r in e.rings]
+            for e in self.extracts
+            if e.rings is not None
+        }
+
+    def bbox_payload(self) -> dict[str, tuple]:
+        return {
+            e.name: (e.minlon, e.minlat, e.maxlon, e.maxlat)
+            for e in self.extracts
+        }
+
+    def centroids(self) -> dict[str, tuple]:
+        """Extract centroid (bbox center) for kNN-to-centroid queries."""
+        return {
+            e.name: ((e.minlon + e.maxlon) / 2.0, (e.minlat + e.maxlat) / 2.0)
+            for e in self.extracts
+        }

@@ -1,0 +1,134 @@
+"""Unit tests for the numpy geometry/grid core (no Spark)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from osm_history_splitter_spark.functions.geometry import (
+    close_ring,
+    points_in_rings,
+    points_on_boundary,
+)
+from osm_history_splitter_spark.functions import grid
+
+SQUARE = [np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], dtype=float)]
+SQUARE_WITH_HOLE = SQUARE + [
+    np.array([[1, 1], [3, 1], [3, 3], [1, 3], [1, 1]], dtype=float)
+]
+DIAMOND = [np.array([[2, 0], [4, 2], [2, 4], [0, 2], [2, 0]], dtype=float)]
+
+
+def pip(lon, lat, rings):
+    return points_in_rings(np.array([lon]), np.array([lat]), rings)[0]
+
+
+class TestPointInRings:
+    def test_interior(self):
+        assert pip(2, 2, SQUARE)
+        assert pip(0.5, 0.5, SQUARE_WITH_HOLE)
+
+    def test_exterior(self):
+        assert not pip(5, 2, SQUARE)
+        assert not pip(-1, -1, SQUARE)
+
+    def test_hole_is_out(self):
+        # .poly '!'-ring semantics (reference geometryreader.hpp:159,186-189)
+        assert not pip(2, 2, SQUARE_WITH_HOLE)
+
+    def test_boundary_is_out(self):
+        # interior-only (reference cut.hpp:42-49: GEOS INTERIOR location)
+        assert not pip(0, 2, SQUARE)       # edge
+        assert not pip(0, 0, SQUARE)       # vertex
+        assert not pip(2, 4, SQUARE)       # top edge
+        assert not pip(3, 3, DIAMOND)      # diagonal edge midpoint
+        assert not pip(1, 2, SQUARE_WITH_HOLE)  # hole boundary
+
+    def test_auto_close(self):
+        open_ring = [np.array([[0, 0], [4, 0], [4, 4], [0, 4]], dtype=float)]
+        assert pip(2, 2, [close_ring(open_ring[0])])
+
+    def test_two_outers(self):
+        # OSM-kind: every closed way an outer (reference README.md:84)
+        two = [SQUARE[0], SQUARE[0] + 10.0]
+        assert pip(2, 2, two)
+        assert pip(12, 12, two)
+        assert not pip(7, 7, two)
+
+    @given(
+        st.floats(-0.5, 4.5, allow_nan=False),
+        st.floats(-0.5, 4.5, allow_nan=False),
+    )
+    @settings(max_examples=300, deadline=None)
+    def test_diamond_matches_halfplane(self, x, y):
+        """General even-odd PIP == convex half-plane test (strict interior)."""
+        verts = DIAMOND[0]
+        strict = all(
+            (verts[i + 1, 0] - verts[i, 0]) * (y - verts[i, 1])
+            - (verts[i + 1, 1] - verts[i, 1]) * (x - verts[i, 0])
+            > 0
+            for i in range(4)
+        )
+        assert pip(x, y, DIAMOND) == strict
+
+
+class TestGrid:
+    def test_cell_roundtrip(self):
+        cells = grid.cell_ids_np(np.array([8.2, -179.9]), np.array([49.7, -89.9]), 10)
+        assert cells.dtype == np.int64
+        w = grid.cell_width(10)
+        ix = cells[0] // grid.CELL_SHIFT
+        iy = cells[0] % grid.CELL_SHIFT
+        assert ix * w - 180.0 <= 8.2 < (ix + 1) * w - 180.0
+        assert iy * w - 90.0 <= 49.7 < (iy + 1) * w - 90.0
+
+    def test_cover_bbox_classification(self):
+        cells, fully = grid.cover_bbox(0.0, 0.0, 4.0, 4.0, 7)  # w=1.40625
+        assert len(cells) > 0
+        w = grid.cell_width(7)
+        for c, f in zip(cells, fully):
+            ix, iy = divmod(int(c), grid.CELL_SHIFT)
+            lo_x, lo_y = ix * w - 180.0, iy * w - 90.0
+            inside = lo_x > 0 and lo_x + w < 4 and lo_y > 0 and lo_y + w < 4
+            assert f == inside
+
+    def test_cover_rings_sound(self):
+        """Every point inside the polygon must land in a covered cell; every
+        fully_inside cell must contain only interior points."""
+        res = 8
+        cells, fully = grid.cover_rings(DIAMOND, res)
+        cellset = dict(zip(cells.tolist(), fully.tolist()))
+        rng = np.random.default_rng(7)
+        lon = rng.uniform(-1, 5, 4000)
+        lat = rng.uniform(-1, 5, 4000)
+        inside = points_in_rings(lon, lat, DIAMOND)
+        pt_cells = grid.cell_ids_np(lon, lat, res)
+        for i in range(4000):
+            c = int(pt_cells[i])
+            if inside[i]:
+                assert c in cellset  # soundness: no inside point missed
+            if cellset.get(c, False):  # fully_inside => must be interior
+                assert inside[i]
+
+    def test_pick_res_bounds_cover(self):
+        res = grid.pick_res(-180, -90, 180, 90, max_cells=4096)
+        xs_ys = grid._cells_for_span(-180, -90, 180, 90, res)
+        assert len(xs_ys[0]) * len(xs_ys[1]) <= 4096
+
+    def test_neighbor_ring(self):
+        c = grid.cell_ids_np(np.array([10.0]), np.array([10.0]), 10)[0]
+        ring = grid.neighbor_ring(c, 1)
+        assert len(ring) == 9
+        assert c in ring.tolist()
+
+
+class TestBoundaryDetection:
+    def test_on_vertex_and_edge(self):
+        on = points_on_boundary(
+            np.array([0.0, 2.0, 2.0, 5.0]),
+            np.array([0.0, 0.0, 2.0, 5.0]),
+            SQUARE,
+        )
+        assert on.tolist() == [True, True, False, False]
