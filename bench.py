@@ -1,0 +1,76 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec",
+ "queries": {name: sec}, "sf": ..., "docs_per_sec": ...}
+
+Headline = the web-pages softcut split (geotag extract → spatial join →
+url-level membership): docs/sec over the pages table. The remaining timed
+queries cover each operator family (membership DAG, hardcut clip, kNN,
+LSH dedup, ANN, sessionize).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from osm_history_splitter_spark import oracle_queries as oq  # noqa: E402
+from osm_history_splitter_spark import text_queries as tq  # noqa: E402
+from osm_history_splitter_spark.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    "pages_split",
+    "node_membership",
+    "softcut_nodes_out",
+    "relation_members",
+    "hardcut_way_clip",
+    "knn_centroid",
+    "lsh_pairs",
+    "ann_topk",
+    "sessionize",
+]
+
+
+def run(sf_dir: str, cores: int | None = None) -> dict:
+    spark = get_spark("bench", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    allq = {}
+    allq.update(oq.SPATIAL_QUERIES)
+    allq.update(tq.TEXT_QUERIES)
+
+    # warm the JVM + parquet footer caches with a trivial action
+    spark.read.parquet(f"{sf_dir}/part.parquet").count()
+
+    times: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in BENCH_QUERIES:
+        fn = allq[name][0]
+        t0 = time.perf_counter()
+        rows[name] = fn(spark, sf_dir).count()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    n_pages = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    docs_per_sec = round(n_pages / times["pages_split"], 1)
+    total = round(sum(times.values()), 3)
+    out = {
+        "metric": "pages-split throughput + operator suite wall-clock",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_dir,
+        "docs_per_sec": docs_per_sec,
+        "rows": rows,
+        "cores": cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+    }
+    spark.stop()
+    return out
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    print(json.dumps(run(sf_dir)))

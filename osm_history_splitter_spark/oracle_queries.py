@@ -1,0 +1,427 @@
+"""Driver-contract queries (spatial / membership / clipping / kNN).
+
+Each query here runs the REAL engine operators over a deterministic
+"versioned-entity world" derived from the driver's TPC-H-ish parquet tables
+(TESTDATA.md), paired with an equivalent ANSI-SQL oracle for DuckDB:
+
+- **nodes**  := ``part`` → points, lon/lat derived by integer arithmetic
+  (exact in both engines);
+- **ways**   := ``orders`` with node refs = ``lineitem.l_partkey`` edges;
+- **relations** := supplier→nation→region hierarchy with typed members,
+  including relation→relation references for the closure (J4).
+
+The extract catalog is a literal: two overlapping strict bboxes + one
+convex diamond polygon. The diamond's edges lie on 3-decimal lines
+(x±y = ±59.995/60.005) while all derived points have 2-decimal coords, so no
+point is within 3.5e-3 degrees of an edge — double rounding (~1e-13) can
+never flip the engine's even-odd ray-cast vs the oracle's half-plane test.
+
+Float discipline for oracle comparability: derived values use only +,-,*,/
+(IEEE-exact, bit-identical across engines); no trig/log in compared columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import grid
+from .operators.hardcut import hardcut
+from .operators.softcut import softcut_membership
+from .plans.catalog import Extract, ExtractCatalog
+
+# --- the derived world ------------------------------------------------------
+
+DIAMOND = [(60.005, 0.0), (0.005, 60.0), (-59.995, 0.0), (0.005, -60.0)]
+
+CELL_RES = 7  # cell width 1.40625 deg — binary-exact
+
+CENTROIDS = {"mid": (0.0, 0.0), "ne": (90.0, 45.0), "diamond": (0.005, 0.0)}
+
+
+def catalog() -> ExtractCatalog:
+    return ExtractCatalog(
+        [
+            Extract.bbox("mid", -90.0, -45.0, 90.0, 45.0),
+            Extract.bbox("ne", 0.0, 0.0, 180.0, 90.0),
+            Extract.poly("diamond", [[list(v) for v in DIAMOND] + [list(DIAMOND[0])]]),
+        ]
+    )
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def part_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part → point entities. Pure int arithmetic + one exact division."""
+    k = F.col("p_partkey")
+    return _t(spark, sf_dir, "part").select(
+        k.alias("id"),
+        (((k * 7919) % 36000) / F.lit(100.0) - F.lit(180.0)).alias("lon"),
+        (((k * 104729) % 18000) / F.lit(100.0) - F.lit(90.0)).alias("lat"),
+    )
+
+
+def order_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → way entities; refs = partkeys of its lineitems, in
+    l_linenumber order (multiplicity preserved)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_orderkey").alias("id"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("l_linenumber", "l_partkey"))
+            ).alias("pr")
+        )
+        .select("id", F.col("pr.l_partkey").alias("refs"))
+    )
+
+
+def hierarchy_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier/nation/region → relation entities with typed members.
+
+    supplier rel (1e6+suppkey): members = ('n', partkey) + ('w', orderkey)
+    from its lineitems; nation rel (2e6+nationkey): ('r', supplier rels);
+    region rel (3e6+regionkey): ('r', nation rels).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    sup_members = li.select(
+        (F.col("l_suppkey") + 1000000).alias("id"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("n").alias("type"), F.col("l_partkey").alias("ref")
+                ),
+                F.struct(
+                    F.lit("w").alias("type"), F.col("l_orderkey").alias("ref")
+                ),
+            )
+        ).alias("m"),
+    )
+    nat_members = sup.select(
+        (F.col("s_nationkey").cast("long") + 2000000).alias("id"),
+        F.struct(
+            F.lit("r").alias("type"),
+            (F.col("s_suppkey") + 1000000).alias("ref"),
+        ).alias("m"),
+    )
+    reg_members = nat.select(
+        (F.col("n_regionkey").cast("long") + 3000000).alias("id"),
+        F.struct(
+            F.lit("r").alias("type"),
+            (F.col("n_nationkey").cast("long") + 2000000).alias("ref"),
+        ).alias("m"),
+    )
+    allm = sup_members.unionByName(nat_members).unionByName(reg_members)
+    return allm.groupBy("id").agg(F.collect_list("m").alias("members"))
+
+
+def world_membership(spark: SparkSession, sf_dir: str):
+    return softcut_membership(
+        part_nodes(spark, sf_dir),
+        order_ways(spark, sf_dir),
+        hierarchy_relations(spark, sf_dir),
+        catalog(),
+        persist=False,
+    )
+
+
+# --- oracle SQL building blocks --------------------------------------------
+
+PTS_SQL = (
+    "SELECT p_partkey AS id, "
+    "((p_partkey*7919)%36000)/100.0 - 180.0 AS lon, "
+    "((p_partkey*104729)%18000)/100.0 - 90.0 AS lat FROM part"
+)
+
+
+def _halfplanes(verts) -> str:
+    conds = []
+    n = len(verts)
+    for i in range(n):
+        x1, y1 = verts[i]
+        x2, y2 = verts[(i + 1) % n]
+        conds.append(
+            f"(({x2!r}-({x1!r}))*(lat-({y1!r})) - ({y2!r}-({y1!r}))*(lon-({x1!r})) > 0)"
+        )
+    return " AND ".join(conds)
+
+
+def membership_sql(cols: str, src: str = "pts") -> str:
+    """Strict-bbox + convex-halfplane membership union over a point source
+    with ``lon``/``lat`` columns — the oracle twin of ``assign_extracts``."""
+    return (
+        f"SELECT {cols}, 'mid' AS extract FROM {src} "
+        "WHERE lon > -90.0 AND lat > -45.0 AND lon < 90.0 AND lat < 45.0 "
+        f"UNION ALL SELECT {cols}, 'ne' AS extract FROM {src} "
+        "WHERE lon > 0.0 AND lat > 0.0 AND lon < 180.0 AND lat < 90.0 "
+        f"UNION ALL SELECT {cols}, 'diamond' AS extract FROM {src} "
+        f"WHERE {_halfplanes(DIAMOND)}"
+    )
+
+
+NM_SQL = membership_sql("id")
+
+BASE_CTES = f"""WITH pts AS ({PTS_SQL}),
+nm AS ({NM_SQL}),
+wm AS (SELECT DISTINCT l.l_orderkey AS id, nm.extract
+       FROM lineitem l JOIN nm ON nm.id = l.l_partkey),
+en AS (SELECT DISTINCT l2.l_partkey AS id, wm.extract
+       FROM wm JOIN lineitem l2 ON l2.l_orderkey = wm.id)"""
+
+REL_CTES = f"""{BASE_CTES},
+rd AS (SELECT DISTINCT 1000000 + l.l_suppkey AS id, nm.extract
+       FROM lineitem l JOIN nm ON nm.id = l.l_partkey
+       UNION
+       SELECT DISTINCT 1000000 + l.l_suppkey AS id, wm.extract
+       FROM lineitem l JOIN wm ON wm.id = l.l_orderkey),
+edges AS (SELECT 1000000 + s_suppkey AS child, 2000000 + s_nationkey AS parent FROM supplier
+          UNION ALL
+          SELECT 2000000 + n_nationkey AS child, 3000000 + n_regionkey AS parent FROM nation)"""
+
+
+# --- queries ---------------------------------------------------------------
+
+
+def q_node_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: node×extract spatial join — strict bboxes + exact-PIP polygon via
+    the broadcast cell-cover index (reference hardcut.hpp:106-119,
+    cut.hpp:34-52)."""
+    from .operators.spatial_join import assign_extracts
+
+    return assign_extracts(part_nodes(spark, sf_dir), catalog()).select(
+        "id", "extract"
+    )
+
+
+Q_NODE_MEMBERSHIP_SQL = f"WITH pts AS ({PTS_SQL}) SELECT id, extract FROM ({NM_SQL}) m"
+
+
+def q_cell_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8: grid cell encode — pure Catalyst arithmetic, no UDF."""
+    pts = part_nodes(spark, sf_dir)
+    return pts.select(
+        "id", grid.cell_id_expr(F.col("lon"), F.col("lat"), CELL_RES).alias("cell")
+    )
+
+
+Q_CELL_ASSIGN_SQL = (
+    f"WITH pts AS ({PTS_SQL}) SELECT id, "
+    f"{grid.cell_id_sql('lon', 'lat', CELL_RES)} AS cell FROM pts"
+)
+
+
+def q_way_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: way ⋉ tracked-nodes semi-join, EXISTS semantics
+    (softcut.hpp:199-211)."""
+    return world_membership(spark, sf_dir).way_members.select("id", "extract")
+
+
+Q_WAY_MEMBERS_SQL = f"{BASE_CTES} SELECT id, extract FROM wm"
+
+
+def q_extra_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: reference-completeness back-join — all refs of all versions of
+    tracked ways (softcut.hpp:98-111)."""
+    return world_membership(spark, sf_dir).extra_nodes.select("id", "extract")
+
+
+Q_EXTRA_NODES_SQL = f"{BASE_CTES} SELECT id, extract FROM en"
+
+
+def q_softcut_nodes_out(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6+O3: pass-2 node output ids — node ∪ extra-node trackers
+    (softcut.hpp:329-342)."""
+    return world_membership(spark, sf_dir).all_nodes().select("id", "extract")
+
+
+Q_SOFTCUT_NODES_OUT_SQL = (
+    f"{BASE_CTES} SELECT DISTINCT id, extract FROM "
+    "(SELECT id, extract FROM nm UNION ALL SELECT id, extract FROM en) u"
+)
+
+
+def q_relation_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3+J4: relation membership with transitive rel→rel closure
+    (softcut.hpp:230-287)."""
+    return world_membership(spark, sf_dir).relation_members.select("id", "extract")
+
+
+Q_RELATION_MEMBERS_SQL = f"""{REL_CTES},
+cl AS (WITH RECURSIVE c AS (
+        SELECT id, extract FROM rd
+        UNION
+        SELECT e.parent AS id, c.extract FROM c JOIN edges e ON e.child = c.id)
+      SELECT id, extract FROM c)
+SELECT id, extract FROM cl"""
+
+
+def q_hardcut_way_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5+P4: hardcut way clip — kept refs (multiplicity preserved), ways
+    with ≥2 surviving refs (hardcut.hpp:150-188). Exploded for comparison."""
+    empty_rels = spark.createDataFrame(
+        [], "id long, members array<struct<type:string,ref:long>>"
+    )
+    res = hardcut(
+        part_nodes(spark, sf_dir),
+        order_ways(spark, sf_dir),
+        empty_rels,
+        catalog(),
+    )
+    return res.ways.select(
+        F.col("id").alias("way_id"), "extract", F.explode("refs").alias("ref")
+    )
+
+
+Q_HARDCUT_WAY_CLIP_SQL = f"""{BASE_CTES},
+kept AS (SELECT l.l_orderkey AS way_id, nm.extract, l.l_partkey AS ref
+         FROM lineitem l JOIN nm ON nm.id = l.l_partkey),
+ok AS (SELECT way_id, extract FROM kept GROUP BY way_id, extract HAVING count(*) >= 2)
+SELECT k.way_id, k.extract, k.ref FROM kept k JOIN ok USING (way_id, extract)"""
+
+
+def q_hardcut_relation_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: hardcut relation-member clip, types n/w only, ways tracked only
+    when actually written (hardcut.hpp:228-251 + :195)."""
+    res = hardcut(
+        part_nodes(spark, sf_dir),
+        order_ways(spark, sf_dir),
+        hierarchy_relations(spark, sf_dir),
+        catalog(),
+    )
+    return res.relations.select(
+        F.col("id").alias("rel_id"), "extract", F.explode("members").alias("m")
+    ).select(
+        "rel_id",
+        "extract",
+        F.col("m.type").alias("mtype"),
+        F.col("m.ref").alias("ref"),
+    )
+
+
+Q_HARDCUT_RELATION_CLIP_SQL = f"""{BASE_CTES},
+kept AS (SELECT l.l_orderkey AS way_id, nm.extract, l.l_partkey AS ref
+         FROM lineitem l JOIN nm ON nm.id = l.l_partkey),
+wt AS (SELECT way_id, extract FROM kept GROUP BY way_id, extract HAVING count(*) >= 2),
+keptm AS (
+  SELECT 1000000 + l.l_suppkey AS rel_id, nm.extract, 'n' AS mtype, l.l_partkey AS ref
+  FROM lineitem l JOIN nm ON nm.id = l.l_partkey
+  UNION ALL
+  SELECT 1000000 + l.l_suppkey AS rel_id, wt.extract, 'w' AS mtype, l.l_orderkey AS ref
+  FROM lineitem l JOIN wt ON wt.way_id = l.l_orderkey)
+SELECT rel_id, extract, mtype, ref FROM keptm"""
+
+
+def q_knn_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-to-extract-centroid (north_rule): top-10 nodes per extract by
+    squared planar distance (IEEE-exact; tie-break by id)."""
+    from pyspark.sql import Window
+
+    pts = part_nodes(spark, sf_dir)
+    cents = spark.createDataFrame(
+        [(n, float(c[0]), float(c[1])) for n, c in CENTROIDS.items()],
+        "extract string, cx double, cy double",
+    )
+    d = pts.crossJoin(F.broadcast(cents)).withColumn(
+        "dist2",
+        (F.col("lon") - F.col("cx")) * (F.col("lon") - F.col("cx"))
+        + (F.col("lat") - F.col("cy")) * (F.col("lat") - F.col("cy")),
+    )
+    w = Window.partitionBy("extract").orderBy(F.col("dist2").asc(), F.col("id").asc())
+    return (
+        d.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 10)
+        .select("extract", "rnk", "id")
+    )
+
+
+_CENT_VALUES = ", ".join(
+    f"('{n}', {c[0]!r}, {c[1]!r})" for n, c in CENTROIDS.items()
+)
+Q_KNN_CENTROID_SQL = f"""WITH pts AS ({PTS_SQL}),
+cents(extract, cx, cy) AS (VALUES {_CENT_VALUES}),
+d AS (SELECT c.extract, p.id,
+        (p.lon - c.cx)*(p.lon - c.cx) + (p.lat - c.cy)*(p.lat - c.cy) AS dist2
+      FROM pts p CROSS JOIN cents c),
+r AS (SELECT extract, id,
+        row_number() OVER (PARTITION BY extract ORDER BY dist2 ASC, id ASC) AS rnk
+      FROM d)
+SELECT extract, rnk, id FROM r WHERE rnk <= 10"""
+
+
+def q_pages_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship web-text split (north_star): geotags parsed from page
+    text by the vectorized pandas UDF, softcut url-level membership (any
+    snapshot inside ⇒ all snapshots out), one row per (url, ver, extract)."""
+    from .functions.geotags import extract_geotags
+    from .operators.spatial_join import assign_extracts
+    from .sources.pages import synth_pages
+
+    pages = synth_pages(spark, sf_dir)
+    pts = pages.select(
+        "url", F.explode(extract_geotags(F.col("text"))).alias("g")
+    ).select("url", F.col("g.lat").alias("lat"), F.col("g.lon").alias("lon"))
+    members = assign_extracts(pts, catalog()).select("url", "extract").distinct()
+    return pages.join(members, "url").select("url", "ver", "extract")
+
+
+def _pages_ctes() -> str:
+    from .sources.pages import PAGES_SQL
+
+    pattern = r"GEO\(latc=(-?\d+);lonc=(-?\d+)\)"
+    return f"""WITH pages AS ({PAGES_SQL}),
+pts AS (SELECT url,
+  CAST(regexp_extract(text, '{pattern}', 1) AS BIGINT) / 100.0 AS lat,
+  CAST(regexp_extract(text, '{pattern}', 2) AS BIGINT) / 100.0 AS lon
+  FROM pages),
+m AS (SELECT DISTINCT url, extract FROM ({membership_sql('url')}) u)"""
+
+
+Q_PAGES_SPLIT_SQL = (
+    _pages_ctes()
+    + "\nSELECT p.url, p.ver, m.extract FROM pages p JOIN m USING (url)"
+)
+
+
+def q_pages_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-identity invariant (input_hint): emitted page text is the
+    original row's bytes — md5 over the OUTPUT rows must equal md5 over the
+    independently-derived input (reference softcut.hpp:357-370 writes
+    objects unmodified)."""
+    from .functions.geotags import extract_geotags
+    from .operators.spatial_join import assign_extracts
+    from .sources.pages import synth_pages
+
+    pages = synth_pages(spark, sf_dir)
+    pts = pages.select(
+        "url", F.explode(extract_geotags(F.col("text"))).alias("g")
+    ).select("url", F.col("g.lat").alias("lat"), F.col("g.lon").alias("lon"))
+    members = assign_extracts(pts, catalog()).select("url", "extract").distinct()
+    return pages.join(members, "url").select(
+        "url", "ver", "extract", F.md5(F.col("text").cast("binary")).alias("text_md5")
+    )
+
+
+Q_PAGES_PASSTHROUGH_SQL = (
+    _pages_ctes()
+    + "\nSELECT p.url, p.ver, m.extract, md5(p.text) AS text_md5 "
+    "FROM pages p JOIN m USING (url)"
+)
+
+
+SPATIAL_QUERIES = {
+    "node_membership": (q_node_membership, Q_NODE_MEMBERSHIP_SQL),
+    "cell_assign": (q_cell_assign, Q_CELL_ASSIGN_SQL),
+    "way_members": (q_way_members, Q_WAY_MEMBERS_SQL),
+    "extra_nodes": (q_extra_nodes, Q_EXTRA_NODES_SQL),
+    "softcut_nodes_out": (q_softcut_nodes_out, Q_SOFTCUT_NODES_OUT_SQL),
+    "relation_members": (q_relation_members, Q_RELATION_MEMBERS_SQL),
+    "hardcut_way_clip": (q_hardcut_way_clip, Q_HARDCUT_WAY_CLIP_SQL),
+    "hardcut_relation_clip": (q_hardcut_relation_clip, Q_HARDCUT_RELATION_CLIP_SQL),
+    "knn_centroid": (q_knn_centroid, Q_KNN_CENTROID_SQL),
+    "pages_split": (q_pages_split, Q_PAGES_SPLIT_SQL),
+    "pages_passthrough": (q_pages_passthrough, Q_PAGES_PASSTHROUGH_SQL),
+}

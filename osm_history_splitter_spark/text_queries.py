@@ -1,0 +1,475 @@
+"""Driver-contract queries: training-data pipeline operators (dedup,
+similarity, text analysis) over the ``documents``/``embeddings``/``events``
+tables, each with a DuckDB-equivalent oracle.
+
+Determinism rules: compared columns are strings or integers (or integer-
+derived doubles < 2^53, exact in IEEE); embedding math is quantized to int
+(order-independent exact sums) before any ranking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    char_class_count_expr,
+    minhash_signature,
+    minhash_signature_sql,
+    occurrences_expr,
+    occurrences_sql,
+    shingles,
+    shingles_sql,
+    token_count_expr,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- exact dedup ------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on content, keep min doc_id."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy(F.md5(F.col("text").cast("binary")).alias("text_md5"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+Q_DEDUP_EXACT_SQL = (
+    "SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, "
+    "count(*) AS n_dups FROM documents GROUP BY md5(text)"
+)
+
+
+# --- token / quality stats --------------------------------------------------
+
+
+def q_token_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_tokens = token_count_expr(text)
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.length(text).cast("long").alias("n_chars_m"),
+        F.floor(
+            (F.length(text) - (n_tokens - 1)) * F.lit(100.0) / n_tokens
+        ).cast("long").alias("avg_tok_len_x100"),
+    )
+
+
+Q_TOKEN_STATS_SQL = """SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+  CAST(length(text) AS BIGINT) AS n_chars_m,
+  CAST(floor((length(text) - (len(string_split(text, ' ')) - 1)) * 100.0
+       / len(string_split(text, ' '))) AS BIGINT) AS avg_tok_len_x100
+FROM documents"""
+
+
+def q_quality_score(spark, sf_dir):
+    """Quality scoring: length, punctuation density, stopword density —
+    integer score so the oracle hash is exact."""
+    d = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    punct = char_class_count_expr(text, ".,!?;:")
+    stop = sum(
+        (occurrences_expr(text, w) for w in STOPWORDS), F.lit(0).cast("long")
+    )
+    score = (
+        F.least(F.length(text).cast("long"), F.lit(1000))
+        + stop * 10
+        - punct * 2
+    )
+    return d.select(
+        "doc_id",
+        punct.alias("punct_count"),
+        stop.alias("stop_hits"),
+        score.alias("quality_score"),
+    )
+
+
+_STOP_SUM_SQL = " + ".join(occurrences_sql("text", w) for w in STOPWORDS)
+Q_QUALITY_SCORE_SQL = f"""SELECT doc_id,
+  CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS punct_count,
+  ({_STOP_SUM_SQL}) AS stop_hits,
+  least(CAST(length(text) AS BIGINT), 1000) + ({_STOP_SUM_SQL}) * 10
+    - CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) * 2
+    AS quality_score
+FROM documents"""
+
+
+# --- language id ------------------------------------------------------------
+
+
+def q_lang_id(spark, sf_dir):
+    """n-gram-marker language ID: argmax of marker-word counts with a fixed
+    priority order; 'und' when all zero."""
+    d = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    counts = {
+        lang: sum(
+            (occurrences_expr(text, w) for w in words), F.lit(0).cast("long")
+        )
+        for lang, words in LANG_MARKERS.items()
+    }
+    langs = list(LANG_MARKERS)
+    best = F.lit("und")
+    best_n = F.lit(0).cast("long")
+    # fixed priority: earlier lang wins ties => iterate reversed with >=
+    for lang in reversed(langs):
+        c = counts[lang]
+        best = F.when(c >= best_n, F.lit(lang)).otherwise(best)
+        best_n = F.when(c >= best_n, c).otherwise(best_n)
+    # all-zero => und
+    total = sum((counts[lang] for lang in langs), F.lit(0).cast("long"))
+    return d.select(
+        "doc_id", F.when(total == 0, F.lit("und")).otherwise(best).alias("lang_pred")
+    )
+
+
+def _lang_id_sql() -> str:
+    cnt = {
+        lang: "(" + " + ".join(occurrences_sql("text", w) for w in words) + ")"
+        for lang, words in LANG_MARKERS.items()
+    }
+    langs = list(LANG_MARKERS)
+    # same reversed-fold as the Spark side, as nested CASE
+    best, best_n = "'und'", "CAST(0 AS BIGINT)"
+    for lang in reversed(langs):
+        c = cnt[lang]
+        best = f"CASE WHEN {c} >= {best_n} THEN '{lang}' ELSE {best} END"
+        best_n = f"CASE WHEN {c} >= {best_n} THEN {c} ELSE {best_n} END"
+    total = " + ".join(cnt[lang] for lang in langs)
+    return (
+        f"SELECT doc_id, CASE WHEN ({total}) = 0 THEN 'und' ELSE {best} END"
+        " AS lang_pred FROM documents"
+    )
+
+
+Q_LANG_ID_SQL = _lang_id_sql()
+
+
+# --- fingerprinting ---------------------------------------------------------
+
+
+def q_fingerprint(spark, sf_dir):
+    """Normalized content fingerprint (case/whitespace-insensitive md5)."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.col("text"), r"\s", ""))
+    return d.select("doc_id", F.md5(norm.cast("binary")).alias("fp"))
+
+
+Q_FINGERPRINT_SQL = (
+    "SELECT doc_id, md5(lower(regexp_replace(text, '\\s', '', 'g'))) AS fp "
+    "FROM documents"
+)
+
+
+# --- minhash / LSH ----------------------------------------------------------
+
+MINHASH_K = 4
+
+
+def q_minhash_sig(spark, sf_dir):
+    return minhash_signature(
+        shingles(_t(spark, sf_dir, "documents")), k=MINHASH_K
+    )
+
+
+Q_MINHASH_SIG_SQL = minhash_signature_sql(k=MINHASH_K)
+
+
+def q_lsh_pairs(spark, sf_dir):
+    """MinHash-LSH candidate pairs: band the signature (2 rows/band), bucket
+    by band hash, emit same-bucket pairs (a < b)."""
+    sig = q_minhash_sig(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band"),
+                    F.md5(F.concat("h0", "h1").cast("binary")).alias("bh"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band"),
+                    F.md5(F.concat("h2", "h3").cast("binary")).alias("bh"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+Q_LSH_PAIRS_SQL = f"""WITH sig AS ({Q_MINHASH_SIG_SQL}),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(h0 || h1) AS bh FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(h2 || h3) AS bh FROM sig)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+WHERE a.doc_id < b.doc_id"""
+
+
+# --- n-gram Jaccard near-dup ------------------------------------------------
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """3-gram Jaccard over same-source candidate pairs; integer-quantized
+    similarity (x1000)."""
+    d = _t(spark, sf_dir, "documents")
+    sh = shingles(d)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("nsh"))
+    src = d.select("doc_id", "source")
+    sh_s = sh.join(src, "doc_id")
+    a = sh_s.alias("a")
+    b = sh_s.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("i"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("nsh").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("nsh").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.floor(
+                F.col("i") * F.lit(1000.0) / (F.col("na") + F.col("nb") - F.col("i"))
+            ).cast("long").alias("jac_x1000"),
+        )
+    )
+
+
+Q_NGRAM_JACCARD_SQL = f"""WITH sh AS ({shingles_sql()}),
+sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+src AS (SELECT doc_id, source FROM documents),
+shs AS (SELECT sh.doc_id, sh.s, src.source FROM sh JOIN src ON src.doc_id = sh.doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM shs a JOIN shs b
+    ON a.s = b.s AND a.source = b.source AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT i.doc_a, i.doc_b,
+  CAST(floor(i.i * 1000.0 / (sa.nsh + sb.nsh - i.i)) AS BIGINT) AS jac_x1000
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b"""
+
+
+# --- ANN / embedding similarity --------------------------------------------
+
+N_QUERIES = 10
+TOP_K = 5
+QUANT = "100000.0"
+
+
+def _quantized(col: str):
+    return F.expr(
+        f"transform({col}, x -> CAST(round(x * {QUANT}) AS BIGINT))"
+    )
+
+
+def _dot(a: str, b: str):
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0 AS BIGINT),"
+        " (acc, x) -> acc + x)"
+    )
+
+
+def q_ann_topk(spark, sf_dir):
+    """Brute-force cosine top-k: embeddings quantized to ints (exact,
+    order-independent sums), ranked by similarity desc, id tiebreak."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", _quantized("embedding").alias("q")
+    )
+    norms = e.select(
+        "vec_id", _dot("q", "q").alias("n2")
+    )
+    e_n = e.join(norms, "vec_id")
+    qs = e_n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("q").alias("qv"), F.col("n2").alias("qn")
+    )
+    cs = e_n.select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("cv"), F.col("n2").alias("cn")
+    )
+    sims = (
+        qs.crossJoin(cs)
+        .filter(F.col("qid") != F.col("cid"))
+        .select(
+            "qid",
+            "cid",
+            (
+                _dot("qv", "cv").cast("double")
+                / F.sqrt(F.col("qn").cast("double") * F.col("cn").cast("double"))
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid").asc())
+    return (
+        sims.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("qid", "rnk", "cid")
+    )
+
+
+Q_ANN_TOPK_SQL = f"""WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(x * {QUANT}) AS BIGINT)) AS q
+  FROM embeddings),
+n AS (SELECT vec_id, q, CAST(list_dot_product(q, q) AS BIGINT) AS n2 FROM e),
+sims AS (
+  SELECT a.vec_id AS qid, b.vec_id AS cid,
+    CAST(list_dot_product(a.q, b.q) AS DOUBLE)
+      / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) AS sim
+  FROM n a CROSS JOIN n b
+  WHERE a.vec_id < {N_QUERIES} AND a.vec_id <> b.vec_id),
+r AS (SELECT qid, cid,
+        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk
+      FROM sims)
+SELECT qid, rnk, cid FROM r WHERE rnk <= {TOP_K}"""
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (sim > 0.9, same quantized
+    machinery)."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", _quantized("embedding").alias("q")
+    )
+    e = e.join(
+        e.select("vec_id", _dot("q", "q").alias("n2")).select(
+            "vec_id", "n2"
+        ),
+        "vec_id",
+    )
+    a = e.select(
+        F.col("vec_id").alias("va"), F.col("q").alias("qa"), F.col("n2").alias("na")
+    )
+    b = e.select(
+        F.col("vec_id").alias("vb"), F.col("q").alias("qb"), F.col("n2").alias("nb")
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("va") < F.col("vb"))
+        .withColumn(
+            "sim",
+            _dot("qa", "qb").cast("double")
+            / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double")),
+        )
+        .filter(F.col("sim") > 0.9)
+        .select("va", "vb")
+    )
+
+
+Q_EMBEDDING_NEARDUP_SQL = f"""WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(x * {QUANT}) AS BIGINT)) AS q
+  FROM embeddings),
+n AS (SELECT vec_id, q, CAST(list_dot_product(q, q) AS BIGINT) AS n2 FROM e)
+SELECT a.vec_id AS va, b.vec_id AS vb
+FROM n a CROSS JOIN n b
+WHERE a.vec_id < b.vec_id
+  AND CAST(list_dot_product(a.q, b.q) AS DOUBLE)
+      / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) > 0.9"""
+
+
+# --- events -----------------------------------------------------------------
+
+
+def q_events_hourly(spark, sf_dir):
+    """Hourly rollup with integer-cents sums (order-independent exact)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+    )
+
+
+Q_EVENTS_HOURLY_SQL = """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+  event_type, count(*) AS n,
+  SUM(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+FROM events GROUP BY 1, 2"""
+
+
+def q_sessionize(spark, sf_dir):
+    """Sessionization: 30-min inactivity gap per user (window lag +
+    running count), emitting per-session aggregates."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_gap = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.unix_timestamp(F.col("ts"))
+            - F.lag(F.unix_timestamp(F.col("ts")), 1, 0).over(w)
+            > 1800,
+            1,
+        ).otherwise(0),
+    )
+    sess = with_gap.withColumn(
+        "sess_no",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("long"),
+    )
+    return sess.groupBy("user_id", "sess_no").agg(
+        F.count("*").alias("n_events"),
+        F.min(F.unix_timestamp(F.col("ts"))).alias("start_epoch"),
+        F.max(F.unix_timestamp(F.col("ts"))).alias("end_epoch"),
+    )
+
+
+Q_SESSIONIZE_SQL = """WITH g AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS tse,
+    CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+          - lag(CAST(floor(epoch(ts)) AS BIGINT), 1, 0)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+      THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+s AS (SELECT user_id, tse,
+        CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tse, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_no
+      FROM g)
+SELECT user_id, sess_no, count(*) AS n_events,
+  min(tse) AS start_epoch, max(tse) AS end_epoch
+FROM s GROUP BY user_id, sess_no"""
+
+
+TEXT_QUERIES = {
+    "dedup_exact": (q_dedup_exact, Q_DEDUP_EXACT_SQL),
+    "token_stats": (q_token_stats, Q_TOKEN_STATS_SQL),
+    "quality_score": (q_quality_score, Q_QUALITY_SCORE_SQL),
+    "lang_id": (q_lang_id, Q_LANG_ID_SQL),
+    "fingerprint": (q_fingerprint, Q_FINGERPRINT_SQL),
+    "minhash_sig": (q_minhash_sig, Q_MINHASH_SIG_SQL),
+    "lsh_pairs": (q_lsh_pairs, Q_LSH_PAIRS_SQL),
+    "ngram_jaccard": (q_ngram_jaccard, Q_NGRAM_JACCARD_SQL),
+    "ann_topk": (q_ann_topk, Q_ANN_TOPK_SQL),
+    "embedding_neardup": (q_embedding_neardup, Q_EMBEDDING_NEARDUP_SQL),
+    "events_hourly": (q_events_hourly, Q_EVENTS_HOURLY_SQL),
+    "sessionize": (q_sessionize, Q_SESSIONIZE_SQL),
+}
