@@ -1,0 +1,56 @@
+"""Streaming hardcut (SURVEY §2.7): the hardcut node path is version-local
+— pure map/filter against a static broadcast index — so it incrementalizes
+directly as a Structured Streaming job: arriving node (or page) batches are
+cell-encoded, joined to the broadcast cover (stream-static join), refined,
+and appended partitioned-by-extract.
+
+Softcut pass 1 is a global aggregation over the full history and stays a
+batch job (its markers feed this stream's static side if needed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.spatial_join import assign_extracts
+from ..plans.catalog import ExtractCatalog
+
+__all__ = ["split_point_stream", "read_node_stream"]
+
+
+def read_node_stream(
+    spark: SparkSession, path: str, schema, max_files_per_trigger: int = 8
+) -> DataFrame:
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def split_point_stream(
+    stream: DataFrame,
+    catalog: ExtractCatalog,
+    out_path: str,
+    checkpoint_path: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Start the streaming split; returns the query handle.
+
+    ``availableNow`` drains the current backlog and stops — the batch-like
+    mode used in tests; continuous deployments drop it and run triggers.
+    The streaming checkpoint gives exactly-once file output — the streaming
+    analog of the batch StageStore resume.
+    """
+    assigned = assign_extracts(stream, catalog)
+    writer = (
+        assigned.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .partitionBy("extract")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

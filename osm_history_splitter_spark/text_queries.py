@@ -459,7 +459,57 @@ SELECT user_id, sess_no, count(*) AS n_events,
 FROM s GROUP BY user_id, sess_no"""
 
 
+# --- SimHash document fingerprint ------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def q_simhash(spark, sf_dir):
+    """SimHash over 3-gram shingles: bit j of md5(shingle) votes ±1; the
+    sign of the vote sum sets bit j of the fingerprint. Near-dup docs get
+    near-equal fingerprints (Charikar 2002). Pure Catalyst + portable SQL
+    (hex-digit test instead of bit ops)."""
+    sh = shingles(_t(spark, sf_dir, "documents"))
+    h = F.md5(F.col("s").cast("binary"))
+    terms = []
+    for j in range(SIMHASH_BITS):
+        hexd = F.substring(h, j + 1, 1)
+        vote = F.when(
+            hexd.isin("8", "9", "a", "b", "c", "d", "e", "f"), F.lit(1)
+        ).otherwise(F.lit(-1))
+        terms.append(F.sum(vote).alias(f"v{j}"))
+    votes = sh.groupBy("doc_id").agg(*terms)
+    sig = sum(
+        (
+            F.when(F.col(f"v{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+            for j in range(SIMHASH_BITS)
+        ),
+        F.lit(0),
+    )
+    return votes.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+def _simhash_sql() -> str:
+    votes = ", ".join(
+        "SUM(CASE WHEN substr(md5(s), %d, 1) IN ('8','9','a','b','c','d','e','f')"
+        " THEN 1 ELSE -1 END) AS v%d" % (j + 1, j)
+        for j in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"CASE WHEN v{j} > 0 THEN {2**j} ELSE 0 END" for j in range(SIMHASH_BITS)
+    )
+    return (
+        f"WITH sh AS ({shingles_sql()}), "
+        f"v AS (SELECT doc_id, {votes} FROM sh GROUP BY doc_id) "
+        f"SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM v"
+    )
+
+
+Q_SIMHASH_SQL = _simhash_sql()
+
+
 TEXT_QUERIES = {
+    "simhash": (q_simhash, Q_SIMHASH_SQL),
     "dedup_exact": (q_dedup_exact, Q_DEDUP_EXACT_SQL),
     "token_stats": (q_token_stats, Q_TOKEN_STATS_SQL),
     "quality_score": (q_quality_score, Q_QUALITY_SCORE_SQL),

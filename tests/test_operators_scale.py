@@ -1,0 +1,170 @@
+"""Scale-path operators: ring-expansion kNN == full-window kNN; LSH ANN
+recall vs brute force; streaming hardcut == batch hardcut; multimodal
+mapInPandas plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osm_history_splitter_spark.operators.ann import (
+    brute_force_topk,
+    lsh_topk,
+)
+from osm_history_splitter_spark.operators.knn import (
+    knn_full_window,
+    knn_to_centroids,
+)
+
+CENTROIDS = {"a": (3.0, 3.0), "b": (-50.0, 10.0), "c": (120.0, -40.0)}
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    rng = np.random.default_rng(11)
+    rows = [
+        (int(i), float(lon), float(lat))
+        for i, (lon, lat) in enumerate(
+            zip(rng.uniform(-180, 180, 3000), rng.uniform(-90, 90, 3000))
+        )
+    ]
+    return spark.createDataFrame(rows, "id long, lon double, lat double")
+
+
+def test_knn_ring_expansion_matches_full_window(spark, points):
+    full = {
+        (r["extract"], r["rnk"]): r["id"]
+        for r in knn_full_window(points, CENTROIDS, 10).collect()
+    }
+    ring = {
+        (r["extract"], r["rnk"]): r["id"]
+        for r in knn_to_centroids(points, CENTROIDS, 10, res=6).collect()
+    }
+    assert ring == full
+
+
+def test_knn_skewed_cluster(spark):
+    """>=50% of points in one cell (FIXTURES §7 skew case) — the expansion
+    must still terminate and agree with the exact result."""
+    rng = np.random.default_rng(5)
+    hot = [(int(i), 10.0 + float(x) / 1e5, 10.0 + float(y) / 1e5)
+           for i, (x, y) in enumerate(zip(rng.uniform(0, 1, 500), rng.uniform(0, 1, 500)))]
+    cold = [(1000 + int(i), float(lon), float(lat))
+            for i, (lon, lat) in enumerate(zip(rng.uniform(-180, 180, 300), rng.uniform(-90, 90, 300)))]
+    pts = spark.createDataFrame(hot + cold, "id long, lon double, lat double")
+    cents = {"hot": (10.0, 10.0), "far": (-170.0, -80.0)}
+    full = {(r["extract"], r["rnk"]): r["id"] for r in knn_full_window(pts, cents, 7).collect()}
+    ring = {(r["extract"], r["rnk"]): r["id"] for r in knn_to_centroids(pts, cents, 7, res=8).collect()}
+    assert ring == full
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    rng = np.random.default_rng(3)
+    # clustered vectors so ANN has structure to find
+    centers = rng.standard_normal((5, 16))
+    rows = []
+    for i in range(400):
+        c = centers[i % 5]
+        v = c + 0.15 * rng.standard_normal(16)
+        rows.append((int(i), [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_brute_force_topk(spark, embeddings):
+    queries = [
+        (r["vec_id"], r["embedding"])
+        for r in embeddings.filter(F.col("vec_id") < 3).collect()
+    ]
+    res = brute_force_topk(embeddings, queries, k=5)
+    rows = res.collect()
+    assert len(rows) == 15
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append(r)
+    for qid, rs in by_q.items():
+        top1 = min(rs, key=lambda r: r["rnk"])
+        assert top1["cid"] == qid  # self is its own nearest neighbor
+        sims = [r["sim"] for r in sorted(rs, key=lambda r: r["rnk"])]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_recall_vs_brute_force(spark, embeddings):
+    queries = [
+        (r["vec_id"], r["embedding"])
+        for r in embeddings.filter(F.col("vec_id") < 5).collect()
+    ]
+    exact = brute_force_topk(embeddings, queries, k=5).collect()
+    approx = lsh_topk(embeddings, queries, k=5, n_planes=10, n_probes=6).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["qid"], set()).add(r["cid"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["qid"], set()).add(r["cid"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / 5 for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.6  # bucketing keeps most of top-5
+
+
+def test_streaming_hardcut_matches_batch(spark, tmp_path):
+    from osm_history_splitter_spark.model import NODE_SCHEMA
+    from osm_history_splitter_spark.operators.spatial_join import assign_extracts
+    from osm_history_splitter_spark.streaming.hardcut_stream import (
+        read_node_stream,
+        split_point_stream,
+    )
+
+    from .fixtures import golden_catalog, golden_nodes
+
+    src = str(tmp_path / "src")
+    golden_nodes(spark).write.parquet(src)
+    stream = read_node_stream(spark, src, NODE_SCHEMA)
+    q = split_point_stream(
+        stream,
+        golden_catalog(),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["id"], r["version"], r["extract"])
+        for r in spark.read.parquet(str(tmp_path / "out")).select(
+            "id", "version", "extract"
+        ).collect()
+    }
+    batch = {
+        (r["id"], r["version"], r["extract"])
+        for r in assign_extracts(golden_nodes(spark), golden_catalog())
+        .select("id", "version", "extract")
+        .collect()
+    }
+    assert got == batch
+
+
+def test_multimodal_decode_and_frame_sample(spark):
+    from osm_history_splitter_spark.functions.multimodal import (
+        ASSET_SCHEMA,
+        decode_assets,
+        frame_sample,
+    )
+
+    rows = [
+        (1, "image", b"img-bytes-1", {}),
+        (2, "video", b"vid-bytes-2", {"codec": "fake"}),
+        (3, "audio", b"", {}),
+    ]
+    df = spark.createDataFrame(rows, schema=ASSET_SCHEMA)
+    dec = decode_assets(df).collect()
+    assert len(dec) == 3
+    img = next(r for r in dec if r["asset_id"] == 1)
+    assert img["n_frames"] == 1 and img["width"] >= 64
+    # determinism: same bytes -> same sha
+    dec2 = decode_assets(df).collect()
+    assert {r["content_sha"] for r in dec} == {r["content_sha"] for r in dec2}
+
+    frames = frame_sample(df.filter(F.col("kind") == "video"), every_n=10).collect()
+    vid = next(r for r in dec if r["asset_id"] == 2)
+    assert len(frames) == len(range(0, vid["n_frames"], 10))

@@ -1,0 +1,75 @@
+"""Physical-plan checks: the plans we designed for are the plans Catalyst
+actually picks (SURVEY §4). A correct-but-mis-planned operator fails here."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm_history_splitter_spark.operators.spatial_join import assign_extracts
+from osm_history_splitter_spark.plans.catalog import Extract, ExtractCatalog
+
+from .fixtures import golden_catalog, golden_nodes
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_spatial_join_is_broadcast_no_cartesian(spark):
+    cat = ExtractCatalog(
+        [
+            Extract.bbox("b1", -10.0, -10.0, 10.0, 10.0),
+            Extract.poly(
+                "p1", [[[0.0, 0.0], [20.0, 0.0], [20.0, 20.0], [0.0, 20.0], [0.0, 0.0]]]
+            ),
+        ]
+    )
+    df = assign_extracts(golden_nodes(spark), cat)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the big side is never shuffled for membership (no Exchange hashpartitioning
+    # of the nodes relation before the join)
+    assert "SortMergeJoin" not in plan
+
+
+def test_parquet_pushdown_and_pruning(spark, tmp_path):
+    p = str(tmp_path / "pts")
+    spark.range(10000).selectExpr(
+        "id", "cast(id % 360 - 180 as double) AS lon",
+        "cast(id % 180 - 90 as double) AS lat", "cast(id as string) AS payload"
+    ).write.parquet(p)
+    df = (
+        spark.read.parquet(p)
+        .filter((F.col("lon") > 0.0) & (F.col("lat") > 0.0))
+        .select("id", "lon", "lat")  # payload must be pruned
+    )
+    plan = plan_of(df)
+    assert "PushedFilters: [" in plan and "GreaterThan(lon,0.0)" in plan, plan
+    assert "payload" not in plan.split("ReadSchema")[1], plan
+
+
+def test_whole_stage_codegen_on_membership_path(spark):
+    """The bbox accept path must stay inside WholeStageCodegen (no Python)."""
+    cat = golden_catalog()  # BBOX-only catalog -> no pandas UDF anywhere
+    df = assign_extracts(golden_nodes(spark), cat)
+    df.collect()  # AQE finalizes the physical plan only on execution
+    plan = plan_of(df)
+    # codegen'd operators render with a *(stage) prefix in the final plan
+    import re
+
+    assert re.search(r"\*\(\d+\) ", plan), plan
+    assert "ArrowEvalPython" not in plan, "bbox-only catalog must not hit Python"
+
+
+def test_poly_catalog_refine_is_arrow_batched(spark):
+    cat = ExtractCatalog(
+        [Extract.poly("p", [[[0.0, 0.0], [5.0, 0.0], [5.0, 5.0], [0.0, 5.0], [0.0, 0.0]]])]
+    )
+    plan = plan_of(assign_extracts(golden_nodes(spark), cat))
+    # the exact-PIP refine is vectorized (ArrowEvalPython), never a plain
+    # row-at-a-time BatchEvalPython
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan

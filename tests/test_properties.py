@@ -1,0 +1,180 @@
+"""T5 — randomized equivalence: Spark operators vs the in-memory reference
+semantics on random small worlds, plus the softcut invariants from
+reference ``softcut.hpp:56-59``."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pytest
+
+from osm_history_splitter_spark.model import (
+    NODE_SCHEMA,
+    RELATION_SCHEMA,
+    WAY_SCHEMA,
+)
+from osm_history_splitter_spark.operators.hardcut import hardcut
+from osm_history_splitter_spark.operators.softcut import softcut
+from osm_history_splitter_spark.plans.catalog import Extract, ExtractCatalog
+
+from .reference_impl import hardcut_ref, softcut_ref
+
+TS = dt.datetime(2020, 1, 1)
+
+
+def random_world(seed: int):
+    rng = np.random.default_rng(seed)
+    n_nodes = int(rng.integers(20, 60))
+    nodes = []
+    for i in range(1, n_nodes + 1):
+        for v in range(1, int(rng.integers(1, 4)) + 1):
+            nodes.append(
+                (i, v, float(rng.uniform(-20, 20)), float(rng.uniform(-20, 20)))
+            )
+    ways = []
+    for i in range(100, 100 + int(rng.integers(5, 15))):
+        for v in range(1, int(rng.integers(1, 3)) + 1):
+            k = int(rng.integers(1, 6))
+            refs = [int(r) for r in rng.integers(1, n_nodes + 3, k)]  # some dead refs
+            ways.append((i, v, refs))
+    relations = []
+    rel_ids = list(range(500, 500 + int(rng.integers(3, 8))))
+    for i in rel_ids:
+        members = []
+        for _ in range(int(rng.integers(1, 5))):
+            t = str(rng.choice(["n", "w", "r"]))
+            if t == "n":
+                ref = int(rng.integers(1, n_nodes + 3))
+            elif t == "w":
+                ref = int(rng.integers(100, 120))
+            else:
+                ref = int(rng.choice(rel_ids))  # forward AND backward refs
+            members.append((t, ref))
+        relations.append((i, 1, members))
+    return nodes, ways, relations
+
+
+def to_dfs(spark, nodes, ways, relations):
+    ndf = spark.createDataFrame(
+        [(i, v, True, TS, 0, 0, "u", lat, lon, {}) for i, v, lon, lat in nodes],
+        schema=NODE_SCHEMA,
+    )
+    wdf = spark.createDataFrame(
+        [(i, v, True, TS, 0, 0, "u", refs, {}) for i, v, refs in ways],
+        schema=WAY_SCHEMA,
+    )
+    rdf = spark.createDataFrame(
+        [
+            (i, v, True, TS, 0, 0, "u", [(t, r, "") for t, r in members], {})
+            for i, v, members in relations
+        ],
+        schema=RELATION_SCHEMA,
+    )
+    return ndf, wdf, rdf
+
+
+BBOX = (-10.0, -10.0, 10.0, 10.0)
+DIAMOND_RINGS = [[[0.0, -12.0], [12.0, 0.0], [0.0, 12.0], [-12.0, 0.0], [0.0, -12.0]]]
+
+
+def catalog():
+    return ExtractCatalog(
+        [
+            Extract.bbox("box", *BBOX),
+            Extract.poly("dia", DIAMOND_RINGS),
+        ]
+    )
+
+
+def pred_box(lon, lat):
+    return BBOX[0] < lon < BBOX[2] and BBOX[1] < lat < BBOX[3]
+
+
+def pred_dia(lon, lat):
+    return abs(lon) / 12.0 + abs(lat) / 12.0 < 1.0
+
+
+PREDS = {"box": pred_box, "dia": pred_dia}
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3, 7, 13, 42])
+def test_softcut_matches_reference_semantics(spark, seed):
+    nodes, ways, relations = random_world(seed)
+    ndf, wdf, rdf = to_dfs(spark, nodes, ways, relations)
+    res = softcut(ndf, wdf, rdf, catalog(), persist=False)
+    expected = softcut_ref(nodes, ways, relations, PREDS)
+
+    got_nodes = {
+        (r["extract"], r["id"]) for r in res.nodes.select("extract", "id").distinct().collect()
+    }
+    exp_nodes = {(e, i) for e, m in expected.items() for i in m["nodes"]}
+    # restrict expectation to node ids that exist in the nodes table (extra
+    # refs may point at nonexistent nodes — membership exists, rows don't)
+    present = {n[0] for n in nodes}
+    exp_nodes = {(e, i) for e, i in exp_nodes if i in present}
+    assert got_nodes == exp_nodes
+
+    got_ways = {
+        (r["extract"], r["id"]) for r in res.ways.select("extract", "id").distinct().collect()
+    }
+    assert got_ways == {(e, i) for e, m in expected.items() for i in m["ways"]}
+
+    got_rels = {
+        (r["extract"], r["id"]) for r in res.relations.select("extract", "id").distinct().collect()
+    }
+    assert got_rels == {(e, i) for e, m in expected.items() for i in m["relations"]}
+
+    # invariants (softcut.hpp:56-59): history-completeness — all versions of
+    # a member id are present
+    all_versions = {}
+    for i, v, *_ in nodes:
+        all_versions.setdefault(i, set()).add(v)
+    got_nv = {}
+    for r in res.nodes.select("extract", "id", "version").collect():
+        got_nv.setdefault((r["extract"], r["id"]), set()).add(r["version"])
+    for (e, i), versions in got_nv.items():
+        assert versions == all_versions[i], "history-incomplete node output"
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3, 7, 13, 42])
+def test_hardcut_matches_reference_semantics(spark, seed):
+    nodes, ways, relations = random_world(seed)
+    ndf, wdf, rdf = to_dfs(spark, nodes, ways, relations)
+    res = hardcut(ndf, wdf, rdf, catalog())
+    expected = hardcut_ref(nodes, ways, relations, PREDS)
+
+    got_nv = {
+        (r["extract"], r["id"], r["version"])
+        for r in res.nodes.select("extract", "id", "version").collect()
+    }
+    exp_nv = {
+        (e, i, v) for e, m in expected.items() for i, v in m["node_versions"]
+    }
+    assert got_nv == exp_nv
+
+    got_ways = {
+        (r["extract"], r["id"], r["version"], tuple(r["refs"]))
+        for r in res.ways.select("extract", "id", "version", "refs").collect()
+    }
+    exp_ways = {
+        (e, i, v, tuple(refs))
+        for e, m in expected.items()
+        for (i, v), refs in m["ways"].items()
+    }
+    assert got_ways == exp_ways
+
+    got_rels = {
+        (r["extract"], r["id"], r["version"])
+        for r in res.relations.select("extract", "id", "version").collect()
+    }
+    exp_rels = {
+        (e, i, v) for e, m in expected.items() for (i, v) in m["relations"]
+    }
+    assert got_rels == exp_rels
+
+    # hardcut ⊆ softcut per id (weaker-completeness containment)
+    soft = softcut_ref(nodes, ways, relations, PREDS)
+    for e in expected:
+        assert {i for i, _ in expected[e]["node_versions"]} <= soft[e]["nodes"]
+        assert {i for i, _ in expected[e]["ways"]} <= soft[e]["ways"]
