@@ -56,16 +56,18 @@ def hardcut(
     node_tracker = node_hits.select("id", "extract").distinct()
 
     # --- ways: clip refs against node_tracker (hardcut.hpp:150-188) --------
+    # shuffle discipline: explode/join/groupBy only the narrow key columns
+    # (id, version, pos, ref, extract); the wide payload (tags, user, ...)
+    # is re-attached afterwards with one equi-join — at 100 TB the clip
+    # shuffle moves a few dozen bytes per ref, not whole rows
     way_cols = [c for c in ways.columns if c != "refs"]
-    refs = ways.select(
-        *way_cols, F.posexplode("refs").alias("pos", "ref")
-    )
+    refs = ways.select("id", "version", F.posexplode("refs").alias("pos", "ref"))
     kept = refs.join(
         node_tracker.select(F.col("id").alias("ref"), F.col("extract")),
         "ref",
     )
-    clipped_ways = (
-        kept.groupBy(*[F.col(c) for c in way_cols], F.col("extract"))
+    clipped_keys = (
+        kept.groupBy("id", "version", "extract")
         .agg(
             F.array_sort(
                 F.collect_list(F.struct(F.col("pos"), F.col("ref")))
@@ -75,18 +77,17 @@ def hardcut(
         .drop("pr")
         .filter(F.size("refs") >= 2)
     )
-    out_ways = clipped_ways.select(
-        *( [F.col(c) for c in ways.columns] + [F.col("extract")] )
-    )
+    out_ways = clipped_keys.join(
+        ways.drop("refs"), ["id", "version"]
+    ).select(*([F.col(c) for c in ways.columns] + [F.col("extract")]))
 
     # way id tracked iff some version written (hardcut.hpp:195 after the
     # short-way continue)
-    way_tracker = clipped_ways.select("id", "extract").distinct()
+    way_tracker = clipped_keys.select("id", "extract").distinct()
 
     # --- relations: clip members, types n/w only (hardcut.hpp:228-251) -----
-    rel_cols = [c for c in relations.columns if c != "members"]
     mem = relations.select(
-        *rel_cols, F.posexplode("members").alias("pos", "m")
+        "id", "version", F.posexplode("members").alias("pos", "m")
     )
     trackers = node_tracker.select(
         F.lit("n").alias("mtype"), F.col("id").alias("ref"), "extract"
@@ -99,8 +100,8 @@ def hardcut(
         trackers,
         (mem["m.type"] == trackers["mtype"]) & (mem["m.ref"] == trackers["ref"]),
     ).drop("mtype", "ref")
-    clipped_rels = (
-        kept_m.groupBy(*[F.col(c) for c in rel_cols], F.col("extract"))
+    clipped_rel_keys = (
+        kept_m.groupBy("id", "version", "extract")
         .agg(
             F.array_sort(
                 F.collect_list(F.struct(F.col("pos"), F.col("m")))
@@ -109,8 +110,8 @@ def hardcut(
         .withColumn("members", F.col("pm.m"))
         .drop("pm")
     )
-    out_rels = clipped_rels.select(
-        *( [F.col(c) for c in relations.columns] + [F.col("extract")] )
-    )
+    out_rels = clipped_rel_keys.join(
+        relations.drop("members"), ["id", "version"]
+    ).select(*([F.col(c) for c in relations.columns] + [F.col("extract")]))
 
     return HardcutResult(nodes=out_nodes, ways=out_ways, relations=out_rels)

@@ -1,0 +1,94 @@
+"""Raster↔vector bridge (north_rule: "H3/S2 index, point-in-polygon, kNN,
+raster↔vector").
+
+A *raster* here is the engine's grid materialized as a table: one row per
+cell with aggregate bands — the standard Spark-native raster representation
+(cell id is the pixel index; resolution fixes the geotransform).
+
+- ``rasterize``: vector→raster — points aggregated per cell (count + sum
+  bands). One map-side-combinable groupBy; no joins.
+- ``cell_bounds`` / ``raster_to_points``: raster→vector — cells back to
+  center points / corner rings (pure Catalyst arithmetic).
+- ``zonal_stats``: raster × polygon — per-extract aggregates over cells
+  whose *center* lies in the extract (center-point rule, the common GIS
+  convention). Reuses the spatial join: broadcast cover + refine, then one
+  aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import grid
+from ..plans.catalog import ExtractCatalog
+from .spatial_join import assign_extracts
+
+__all__ = ["rasterize", "cell_bounds", "raster_to_points", "zonal_stats"]
+
+
+def rasterize(
+    points: DataFrame,
+    res: int,
+    value_col: str | None = None,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Vector→raster: (cell, n[, sum_val]) at resolution ``res``."""
+    cells = points.withColumn(
+        "cell", grid.cell_id_expr(F.col(lon_col), F.col(lat_col), res)
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if value_col:
+        aggs.append(F.sum(value_col).alias("sum_val"))
+    return cells.groupBy("cell").agg(*aggs)
+
+
+def cell_center_cols(cell, res: int):
+    w = grid.cell_width(res)
+    # integer `div`, not `/`: double division loses exactness near 2^53
+    ix = F.expr(f"cell div {grid.CELL_SHIFT}")
+    iy = cell % F.lit(grid.CELL_SHIFT)
+    lon = (ix.cast("double") + 0.5) * w - 180.0
+    lat = (iy.cast("double") + 0.5) * w - 90.0
+    return lon, lat
+
+
+def raster_to_points(raster: DataFrame, res: int) -> DataFrame:
+    """Raster→vector: cell centers as a point table (bands carried)."""
+    lon, lat = cell_center_cols(F.col("cell"), res)
+    return raster.select(
+        "*", lon.alias("lon"), lat.alias("lat")
+    )
+
+
+def cell_bounds(raster: DataFrame, res: int) -> DataFrame:
+    """Raster→vector: each cell's corner ring (closed, lon/lat)."""
+    w = grid.cell_width(res)
+    ix = F.expr(f"cell div {grid.CELL_SHIFT}").cast("double")
+    iy = (F.col("cell") % F.lit(grid.CELL_SHIFT)).cast("double")
+    x0 = ix * w - 180.0
+    y0 = iy * w - 90.0
+    x1 = x0 + w
+    y1 = y0 + w
+    ring = F.array(
+        F.array(x0, y0), F.array(x1, y0), F.array(x1, y1),
+        F.array(x0, y1), F.array(x0, y0),
+    )
+    return raster.select("*", ring.alias("ring"))
+
+
+def zonal_stats(
+    raster: DataFrame, catalog: ExtractCatalog, res: int
+) -> DataFrame:
+    """Raster×vector: per-extract aggregates over cell centers (count of
+    cells, sum of band values)."""
+    pts = raster_to_points(raster, res)
+    assigned = assign_extracts(pts, catalog)
+    aggs = [
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("n").alias("n_points"),
+    ]
+    if "sum_val" in raster.columns:
+        aggs.append(F.sum("sum_val").alias("sum_val"))
+    return assigned.groupBy("extract").agg(*aggs)

@@ -74,7 +74,7 @@ def order_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.collect_list(F.struct("l_linenumber", "l_partkey"))
             ).alias("pr")
         )
-        .select("id", F.col("pr.l_partkey").alias("refs"))
+        .select("id", F.lit(1).alias("version"), F.col("pr.l_partkey").alias("refs"))
     )
 
 
@@ -116,7 +116,11 @@ def hierarchy_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("m"),
     )
     allm = sup_members.unionByName(nat_members).unionByName(reg_members)
-    return allm.groupBy("id").agg(F.collect_list("m").alias("members"))
+    return (
+        allm.groupBy("id")
+        .agg(F.collect_list("m").alias("members"))
+        .withColumn("version", F.lit(1))
+    )
 
 
 _WORLD_CACHE: dict = {}
@@ -273,7 +277,7 @@ def q_hardcut_way_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5+P4: hardcut way clip — kept refs (multiplicity preserved), ways
     with ≥2 surviving refs (hardcut.hpp:150-188). Exploded for comparison."""
     empty_rels = spark.createDataFrame(
-        [], "id long, members array<struct<type:string,ref:long>>"
+        [], "id long, version int, members array<struct<type:string,ref:long>>"
     )
     res = hardcut(
         part_nodes(spark, sf_dir),
@@ -422,8 +426,71 @@ Q_PAGES_PASSTHROUGH_SQL = (
 )
 
 
+RASTER_RES = 5  # 5.625-deg cells — binary-exact width
+
+
+def q_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector→raster: per-cell count + value band (customer points weighted
+    by integer-cents acctbal — exact in both engines)."""
+    from .operators.raster import rasterize
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    pts = c.select(
+        (((k * 7919) % 36000) / F.lit(100.0) - F.lit(180.0)).alias("lon"),
+        (((k * 104729) % 18000) / F.lit(100.0) - F.lit(90.0)).alias("lat"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    return rasterize(pts, RASTER_RES, value_col="cents").select(
+        "cell", F.col("n").alias("n"), F.col("sum_val").alias("sum_cents")
+    )
+
+
+_CUST_PTS_SQL = (
+    "SELECT ((c_custkey*7919)%36000)/100.0 - 180.0 AS lon, "
+    "((c_custkey*104729)%18000)/100.0 - 90.0 AS lat, "
+    "CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer"
+)
+Q_RASTERIZE_SQL = (
+    f"WITH pts AS ({_CUST_PTS_SQL}) "
+    f"SELECT {grid.cell_id_sql('lon', 'lat', RASTER_RES)} AS cell, "
+    "count(*) AS n, SUM(cents) AS sum_cents FROM pts GROUP BY 1"
+)
+
+
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster×vector zonal statistics: per-extract aggregates over raster
+    cell centers (center-point rule)."""
+    from .operators.raster import rasterize, zonal_stats
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    pts = c.select(
+        (((k * 7919) % 36000) / F.lit(100.0) - F.lit(180.0)).alias("lon"),
+        (((k * 104729) % 18000) / F.lit(100.0) - F.lit(90.0)).alias("lat"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    raster = rasterize(pts, RASTER_RES, value_col="cents")
+    return zonal_stats(raster, catalog(), RASTER_RES)
+
+
+_W = grid.cell_width(RASTER_RES)
+Q_ZONAL_STATS_SQL = f"""WITH p0 AS ({_CUST_PTS_SQL}),
+r AS (SELECT {grid.cell_id_sql('lon', 'lat', RASTER_RES)} AS cell,
+        count(*) AS n, SUM(cents) AS sum_val FROM p0 GROUP BY 1),
+pts AS (SELECT cell, n, sum_val,
+        (CAST(cell // {grid.CELL_SHIFT} AS DOUBLE) + 0.5) * {_W!r} - 180.0 AS lon,
+        (CAST(cell % {grid.CELL_SHIFT} AS DOUBLE) + 0.5) * {_W!r} - 90.0 AS lat
+      FROM r),
+m AS ({membership_sql('cell, n, sum_val')})
+SELECT extract, count(*) AS n_cells, SUM(n) AS n_points, SUM(sum_val) AS sum_val
+FROM m GROUP BY extract"""
+
+
 SPATIAL_QUERIES = {
     "node_membership": (q_node_membership, Q_NODE_MEMBERSHIP_SQL),
+    "rasterize": (q_rasterize, Q_RASTERIZE_SQL),
+    "zonal_stats": (q_zonal_stats, Q_ZONAL_STATS_SQL),
     "cell_assign": (q_cell_assign, Q_CELL_ASSIGN_SQL),
     "way_members": (q_way_members, Q_WAY_MEMBERS_SQL),
     "extra_nodes": (q_extra_nodes, Q_EXTRA_NODES_SQL),
