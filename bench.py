@@ -43,8 +43,10 @@ def run(sf_dir: str, cores: int | None = None) -> dict:
     allq.update(oq.SPATIAL_QUERIES)
     allq.update(tq.TEXT_QUERIES)
 
-    # warm the JVM + parquet footer caches with a trivial action
+    # warm the JVM, parquet footer caches, and the Python/Arrow UDF workers
+    # (worker-pool startup otherwise lands inside the first timed query)
     spark.read.parquet(f"{sf_dir}/part.parquet").count()
+    allq["pages_split"][0](spark, "/root/testdata/sf0.001").count()
 
     times: dict[str, float] = {}
     rows: dict[str, int] = {}

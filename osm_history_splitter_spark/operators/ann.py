@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["brute_force_topk", "lsh_signature", "lsh_topk"]
+__all__ = ["brute_force_topk", "lsh_signature", "lsh_topk", "ivf_topk"]
 
 
 def _hyperplanes(n_planes: int, dim: int, seed: int = 7) -> np.ndarray:
@@ -83,6 +83,72 @@ def lsh_signature(
         return pd.Series(out)
 
     return df.withColumn("sig", sig(F.col(vec_col)))
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 19,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: a seeded random coarse quantizer (n_lists centroid
+    directions) assigns every vector to its nearest list (one GEMM +
+    argmax per Arrow batch — the inverted-file build); each query probes
+    its ``n_probe`` nearest lists and reranks exactly within them.
+
+    Unlike trained k-means IVF, the centroids are data-independent (seeded
+    Gaussian, normalized) — deterministic, no training pass; recall is
+    recovered by probing more lists. At scale the list id is a partition
+    key: probing is a broadcast semi-join on ≤ n_probe keys per query.
+    """
+    dim = len(queries[0][1])
+    rng = np.random.default_rng(seed)
+    cents = rng.standard_normal((n_lists, dim))
+    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+
+    @F.pandas_udf(T.IntegerType())
+    def list_id(vecs: pd.Series) -> pd.Series:
+        m = np.asarray(list(vecs), dtype=np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(m @ cents.T, axis=1).astype(np.int32))
+
+    inv = embeddings.withColumn("list_id", list_id(F.col(vec_col)))
+
+    qids = [q[0] for q in queries]
+    qmat = np.array([q[1] for q in queries], dtype=np.float64)
+    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    qsims = qn @ cents.T
+    probe_rows = [
+        (int(qid), int(l))
+        for qi, qid in enumerate(qids)
+        for l in np.argsort(-qsims[qi])[:n_probe]
+    ]
+    spark = embeddings.sparkSession
+    probes = spark.createDataFrame(probe_rows, "qid long, list_id int")
+
+    cand = inv.join(F.broadcast(probes), "list_id").select(
+        "qid", F.col(id_col).alias("cid"), F.col(vec_col).alias("v")
+    )
+    qmap = {int(qid): qn[i] for i, qid in enumerate(qids)}
+
+    @F.pandas_udf(T.DoubleType())
+    def cos(qid: pd.Series, vecs: pd.Series) -> pd.Series:
+        m = np.asarray(list(vecs), dtype=np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        qm = np.asarray([qmap[int(q)] for q in qid])
+        return pd.Series(np.einsum("ij,ij->i", m, qm))
+
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid").asc())
+    return (
+        cand.withColumn("sim", cos(F.col("qid"), F.col("v")))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "rnk", "cid", "sim")
+    )
 
 
 def lsh_topk(

@@ -51,10 +51,9 @@ def assign_extracts(
 
     cover = catalog.cover_df(spark)
     res_values = sorted({r for r in catalog.resolutions().values()})
-    bbox_by_name = catalog.bbox_payload()
     rings = catalog.rings_payload()
     pip = make_pip_udf(rings) if rings else None
-    kinds = {e.name: e.kind for e in catalog}
+    has_poly = any(e.kind != "BBOX" for e in catalog)
 
     lon = F.col(lon_col)
     lat = F.col(lat_col)
@@ -62,37 +61,31 @@ def assign_extracts(
 
     parts: list[DataFrame] = []
     for res in res_values:
+        # one broadcast equi-join per distinct resolution (covers at the
+        # same res can share the join; cross-res cell ids must not mix)
         cov = cover.filter(F.col("res") == res).drop("res")
-        # restrict to extracts at this resolution to avoid accidental
-        # cross-res cell-id collisions
-        names_at_res = [n for n, r in catalog.resolutions().items() if r == res]
-        cov = cov.filter(F.col("extract").isin(names_at_res))
         cand = valid.withColumn("cell", grid.cell_id_expr(lon, lat, res)).join(
             F.broadcast(cov), "cell"
         )
-        accepted = cand.filter(F.col("fully_inside")).select(*out_cols)
-        parts.append(accepted)
+        parts.append(cand.filter(F.col("fully_inside")).select(*out_cols))
 
         boundary = cand.filter(~F.col("fully_inside"))
-        bbox_names = [n for n in names_at_res if kinds[n] == "BBOX"]
-        poly_names = [n for n in names_at_res if kinds[n] != "BBOX"]
-        if bbox_names:
-            # strict bounds per extract, as one OR-of-ANDs Catalyst predicate
-            pred = F.lit(False)
-            for n in bbox_names:
-                mnlon, mnlat, mxlon, mxlat = bbox_by_name[n]
-                pred = pred | (
-                    (F.col("extract") == n)
-                    & bbox_strict_expr(lon, lat, mnlon, mnlat, mxlon, mxlat)
+        # bbox refine via catalog COLUMNS — constant-size predicate no
+        # matter how many extracts (strictness: cut.hpp:36-40)
+        parts.append(
+            boundary.filter(F.col("kind") == "BBOX")
+            .filter(
+                bbox_strict_expr(
+                    lon, lat,
+                    F.col("minlon"), F.col("minlat"),
+                    F.col("maxlon"), F.col("maxlat"),
                 )
-            parts.append(
-                boundary.filter(F.col("extract").isin(bbox_names))
-                .filter(pred)
-                .select(*out_cols)
             )
-        if poly_names:
+            .select(*out_cols)
+        )
+        if has_poly:
             parts.append(
-                boundary.filter(F.col("extract").isin(poly_names))
+                boundary.filter(F.col("kind") != "BBOX")
                 .filter(pip(F.col("extract"), lon, lat))
                 .select(*out_cols)
             )

@@ -378,6 +378,10 @@ def q_pages_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = pages.select(
         "url", F.explode(extract_geotags(F.col("text"))).alias("g")
     ).select("url", F.col("g.lat").alias("lat"), F.col("g.lon").alias("lon"))
+    # the spatial join consumes pts in several union branches (accept /
+    # bbox-refine / poly-refine): persist so the pandas-UDF extraction runs
+    # once, not once per branch
+    pts = pts.persist()
     members = assign_extracts(pts, catalog()).select("url", "extract").distinct()
     return pages.join(members, "url").select("url", "ver", "extract")
 

@@ -88,8 +88,11 @@ class ExtractCatalog:
         }
 
     def cover_rows(self) -> list[tuple]:
-        """(extract, res, cell, fully_inside) for every covered cell of every
-        extract — the broadcastable spatial index."""
+        """(extract, res, cell, fully_inside, kind, bbox…) for every covered
+        cell of every extract — the broadcastable spatial index. Carrying
+        kind+bbox as columns keeps the refine predicate constant-size no
+        matter how many extracts the catalog holds (vs an OR-chain per
+        extract, which would blow up the plan for tile grids)."""
         out = []
         res_by_name = self.resolutions()
         for e in self.extracts:
@@ -101,7 +104,12 @@ class ExtractCatalog:
             else:
                 cells, fully = grid.cover_rings(e.rings, res)
             out.extend(
-                (e.name, res, int(c), bool(f)) for c, f in zip(cells, fully)
+                (
+                    e.name, res, int(c), bool(f), e.kind,
+                    float(e.minlon), float(e.minlat),
+                    float(e.maxlon), float(e.maxlat),
+                )
+                for c, f in zip(cells, fully)
             )
         return out
 
@@ -112,6 +120,11 @@ class ExtractCatalog:
                 T.StructField("res", T.IntegerType(), False),
                 T.StructField("cell", T.LongType(), False),
                 T.StructField("fully_inside", T.BooleanType(), False),
+                T.StructField("kind", T.StringType(), False),
+                T.StructField("minlon", T.DoubleType(), False),
+                T.StructField("minlat", T.DoubleType(), False),
+                T.StructField("maxlon", T.DoubleType(), False),
+                T.StructField("maxlat", T.DoubleType(), False),
             ]
         )
         return spark.createDataFrame(self.cover_rows(), schema=schema)

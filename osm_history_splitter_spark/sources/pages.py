@@ -24,8 +24,26 @@ __all__ = ["synth_pages", "PAGES_SQL"]
 VERSIONS_PER_URL = 3
 
 
-def synth_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+def synth_pages(
+    spark: SparkSession, sf_dir: str, replicate: int = 1, partitions: int | None = None
+) -> DataFrame:
+    """``replicate`` > 1 deterministically fans every document out to R
+    distinct urls (suffixed, geotags shifted per replica) — used to build a
+    compute-bound corpus for scaling measurements from the small driver
+    tables. ``partitions`` repartitions after the (single-file) parquet
+    scan so the fan-out parallelizes."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if replicate > 1:
+        d = d.withColumn(
+            "rep", F.explode(F.sequence(F.lit(0), F.lit(replicate - 1)))
+        )
+        if partitions:
+            d = d.repartition(partitions)
+        d = d.withColumn(
+            "doc_id", F.col("doc_id") * replicate + F.col("rep")
+        ).drop("rep")
+    elif partitions:
+        d = d.repartition(partitions)
     k = F.col("doc_id")
     latc = (k * 37) % 18000 - 9000
     lonc = (k * 53) % 36000 - 18000

@@ -459,6 +459,28 @@ SELECT user_id, sess_no, count(*) AS n_events,
 FROM s GROUP BY user_id, sess_no"""
 
 
+# --- BPE-ish regex tokenization --------------------------------------------
+
+
+def q_regex_tokens(spark, sf_dir):
+    """Token counting with a BPE-ish pre-tokenizer regex (word pieces,
+    numbers, punctuation runs) — the count a tokenizer-budgeting pipeline
+    uses; regexp_count stays in codegen."""
+    d = _t(spark, sf_dir, "documents")
+    pat = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(pat)).cast("long").alias("n_pieces"),
+        F.regexp_count(F.col("text"), F.lit(r"[0-9]+")).cast("long").alias("n_numbers"),
+    )
+
+
+Q_REGEX_TOKENS_SQL = r"""SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_pieces,
+  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_numbers
+FROM documents"""
+
+
 # --- SimHash document fingerprint ------------------------------------------
 
 SIMHASH_BITS = 16
@@ -509,6 +531,7 @@ Q_SIMHASH_SQL = _simhash_sql()
 
 
 TEXT_QUERIES = {
+    "regex_tokens": (q_regex_tokens, Q_REGEX_TOKENS_SQL),
     "simhash": (q_simhash, Q_SIMHASH_SQL),
     "dedup_exact": (q_dedup_exact, Q_DEDUP_EXACT_SQL),
     "token_stats": (q_token_stats, Q_TOKEN_STATS_SQL),

@@ -90,6 +90,53 @@ def test_brute_force_topk(spark, embeddings):
         assert sims == sorted(sims, reverse=True)
 
 
+def test_ivf_recall_vs_brute_force(spark, embeddings):
+    from osm_history_splitter_spark.operators.ann import ivf_topk
+
+    queries = [
+        (r["vec_id"], r["embedding"])
+        for r in embeddings.filter(F.col("vec_id") < 5).collect()
+    ]
+    exact = brute_force_topk(embeddings, queries, k=5).collect()
+    approx = ivf_topk(embeddings, queries, k=5, n_lists=8, n_probe=3).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["qid"], set()).add(r["cid"])
+    for r in approx:
+        approx_sets.setdefault(r["qid"], set()).add(r["cid"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / 5 for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.6
+
+
+def test_raster_roundtrip_and_zonal(spark, points):
+    from osm_history_splitter_spark.operators.raster import (
+        cell_bounds,
+        raster_to_points,
+        rasterize,
+        zonal_stats,
+    )
+    from osm_history_splitter_spark.plans.catalog import Extract, ExtractCatalog
+
+    r = rasterize(points, res=5)
+    assert r.agg(F.sum("n")).collect()[0][0] == points.count()
+    back = raster_to_points(r, res=5).collect()
+    # every center must re-encode to its own cell
+    from osm_history_splitter_spark.functions import grid as g
+    import numpy as np
+
+    for row in back[:50]:
+        c = g.cell_ids_np(np.array([row["lon"]]), np.array([row["lat"]]), 5)[0]
+        assert int(c) == row["cell"]
+    bounds = cell_bounds(r, res=5).first()
+    ring = bounds["ring"]
+    assert ring[0] == ring[-1] and len(ring) == 5
+    cat = ExtractCatalog([Extract.bbox("half", -180.0, -90.0, 0.0, 90.0)])
+    z = zonal_stats(r, cat, res=5).collect()
+    assert len(z) == 1 and 0 < z[0]["n_points"] < points.count()
+
+
 def test_lsh_recall_vs_brute_force(spark, embeddings):
     queries = [
         (r["vec_id"], r["embedding"])
