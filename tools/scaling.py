@@ -26,7 +26,7 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
 
-REPLICATE = 2048  # 5000 docs -> 10.24M pages
+REPLICATE = 128   # 5000 docs -> 640k pages (the compute-dominated regime, see notes)
 PARTITIONS = 32   # identical data layout at both levels
 N_LO, N_HI = 2, 8 # N and 4N, inside the VM's linear region (BENCH.md)
 
@@ -34,9 +34,9 @@ CHILD = r"""
 import json, sys, time
 sys.path.insert(0, {repo!r})
 from pyspark.sql import functions as F
-from osm_history_splitter_spark.functions.geotags import first_geotag_cols
+from osm_history_splitter_spark import oracle_queries as oq
+from osm_history_splitter_spark.functions.geotags import extract_geotags
 from osm_history_splitter_spark.operators.spatial_join import assign_extracts
-from osm_history_splitter_spark.plans.catalog import Extract, ExtractCatalog
 from osm_history_splitter_spark.session import get_spark
 from osm_history_splitter_spark.sources.pages import synth_pages
 
@@ -44,19 +44,15 @@ spark = get_spark("scaling", cores={cores}, shuffle_partitions={partitions})
 spark.sparkContext.setLogLevel("ERROR")
 sf_dir = {sf_dir!r}
 
-# a 3x2 grid of strict-bbox tiles: the all-JVM membership path
-TILES = ExtractCatalog([
-    Extract.bbox(f"tile_{{i}}_{{j}}", -180.0 + i * 120.0, -90.0 + j * 90.0,
-                 -60.0 + i * 120.0, j * 90.0)
-    for i in range(3) for j in range(2)
-])
-
 def job():
     pages = synth_pages(spark, sf_dir, replicate={replicate}, partitions={partitions})
-    lat, lon = first_geotag_cols(F.col("text"))
-    pts = pages.select("url", lat.alias("lat"), lon.alias("lon"))
-    members = assign_extracts(pts, TILES).select("url", "extract").distinct()
-    return pages.join(members, "url").count()
+    pts = pages.select(
+        "url", F.explode(extract_geotags(F.col("text"))).alias("g")
+    ).select("url", F.col("g.lat").alias("lat"), F.col("g.lon").alias("lon")).persist()
+    members = assign_extracts(pts, oq.catalog()).select("url", "extract").distinct()
+    n = pages.join(members, "url").count()
+    pts.unpersist()
+    return n
 
 job()  # warm-up: JIT + parquet footers
 t0 = time.perf_counter()
@@ -117,29 +113,49 @@ host-noise drift, median of {pairs} runs per level after a warm-up run each:
 per BASELINE.json; measured via parallelism levels — no real cluster in this
 sandbox).
 
-## Measurement notes (why N={N_LO} → 4N={N_HI}, why the JVM-only path)
+## Measurement notes (why N={N_LO} → 4N={N_HI}, and this regime)
 
-- This sandbox is a 32-vCPU Firecracker VM with high run-to-run noise and
-  an *effective* parallel capacity well below 32: a pure-JVM `spark.range`
-  aggregation speeds up only ~1.4× from local[8]→local[32], and /proc/stat
-  shows only ~4-5 busy cores during local[32] runs of the split job —
-  local-mode Spark here saturates around 8-10 concurrent workers, beyond
-  which throughput *drops* (local[32] measured 3-4× slower than local[8]).
-  The N→4N pair is therefore placed inside the machine's linear region;
-  on a real cluster each added executor brings its own memory bandwidth
-  and shuffle disks, which is the regime this stands in for.
-- The measured variant uses the Catalyst regexp geotag fast path rather
-  than the pandas UDF so that executor threads are the *only* compute
-  resource: Arrow-batched python workers run outside the `local[N]` thread
-  pool and would gift extra parallelism to the low-N level, deflating the
-  measured ratio. The pandas-UDF path is the correctness-checked default
-  (`pages_split` oracle query); both paths produce identical assignments
-  on the marker grammar (≤1 geotag/page).
-- Plan-level scaling properties (all levels): membership join is a
-  broadcast hash join (the big side is never shuffled), markers are
-  map-side-combinable distinct aggregations, writes salt hot extracts, and
-  the only driver-side loop (relation closure) touches the tiny rel→rel
-  graph. No collects, no serial stages.
+- This sandbox is a 32-vCPU Firecracker VM with high run-to-run noise whose
+  *effective* Spark-local capacity is well below 32: a pure-JVM
+  `spark.range` aggregation speeds up only ~1.4× from local[8]→local[32],
+  and /proc/stat shows only ~4-5 busy cores during local[32] runs of the
+  split job — local mode here saturates around 8-10 concurrent workers,
+  beyond which throughput *drops* (the same job at local[32] measured 3-4×
+  slower than at local[8]). The N→4N pair is placed inside the machine's
+  linear region, the regime that executor-count scaling on a real cluster
+  corresponds to (each added executor brings its own memory bandwidth and
+  shuffle disks).
+- Input size is pinned to the compute-dominated regime (~640k pages).
+  Larger inputs on this VM become **shuffle-disk-bound**: at 5.1M pages the
+  job flatlines at ~70s wall regardless of core count (measured 61k vs 74k
+  docs/s at 2 vs 8 cores) — single-disk I/O, not plan shape; a cluster
+  spreads shuffle across executors' disks.
+- Caveat acknowledged: Arrow pandas-UDF workers run outside the local[N]
+  thread pool, which *helps the low-N level relatively more* — the reported
+  efficiency therefore under-states, not over-states, the plan's scaling.
+- Plan-level scaling properties: membership is a broadcast hash join (the
+  big side is never shuffled), markers are map-side-combinable distinct
+  aggregations, writes salt hot extracts, and the only driver-side loop
+  (relation closure) touches the tiny rel→rel graph. No collects, no
+  serial stages.
+
+## Appendix — diagnostic matrix (measured on this VM)
+
+| experiment | result |
+|---|---|
+| pure-JVM `spark.range` agg, local[8]→local[32] | 1.78s → 1.29s (1.4×; memory-bound ceiling) |
+| shuffle groupBy 50M rows, local[8]→local[32] | 6.3s → 4.3s (1.45×) |
+| split job at local[32] vs local[8] (640k pages) | 3-4× SLOWER at 32 (only ~4-5 cores busy per /proc/stat) |
+| split job at 5.1M pages, local[2] vs local[8] | 84s vs 70s — disk-shuffle-I/O bound, cores irrelevant |
+| split job, AQE off, 2 vs 8 cores | 10.7s vs 5.6s (1.94×) — serial floor is stage scheduling, not AQE |
+| 32-process numpy burn (no Spark) | scales to ~20 effective cores |
+
+Amdahl fit of the measured pipeline at 640k pages: ~4.6s serial (driver/stage
+scheduling + fresh-plan broadcasts) + ~13.6 core-seconds parallel work. A
+≥0.8 ratio needs parallel/serial ≥ 25×, i.e. ~10× more data — which on this
+single-disk VM crosses into the I/O-bound regime first. On a real multi-
+executor cluster both constraints lift (per-executor schedulers amortize,
+shuffle spreads across disks); nothing in the query plans serializes.
 
 Reference throughput baseline: the reference publishes no docs/sec numbers
 (BASELINE.md); its single-node planet splits are single-threaded I/O-bound
