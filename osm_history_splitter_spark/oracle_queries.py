@@ -458,7 +458,7 @@ _CUST_PTS_SQL = (
 Q_RASTERIZE_SQL = (
     f"WITH pts AS ({_CUST_PTS_SQL}) "
     f"SELECT {grid.cell_id_sql('lon', 'lat', RASTER_RES)} AS cell, "
-    "count(*) AS n, SUM(cents) AS sum_cents FROM pts GROUP BY 1"
+    "count(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents FROM pts GROUP BY 1"
 )
 
 
@@ -481,13 +481,14 @@ def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _W = grid.cell_width(RASTER_RES)
 Q_ZONAL_STATS_SQL = f"""WITH p0 AS ({_CUST_PTS_SQL}),
 r AS (SELECT {grid.cell_id_sql('lon', 'lat', RASTER_RES)} AS cell,
-        count(*) AS n, SUM(cents) AS sum_val FROM p0 GROUP BY 1),
+        count(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_val FROM p0 GROUP BY 1),
 pts AS (SELECT cell, n, sum_val,
         (CAST(cell // {grid.CELL_SHIFT} AS DOUBLE) + 0.5) * {_W!r} - 180.0 AS lon,
         (CAST(cell % {grid.CELL_SHIFT} AS DOUBLE) + 0.5) * {_W!r} - 90.0 AS lat
       FROM r),
 m AS ({membership_sql('cell, n, sum_val')})
-SELECT extract, count(*) AS n_cells, SUM(n) AS n_points, SUM(sum_val) AS sum_val
+SELECT extract, count(*) AS n_cells, CAST(SUM(n) AS BIGINT) AS n_points,
+  CAST(SUM(sum_val) AS BIGINT) AS sum_val
 FROM m GROUP BY extract"""
 
 

@@ -412,7 +412,7 @@ def q_events_hourly(spark, sf_dir):
 
 Q_EVENTS_HOURLY_SQL = """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
   event_type, count(*) AS n,
-  SUM(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM events GROUP BY 1, 2"""
 
 
@@ -444,14 +444,14 @@ def q_sessionize(spark, sf_dir):
 
 
 Q_SESSIONIZE_SQL = """WITH g AS (
-  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS tse,
+  SELECT user_id, event_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS tse,
     CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
           - lag(CAST(floor(epoch(ts)) AS BIGINT), 1, 0)
             OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
       THEN 1 ELSE 0 END AS new_sess
   FROM events),
 s AS (SELECT user_id, tse,
-        CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tse, event_id
+        CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_no
       FROM g)
 SELECT user_id, sess_no, count(*) AS n_events,

@@ -79,6 +79,18 @@ def main():
             continue
         sm, om = multiset(srows, scols), multiset(orows, ocols)
         status = "OK" if sm == om else "MISMATCH"
+        # Driver-style type sensitivity: DuckDB SUM(BIGINT)->HUGEINT diverges
+        # from Spark LongType even when values match. Flag any HUGEINT /
+        # DECIMAL in the oracle result or Spark schema mismatch on int width.
+        otypes = [str(d[1]) for d in ores.description]
+        bad = [
+            (ocols[i], otypes[i])
+            for i in range(len(otypes))
+            if "HUGEINT" in otypes[i].upper() or "INT128" in otypes[i].upper()
+        ]
+        if bad:
+            status += f" (TYPE: oracle HUGEINT cols {bad} vs Spark long)"
+            failures.append(name)
         if sorted(scols) != sorted(c.lower() for c in ocols) and sorted(
             c.lower() for c in scols
         ) != sorted(c.lower() for c in ocols):
