@@ -186,9 +186,17 @@ def q_minhash_sig(spark, sf_dir):
 Q_MINHASH_SIG_SQL = minhash_signature_sql(k=MINHASH_K)
 
 
+#: hot-bucket cap for the LSH self-join: a single degenerate bucket (e.g.
+#: boilerplate pages that all minhash identically) otherwise yields C(m,2)
+#: pairs — quadratic in the hottest bucket at 100 TB. Buckets above the cap
+#: are dropped whole (standard LSH-dedup practice; deterministic, mirrored
+#: in the oracle SQL). 200 ≫ any honest near-dup cluster at this corpus.
+LSH_BUCKET_CAP = 200
+
+
 def q_lsh_pairs(spark, sf_dir):
     """MinHash-LSH candidate pairs: band the signature (2 rows/band), bucket
-    by band hash, emit same-bucket pairs (a < b)."""
+    by band hash, cap hot buckets, emit same-bucket pairs (a < b)."""
     sig = q_minhash_sig(spark, sf_dir)
     bands = sig.select(
         "doc_id",
@@ -205,6 +213,10 @@ def q_lsh_pairs(spark, sf_dir):
             )
         ).alias("b"),
     ).select("doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    w = Window.partitionBy("band", "bh")
+    bands = bands.withColumn("bsz", F.count("*").over(w)).filter(
+        F.col("bsz") <= LSH_BUCKET_CAP
+    ).drop("bsz")
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -221,35 +233,65 @@ Q_LSH_PAIRS_SQL = f"""WITH sig AS ({Q_MINHASH_SIG_SQL}),
 bands AS (
   SELECT doc_id, 0 AS band, md5(h0 || h1) AS bh FROM sig
   UNION ALL
-  SELECT doc_id, 1 AS band, md5(h2 || h3) AS bh FROM sig)
+  SELECT doc_id, 1 AS band, md5(h2 || h3) AS bh FROM sig),
+capped AS (SELECT doc_id, band, bh FROM (
+  SELECT *, count(*) OVER (PARTITION BY band, bh) AS bsz FROM bands)
+  WHERE bsz <= {LSH_BUCKET_CAP})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+FROM capped a JOIN capped b ON a.band = b.band AND a.bh = b.bh
 WHERE a.doc_id < b.doc_id"""
 
 
 # --- n-gram Jaccard near-dup ------------------------------------------------
 
 
+#: document-frequency cutoff for candidate generation: shingles present in
+#: more documents than this are too common to seed pairs (an equi-join on
+#: " th"/"the" is quasi-quadratic at web scale). Exact Jaccard is still
+#: computed over the FULL shingle sets — the cutoff bounds only which pairs
+#: become candidates, the similarity values are unchanged.
+NGRAM_DF_CAP = 25
+
+
 def q_ngram_jaccard(spark, sf_dir):
-    """3-gram Jaccard over same-source candidate pairs; integer-quantized
-    similarity (x1000)."""
+    """3-gram Jaccard near-dup, filter-and-refine: candidates = same-source
+    pairs sharing a *rare* shingle (document frequency <= NGRAM_DF_CAP),
+    then exact Jaccard over full shingle sets for those pairs only;
+    integer-quantized similarity (x1000)."""
     d = _t(spark, sf_dir, "documents")
     sh = shingles(d)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("nsh"))
     src = d.select("doc_id", "source")
-    sh_s = sh.join(src, "doc_id")
-    a = sh_s.alias("a")
-    b = sh_s.alias("b")
-    inter = (
+    # candidate phase — rare shingles only (map-side-combinable df agg,
+    # then a bounded equi-join: each rare shingle touches <= DF_CAP docs)
+    rare_s = (
+        sh.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= NGRAM_DF_CAP)
+        .select("s")
+    )
+    rare = sh.join(rare_s, "s").join(src, "doc_id")
+    a = rare.alias("a")
+    b = rare.alias("b")
+    cand = (
         a.join(
             b,
             (F.col("a.s") == F.col("b.s"))
             & (F.col("a.source") == F.col("b.source"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(
+        .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
+        .distinct()
+    )
+    # exact phase — re-attach full shingle sets by id (narrow joins)
+    sha = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    shb = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        cand.join(sha, "doc_a")
+        .join(shb, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("i"))
     )
     return (
@@ -268,12 +310,18 @@ def q_ngram_jaccard(spark, sf_dir):
 Q_NGRAM_JACCARD_SQL = f"""WITH sh AS ({shingles_sql()}),
 sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
 src AS (SELECT doc_id, source FROM documents),
-shs AS (SELECT sh.doc_id, sh.s, src.source FROM sh JOIN src ON src.doc_id = sh.doc_id),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-  FROM shs a JOIN shs b
-    ON a.s = b.s AND a.source = b.source AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id)
+rare_s AS (SELECT s FROM (SELECT s, count(*) AS df FROM sh GROUP BY s)
+           WHERE df <= {NGRAM_DF_CAP}),
+rare AS (SELECT sh.doc_id, sh.s, src.source
+         FROM sh JOIN rare_s USING (s) JOIN src ON src.doc_id = sh.doc_id),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM rare a JOIN rare b
+    ON a.s = b.s AND a.source = b.source AND a.doc_id < b.doc_id),
+inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+  GROUP BY c.doc_a, c.doc_b)
 SELECT i.doc_a, i.doc_b,
   CAST(floor(i.i * 1000.0 / (sa.nsh + sb.nsh - i.i)) AS BIGINT) AS jac_x1000
 FROM inter i
@@ -353,46 +401,169 @@ r AS (SELECT qid, cid,
 SELECT qid, rnk, cid FROM r WHERE rnk <= {TOP_K}"""
 
 
+#: banded random-hyperplane LSH for the near-dup scale path. Planes are
+#: integer-quantized so the sign bits are bit-identical on both engines
+#: (all dot products stay < 2^53, exact even in DOUBLE arithmetic).
+NEARDUP_PLANES = 16
+NEARDUP_BANDS = 4
+NEARDUP_BAND_BITS = 4
+NEARDUP_THRESH = "0.9"
+#: the synthetic embeddings have no natural pairs above ~0.51 cosine, so the
+#: query plants a perturbed copy of the first NEARDUP_PLANT vectors (id +
+#: NEARDUP_OFFSET, first quantized coordinate +700) on BOTH engines — the
+#: operator then has a non-empty deterministic answer that exercises
+#: bucketing + rerank end-to-end instead of a vacuous 0-row match.
+NEARDUP_PLANT = 100
+NEARDUP_OFFSET = 1_000_000
+NEARDUP_PERTURB = 700
+#: hot-bucket cap: LSH buckets larger than this are dropped outright before
+#: the self-join (a degenerate bucket — e.g. boilerplate/zero vectors —
+#: would otherwise go quadratic at scale). Deterministic, mirrored in SQL.
+NEARDUP_BUCKET_CAP = 500
+_PLANE_QUANT = 10_000
+
+
+def _neardup_planes(dim: int = 64):
+    import numpy as np
+
+    rng = np.random.default_rng(101)
+    return np.round(rng.standard_normal((NEARDUP_PLANES, dim)) * _PLANE_QUANT).astype(
+        "int64"
+    )
+
+
+def _neardup_band_keys_spark(sig):
+    """Band keys from sign bits of the integer plane dots d0..d{P-1}."""
+    from functools import reduce
+
+    cols = []
+    for b in range(NEARDUP_BANDS):
+        bits = [
+            F.shiftleft(
+                (F.col(f"d{b * NEARDUP_BAND_BITS + t}") > 0).cast("int"), t
+            )
+            for t in range(NEARDUP_BAND_BITS)
+        ]
+        cols.append(reduce(lambda x, y: x + y, bits).alias(f"bk{b}"))
+    return cols
+
+
 def q_embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (sim > 0.9, same quantized
-    machinery)."""
-    e = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", _quantized("embedding").alias("q")
+    """Embedding-cosine near-duplicate pairs (sim > 0.9) — scale path:
+    banded integer-hyperplane LSH bucketing (no cross join anywhere), hot
+    buckets capped, exact quantized-cosine rerank within candidates only.
+
+    Re-expresses the reference's filter-and-refine shape
+    (/root/reference/cut.hpp:36-49 bbox prefilter + exact test) in
+    embedding space: candidate generation is a narrow (vid, band, key)
+    equi-join; vectors are re-attached by id for the exact rerank.
+    """
+    planes = _neardup_planes()
+    base = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("vid"), _quantized("embedding").alias("q")
     )
-    e = e.join(
-        e.select("vec_id", _dot("q", "q").alias("n2")).select(
-            "vec_id", "n2"
-        ),
-        "vec_id",
+    plant = base.filter(F.col("vid") < NEARDUP_PLANT).select(
+        (F.col("vid") + NEARDUP_OFFSET).alias("vid"),
+        F.expr(
+            f"transform(q, (x, i) -> IF(i = 0, x + {NEARDUP_PERTURB}L, x))"
+        ).alias("q"),
     )
-    a = e.select(
-        F.col("vec_id").alias("va"), F.col("q").alias("qa"), F.col("n2").alias("na")
+    allv = base.unionByName(plant)
+
+    dots = [
+        F.expr(
+            f"aggregate(zip_with(q, array({','.join(str(v) + 'L' for v in p)}),"
+            " (x, y) -> x * y), 0L, (acc, x) -> acc + x)"
+        ).alias(f"d{j}")
+        for j, p in enumerate(planes)
+    ]
+    sig = allv.select("vid", *dots)
+    keys = sig.select("vid", *_neardup_band_keys_spark(sig))
+    bands = keys.select(
+        "vid",
+        F.posexplode(
+            F.array(*[F.col(f"bk{b}") for b in range(NEARDUP_BANDS)])
+        ).alias("band_no", "band_key"),
     )
-    b = e.select(
-        F.col("vec_id").alias("vb"), F.col("q").alias("qb"), F.col("n2").alias("nb")
-    )
-    return (
-        a.crossJoin(b)
+    w = Window.partitionBy("band_no", "band_key")
+    capped = bands.withColumn("bsz", F.count("*").over(w)).filter(
+        F.col("bsz") <= NEARDUP_BUCKET_CAP
+    ).drop("bsz")
+
+    a = capped.select(F.col("vid").alias("va"), "band_no", "band_key")
+    b = capped.select(F.col("vid").alias("vb"), "band_no", "band_key")
+    cand = (
+        a.join(b, ["band_no", "band_key"])
         .filter(F.col("va") < F.col("vb"))
-        .withColumn(
-            "sim",
-            _dot("qa", "qb").cast("double")
-            / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double")),
+        .select("va", "vb")
+        .distinct()
+    )
+
+    n = allv.select("vid", "q", _dot("q", "q").alias("n2"))
+    return (
+        cand.join(
+            n.select(
+                F.col("vid").alias("va"), F.col("q").alias("qa"), F.col("n2").alias("na")
+            ),
+            "va",
         )
-        .filter(F.col("sim") > 0.9)
+        .join(
+            n.select(
+                F.col("vid").alias("vb"), F.col("q").alias("qb"), F.col("n2").alias("nb")
+            ),
+            "vb",
+        )
+        .filter(
+            _dot("qa", "qb").cast("double")
+            / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))
+            > float(NEARDUP_THRESH)
+        )
         .select("va", "vb")
     )
 
 
-Q_EMBEDDING_NEARDUP_SQL = f"""WITH e AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(round(x * {QUANT}) AS BIGINT)) AS q
+def _neardup_sql() -> str:
+    planes = _neardup_planes()
+    dcols = ",\n  ".join(
+        f"CAST(list_dot_product(q, [{','.join(str(v) for v in p)}]::BIGINT[])"
+        f" AS BIGINT) AS d{j}"
+        for j, p in enumerate(planes)
+    )
+    bkeys = []
+    for b in range(NEARDUP_BANDS):
+        terms = " + ".join(
+            f"(CASE WHEN d{b * NEARDUP_BAND_BITS + t} > 0 THEN {1 << t} ELSE 0 END)"
+            for t in range(NEARDUP_BAND_BITS)
+        )
+        bkeys.append(f"({terms}) AS bk{b}")
+    band_nos = ",".join(str(b) for b in range(NEARDUP_BANDS))
+    bk_list = ",".join(f"bk{b}" for b in range(NEARDUP_BANDS))
+    return f"""WITH base AS (
+  SELECT vec_id AS vid, list_transform(embedding, x -> CAST(round(x * {QUANT}) AS BIGINT)) AS q
   FROM embeddings),
-n AS (SELECT vec_id, q, CAST(list_dot_product(q, q) AS BIGINT) AS n2 FROM e)
-SELECT a.vec_id AS va, b.vec_id AS vb
-FROM n a CROSS JOIN n b
-WHERE a.vec_id < b.vec_id
-  AND CAST(list_dot_product(a.q, b.q) AS DOUBLE)
-      / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) > 0.9"""
+plant AS (
+  SELECT vid + {NEARDUP_OFFSET} AS vid,
+         list_concat([q[1] + {NEARDUP_PERTURB}], q[2:]) AS q
+  FROM base WHERE vid < {NEARDUP_PLANT}),
+allv AS (SELECT * FROM base UNION ALL SELECT * FROM plant),
+sig AS (SELECT vid, q, {dcols} FROM allv),
+keys AS (SELECT vid, {', '.join(bkeys)} FROM sig),
+bands AS (SELECT vid, unnest([{band_nos}]) AS band_no, unnest([{bk_list}]) AS band_key FROM keys),
+capped AS (SELECT vid, band_no, band_key FROM (
+  SELECT *, count(*) OVER (PARTITION BY band_no, band_key) AS bsz FROM bands)
+  WHERE bsz <= {NEARDUP_BUCKET_CAP}),
+cand AS (SELECT DISTINCT a.vid AS va, b.vid AS vb
+  FROM capped a JOIN capped b
+    ON a.band_no = b.band_no AND a.band_key = b.band_key AND a.vid < b.vid),
+n AS (SELECT vid, q, CAST(list_dot_product(q, q) AS BIGINT) AS n2 FROM allv)
+SELECT c.va, c.vb FROM cand c
+JOIN n a ON a.vid = c.va
+JOIN n b ON b.vid = c.vb
+WHERE CAST(list_dot_product(a.q, b.q) AS DOUBLE)
+      / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) > {NEARDUP_THRESH}"""
+
+
+Q_EMBEDDING_NEARDUP_SQL = _neardup_sql()
 
 
 # --- events -----------------------------------------------------------------

@@ -16,3 +16,8 @@ def spark():
     s.sparkContext.setLogLevel("ERROR")
     yield s
     s.stop()
+
+
+@pytest.fixture(scope="session")
+def testdata_sf() -> str:
+    return "/root/testdata/sf0.001"

@@ -64,6 +64,21 @@ def test_whole_stage_codegen_on_membership_path(spark):
     assert "ArrowEvalPython" not in plan, "bbox-only catalog must not hit Python"
 
 
+def test_neardup_and_lsh_have_no_cartesian(spark, testdata_sf):
+    """The near-dup scale paths must be bucketed equi-joins — a cross join
+    anywhere is an instant 100-TB disqualifier."""
+    from osm_history_splitter_spark.text_queries import (
+        q_embedding_neardup,
+        q_lsh_pairs,
+        q_ngram_jaccard,
+    )
+
+    for q in (q_embedding_neardup, q_lsh_pairs, q_ngram_jaccard):
+        plan = plan_of(q(spark, testdata_sf))
+        assert "CartesianProduct" not in plan, q.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, q.__name__
+
+
 def test_poly_catalog_refine_is_arrow_batched(spark):
     cat = ExtractCatalog(
         [Extract.poly("p", [[[0.0, 0.0], [5.0, 0.0], [5.0, 5.0], [0.0, 5.0], [0.0, 0.0]]])]
