@@ -54,12 +54,19 @@ def brute_force_topk(
         embeddings.select(F.col(id_col).alias("cid"), sims(F.col(vec_col)).alias("s"))
         .select("cid", F.posexplode("s").alias("qpos", "sim"))
     )
-    qid_map = F.udf(lambda p: int(qids[p]), T.LongType())  # tiny driver map
+    # qpos -> qid via a literal array lookup (constant-folded, stays in
+    # codegen; no per-row Python)
+    qid_lit = F.array(*[F.lit(int(q)) for q in qids])
     w = Window.partitionBy("qpos").orderBy(F.col("sim").desc(), F.col("cid").asc())
     return (
         exploded.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
-        .select(qid_map("qpos").alias("qid"), "rnk", "cid", "sim")
+        .select(
+            F.element_at(qid_lit, F.col("qpos") + 1).cast("long").alias("qid"),
+            "rnk",
+            "cid",
+            "sim",
+        )
     )
 
 

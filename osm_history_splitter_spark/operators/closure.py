@@ -41,9 +41,16 @@ def relation_closure(
     """
     edges = edges.select("child", "parent").distinct()
 
+    # the edge-count threshold bounds |E|, not the closure size: a deep
+    # chain of E edges has an O(E^2) transitive closure. Cap the
+    # materialized pair count too and fall through to the distributed
+    # semi-naive loop when either bound trips.
+    max_pairs = 20 * driver_threshold
+
     n_edges = edges.limit(driver_threshold + 1).count()
+    anc_pairs: list | None = None
     if n_edges <= driver_threshold:
-        edge_rows = edges.collect()
+        edge_rows = edges.collect()  # bounded by driver_threshold (tiny)
         parents: dict = {}
         for r in edge_rows:
             parents.setdefault(r["child"], []).append(r["parent"])
@@ -59,6 +66,10 @@ def relation_closure(
                 seen_ids.add(p)
                 stack.extend(parents.get(p, ()))
             anc_pairs.extend((start, a) for a in seen_ids)
+            if len(anc_pairs) > max_pairs:
+                anc_pairs = None  # closure blow-up: use the distributed loop
+                break
+    if anc_pairs is not None:
         if not anc_pairs:
             return direct.select("id", "extract").distinct()
         spark = direct.sparkSession

@@ -55,7 +55,17 @@ def knn_to_centroids(
     res: int = 6,
     max_ring: int = 64,
 ) -> DataFrame:
-    """Ring-expansion kNN: prune to candidate cells, exact rank within."""
+    """Ring-expansion kNN: prune to candidate cells, exact rank within.
+
+    Sparse-region guard: if fewer than k points lie within ``max_ring``
+    rings of a centroid (or the expansion never satisfied the sufficiency
+    bound), that centroid falls back to the exact full-window path — the
+    candidate cover is only provably complete when the bound held. Grid
+    cells don't wrap the antimeridian (lon is clamped per cell_id_expr),
+    so a centroid near ±180° also relies on this exact fallback.
+    """
+    # per-cell histogram is bounded by the grid size (<= 2*4^res cells),
+    # post-aggregation — safe to collect driver-side
     pts = points.withColumn(
         "cell", grid.cell_id_expr(F.col("lon"), F.col("lat"), res)
     ).persist()
@@ -65,6 +75,7 @@ def knn_to_centroids(
     }
 
     probe_rows = []
+    fallback: dict[str, tuple] = {}
     for name, (cx, cy) in centroids.items():
         center = int(grid.cell_ids_np(np.array([cx]), np.array([cy]), res)[0])
         inner = 0
@@ -80,11 +91,18 @@ def knn_to_centroids(
             if inner >= k:
                 break
             ring += 1
+        if inner < k:
+            # sufficiency bound never held — exact path for this centroid
+            fallback[name] = (cx, cy)
+            continue
         safe = int(np.ceil(ring * np.sqrt(2.0))) + 1
         for c in grid.neighbor_ring(center, safe):
             probe_rows.append((name, float(cx), float(cy), int(c)))
 
     spark = points.sparkSession
+    if not probe_rows:
+        pts.unpersist()
+        return knn_full_window(points, centroids, k)
     probes = spark.createDataFrame(
         probe_rows, "extract string, cx double, cy double, cell long"
     )
@@ -98,6 +116,8 @@ def knn_to_centroids(
         .filter(F.col("rnk") <= k)
         .select("extract", "rnk", "id", "dist2")
     )
+    if fallback:
+        out = out.unionByName(knn_full_window(points, fallback, k))
     return out
 
 

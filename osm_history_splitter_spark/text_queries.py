@@ -401,6 +401,130 @@ r AS (SELECT qid, cid,
 SELECT qid, rnk, cid FROM r WHERE rnk <= {TOP_K}"""
 
 
+# --- IVF ANN (the *scale* path, oracle-checked) -----------------------------
+#
+# Integer-quantized twin of operators/ann.py:ivf_topk: a seeded coarse
+# quantizer assigns every vector to its nearest list (argmax of integer
+# centroid dots — first-max tie-break), each query probes its IVF_PROBE
+# best lists, exact quantized-cosine rerank within the probed lists only.
+# All arithmetic is integer/IEEE-exact, so DuckDB reproduces it bit-for-bit
+# — this green row certifies the inverted-file shape itself, not just the
+# brute-force oracle. At scale the probe table is a broadcast and the big
+# side shuffles nothing (list_id is computed in codegen per row).
+
+IVF_LISTS = 8
+IVF_PROBE = 3
+_IVF_SEED = 23
+#: quantization scale for centroid / hyperplane integer literals — chosen so
+#: every dot product stays far below 2^53 (exact even in DOUBLE arithmetic)
+_PLANE_QUANT = 10_000
+
+
+def _ivf_centroids(dim: int = 64):
+    import numpy as np
+
+    rng = np.random.default_rng(_IVF_SEED)
+    return np.round(rng.standard_normal((IVF_LISTS, dim)) * _PLANE_QUANT).astype(
+        "int64"
+    )
+
+
+def q_ivf_topk(spark, sf_dir):
+    cents = _ivf_centroids()
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("vid"), _quantized("embedding").alias("q")
+    )
+    dots = [
+        F.expr(
+            f"aggregate(zip_with(q, array({','.join(str(v) + 'L' for v in c)}),"
+            " (x, y) -> x * y), 0L, (acc, x) -> acc + x)"
+        ).alias(f"dc{j}")
+        for j, c in enumerate(cents)
+    ]
+    darr = F.array(*[F.col(f"dc{j}") for j in range(IVF_LISTS)])
+    inv = (
+        e.select("vid", "q", *dots)
+        .withColumn("list_id", F.array_position(darr, F.array_max(darr)).cast("int"))
+        .select("vid", "q", "list_id", darr.alias("ds"))
+    )
+    # query side: probe the IVF_PROBE lists with the highest centroid dot
+    # (dot desc, list index asc) — a tiny table, broadcast into the join
+    qprobe = (
+        inv.filter(F.col("vid") < N_QUERIES)
+        .select("vid", F.posexplode("ds").alias("lpos", "dot"))
+        .withColumn(
+            "prnk",
+            F.row_number().over(
+                Window.partitionBy("vid").orderBy(
+                    F.col("dot").desc(), F.col("lpos").asc()
+                )
+            ),
+        )
+        .filter(F.col("prnk") <= IVF_PROBE)
+        .select(
+            F.col("vid").alias("qid"), (F.col("lpos") + 1).cast("int").alias("list_id")
+        )
+    )
+    qs = e.filter(F.col("vid") < N_QUERIES).select(
+        F.col("vid").alias("qid"),
+        F.col("q").alias("qv"),
+        _dot("q", "q").alias("qn"),
+    )
+    cand = (
+        inv.join(F.broadcast(qprobe), "list_id")
+        .filter(F.col("vid") != F.col("qid"))
+        .select("qid", F.col("vid").alias("cid"), F.col("q").alias("cv"))
+        .withColumn("cn", _dot("cv", "cv"))
+        .join(F.broadcast(qs), "qid")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid").asc())
+    return (
+        cand.withColumn(
+            "sim",
+            _dot("qv", "cv").cast("double")
+            / F.sqrt(F.col("qn").cast("double") * F.col("cn").cast("double")),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("qid", "rnk", "cid")
+    )
+
+
+def _ivf_sql() -> str:
+    cents = _ivf_centroids()
+    dcols = ",\n  ".join(
+        f"CAST(list_dot_product(q, [{','.join(str(v) for v in c)}]::BIGINT[])"
+        f" AS BIGINT) AS dc{j}"
+        for j, c in enumerate(cents)
+    )
+    ds = ",".join(f"dc{j}" for j in range(IVF_LISTS))
+    return f"""WITH e AS (
+  SELECT vec_id AS vid, list_transform(embedding, x -> CAST(round(x * {QUANT}) AS BIGINT)) AS q
+  FROM embeddings),
+sig AS (SELECT vid, q, {dcols} FROM e),
+inv AS (SELECT vid, q, [{ds}] AS ds,
+        CAST(list_position([{ds}], list_max([{ds}])) AS INT) AS list_id FROM sig),
+qp AS (SELECT vid AS qid, lpos AS list_id FROM (
+  SELECT vid, unnest(generate_series(1, {IVF_LISTS})) AS lpos, unnest(ds) AS dot,
+  FROM inv WHERE vid < {N_QUERIES})
+  QUALIFY row_number() OVER (PARTITION BY vid ORDER BY dot DESC, lpos ASC) <= {IVF_PROBE}),
+qs AS (SELECT vid AS qid, q AS qv, CAST(list_dot_product(q, q) AS BIGINT) AS qn
+       FROM e WHERE vid < {N_QUERIES}),
+cand AS (SELECT qp.qid, inv.vid AS cid, inv.q AS cv,
+         CAST(list_dot_product(inv.q, inv.q) AS BIGINT) AS cn
+  FROM inv JOIN qp ON inv.list_id = qp.list_id AND inv.vid <> qp.qid),
+r AS (SELECT c.qid, c.cid,
+        row_number() OVER (PARTITION BY c.qid ORDER BY
+          CAST(list_dot_product(q.qv, c.cv) AS DOUBLE)
+            / sqrt(CAST(q.qn AS DOUBLE) * CAST(c.cn AS DOUBLE)) DESC,
+          c.cid ASC) AS rnk
+      FROM cand c JOIN qs q ON q.qid = c.qid)
+SELECT qid, CAST(rnk AS BIGINT) AS rnk, cid FROM r WHERE rnk <= {TOP_K}"""
+
+
+Q_IVF_TOPK_SQL = _ivf_sql()
+
+
 #: banded random-hyperplane LSH for the near-dup scale path. Planes are
 #: integer-quantized so the sign bits are bit-identical on both engines
 #: (all dot products stay < 2^53, exact even in DOUBLE arithmetic).
@@ -420,7 +544,6 @@ NEARDUP_PERTURB = 700
 #: the self-join (a degenerate bucket — e.g. boilerplate/zero vectors —
 #: would otherwise go quadratic at scale). Deterministic, mirrored in SQL.
 NEARDUP_BUCKET_CAP = 500
-_PLANE_QUANT = 10_000
 
 
 def _neardup_planes(dim: int = 64):
@@ -713,6 +836,7 @@ TEXT_QUERIES = {
     "lsh_pairs": (q_lsh_pairs, Q_LSH_PAIRS_SQL),
     "ngram_jaccard": (q_ngram_jaccard, Q_NGRAM_JACCARD_SQL),
     "ann_topk": (q_ann_topk, Q_ANN_TOPK_SQL),
+    "ivf_topk": (q_ivf_topk, Q_IVF_TOPK_SQL),
     "embedding_neardup": (q_embedding_neardup, Q_EMBEDDING_NEARDUP_SQL),
     "events_hourly": (q_events_hourly, Q_EVENTS_HOURLY_SQL),
     "sessionize": (q_sessionize, Q_SESSIONIZE_SQL),

@@ -44,6 +44,38 @@ def test_knn_ring_expansion_matches_full_window(spark, points):
     assert ring == full
 
 
+def test_knn_sparse_region_falls_back_exact(spark):
+    """k larger than the point count reachable within max_ring: the ring
+    expansion can't certify sufficiency, so the centroid must fall back to
+    the exact full-window path instead of silently under-covering."""
+    rows = [(0, 0.0, 0.0), (1, 170.0, 80.0), (2, -170.0, -80.0)]
+    pts = spark.createDataFrame(rows, "id long, lon double, lat double")
+    cents = {"c": (10.0, 10.0)}
+    # only 3 points exist but k=5 — and max_ring=2 can't see the far ones
+    full = {(r["extract"], r["rnk"]): r["id"]
+            for r in knn_full_window(pts, cents, 5).collect()}
+    ring = {(r["extract"], r["rnk"]): r["id"]
+            for r in knn_to_centroids(pts, cents, 5, res=6, max_ring=2).collect()}
+    assert ring == full and len(ring) == 3
+
+
+def test_closure_pair_blowup_uses_distributed_loop(spark):
+    """A deep chain within the edge-count threshold but whose transitive
+    closure exceeds the pair cap must still converge (semi-naive loop)."""
+    from osm_history_splitter_spark.operators.closure import relation_closure
+
+    n = 45  # chain 0->1->...->45: closure pairs = n(n+1)/2 > 20*n
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "child long, parent long"
+    )
+    direct = spark.createDataFrame([(0, "x")], "id long, extract string")
+    got = sorted(
+        (r["id"], r["extract"])
+        for r in relation_closure(direct, edges, driver_threshold=n).collect()
+    )
+    assert got == [(i, "x") for i in range(n + 1)]
+
+
 def test_knn_skewed_cluster(spark):
     """>=50% of points in one cell (FIXTURES §7 skew case) — the expansion
     must still terminate and agree with the exact result."""
