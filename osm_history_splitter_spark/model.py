@@ -108,3 +108,31 @@ GEOTAG_TYPE = T.ArrayType(
         ]
     )
 )
+
+
+# --- history-compat rule (S10) -----------------------------------------------
+
+
+def is_history_table(df) -> bool:
+    """A table is history-shaped iff it carries ``version`` + ``visible``
+    (multiple versions per id, deletions represented as invisible rows)."""
+    return {"version", "visible"}.issubset(set(df.columns))
+
+
+def validate_history_compat(df, entity: str = "input", expect_history: bool = True) -> None:
+    """Reference rule (``/root/reference/README.md:87``): splitting a
+    history file into a non-history output — or feeding a non-history file
+    to a history split — is an error, not a silent coercion. Raises
+    ``ValueError`` on mismatch."""
+    has = is_history_table(df)
+    if expect_history and not has:
+        raise ValueError(
+            f"{entity}: history split requires version+visible columns, "
+            f"got {df.columns} (non-history input into a history job)"
+        )
+    if not expect_history and has:
+        raise ValueError(
+            f"{entity}: non-history split over a history table would "
+            f"silently collapse versions; project to the latest visible "
+            f"version first (got columns {df.columns})"
+        )

@@ -1,6 +1,6 @@
 """Extract-partitioned writes + lineage/metrics sidecars (reference S8/S9:
 per-extract writer fan-out, ``cut.hpp:71-118``; writer finalization,
-``cut.hpp:60-65``).
+``cut.hpp:60-65``; per-extract bbox in the output header, ``cut.hpp:99-106``).
 
 One job writes every extract: the membership pipeline computes an
 ``extract`` column and the write partitions on it — the distributed analog
@@ -11,12 +11,16 @@ Skew: extract sizes are wildly uneven (a planet extract vs a city). A plain
 ``partitionBy("extract")`` makes one task per extract write all its rows.
 We salt the shuffle key — ``repartition(n, extract, salt)`` — so a hot
 extract's rows spread over ``salt_buckets`` tasks, then partitionBy lays
-files out per extract anyway. This is the explicit hot-key defusal the
-north_rule asks for; AQE handles residual imbalance.
+files out per extract anyway. The salt is a DETERMINISTIC content hash
+(``pmod(xxhash64(row columns), buckets)``), never ``rand()``: a
+non-deterministic salt re-draws on shuffle-map task retry, silently
+duplicating/dropping rows under executor loss (the SPARK-23207 bug class).
+AQE handles residual imbalance.
 
 Lineage/metrics (north_rule): every write emits a JSON sidecar with
-per-extract row counts (collected via ``observe`` — no second scan), the
-source stage name, and the exact write configuration.
+per-extract row counts and the extract's bbox (observed inside the write
+job itself when a catalog is supplied — no second scan of the output),
+the source stage name, and the exact write configuration.
 """
 
 from __future__ import annotations
@@ -31,6 +35,14 @@ from pyspark.sql import functions as F
 __all__ = ["write_extracts", "read_extract"]
 
 
+def _salt_col(df: DataFrame, salt_buckets: int):
+    """Deterministic per-row salt: content hash of every hashable column.
+    Map columns are excluded (Spark forbids hashing MapType); id/version/
+    coordinate columns dominate the hash anyway."""
+    cols = [c for c, t in df.dtypes if not t.startswith("map<")]
+    return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(salt_buckets))
+
+
 def write_extracts(
     df: DataFrame,
     path: str,
@@ -38,6 +50,7 @@ def write_extracts(
     salt_buckets: int = 8,
     sort_cols: list[str] | None = None,
     mode: str = "overwrite",
+    catalog=None,
 ) -> dict:
     """Write ``df`` (must carry an ``extract`` column) partitioned by
     extract; returns the lineage/metrics manifest (also written as
@@ -46,7 +59,20 @@ def write_extracts(
     ``sort_cols`` reproduces the reference's output row order inside each
     partition (O1/O2: type-major, id-minor, version order) via
     ``sortWithinPartitions`` — cheap, no extra shuffle.
+
+    ``catalog`` (an ``ExtractCatalog``), when given, adds per-extract row
+    counts and bboxes to the manifest at zero extra cost: counts ride the
+    write job as ``observe`` metrics (one conditional-count aggregate per
+    extract), bboxes come from the catalog — no post-write scan.
     """
+    obs_cols = [F.count(F.lit(1)).alias("rows")]
+    names: list[str] = []
+    if catalog is not None:
+        names = [e.name for e in catalog]
+        obs_cols += [
+            F.sum((F.col("extract") == name).cast("long")).alias(f"x{i}")
+            for i, name in enumerate(names)
+        ]
     obs = Observation(f"write_{stage}")
     # explicit partition count: AQE must not coalesce the salt away — the
     # whole point is >1 writer task per hot extract
@@ -54,35 +80,43 @@ def write_extracts(
     n_part = max(
         int(spark.conf.get("spark.sql.shuffle.partitions", "32")), salt_buckets
     )
-    salted = df.repartition(
-        n_part, F.col("extract"), (F.rand(seed=42) * salt_buckets).cast("int")
-    )
+    salted = df.repartition(n_part, F.col("extract"), _salt_col(df, salt_buckets))
     if sort_cols:
         salted = salted.sortWithinPartitions("extract", *sort_cols)
-    observed = salted.observe(obs, F.count(F.lit(1)).alias("rows"))
+    observed = salted.observe(obs, *obs_cols)
     t0 = time.time()
     observed.write.mode(mode).partitionBy("extract").parquet(path)
     wall = time.time() - t0
 
-    # per-extract counts from the written footers (metadata-only scan);
-    # an all-empty result writes no files -> nothing to read back
     n_rows = obs.get["rows"]
-    per_extract = (
-        {
-            r["extract"]: r["n"]
-            for r in spark.read.parquet(path)
-            .groupBy("extract")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
+    if catalog is not None:
+        per_extract = {
+            name: int(obs.get[f"x{i}"] or 0) for i, name in enumerate(names)
         }
-        if n_rows
-        else {}
-    )
+        bboxes = {
+            e.name: [e.minlon, e.minlat, e.maxlon, e.maxlat] for e in catalog
+        }
+    else:
+        # no catalog: fall back to counting from the written footers
+        # (row-group metadata scan of the output — cheap, not free)
+        per_extract = (
+            {
+                r["extract"]: r["n"]
+                for r in spark.read.parquet(path)
+                .groupBy("extract")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            if n_rows
+            else {}
+        )
+        bboxes = None
     manifest = {
         "stage": stage,
         "path": path,
-        "rows": obs.get["rows"],
+        "rows": n_rows,
         "per_extract_rows": per_extract,
+        "extract_bbox": bboxes,
         "salt_buckets": salt_buckets,
         "wall_sec": round(wall, 3),
         "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),

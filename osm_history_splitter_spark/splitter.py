@@ -44,20 +44,25 @@ def run_split(
     softcut runs as two phases with the four marker tables checkpointed
     between them (the resume point); hardcut is single-phase.
     """
+    from .model import validate_history_compat
+
+    for name, df in (("nodes", nodes), ("ways", ways), ("relations", relations)):
+        validate_history_compat(df, name, expect_history=True)
+
     manifests = {}
     if mode == "hardcut":
         res = hardcut(nodes, ways, relations, catalog)
         manifests["nodes"] = write_extracts(
             res.nodes, f"{out_path}/nodes", "hardcut_nodes",
-            sort_cols=["id", "version"],
+            sort_cols=["id", "version"], catalog=catalog,
         )
         manifests["ways"] = write_extracts(
             res.ways, f"{out_path}/ways", "hardcut_ways",
-            sort_cols=["id", "version"],
+            sort_cols=["id", "version"], catalog=catalog,
         )
         manifests["relations"] = write_extracts(
             res.relations, f"{out_path}/relations", "hardcut_relations",
-            sort_cols=["id", "version"],
+            sort_cols=["id", "version"], catalog=catalog,
         )
         return manifests
 
@@ -91,16 +96,16 @@ def run_split(
     all_node_ids = node_members.unionByName(extra_nodes).distinct()
     manifests["nodes"] = write_extracts(
         nodes.join(all_node_ids, "id"), f"{out_path}/nodes", "softcut_nodes",
-        sort_cols=["id", "version"],
+        sort_cols=["id", "version"], catalog=catalog,
     )
     manifests["ways"] = write_extracts(
         ways.join(way_members, "id"), f"{out_path}/ways", "softcut_ways",
-        sort_cols=["id", "version"],
+        sort_cols=["id", "version"], catalog=catalog,
     )
     manifests["relations"] = write_extracts(
         relations.join(relation_members, "id"),
         f"{out_path}/relations", "softcut_relations",
-        sort_cols=["id", "version"],
+        sort_cols=["id", "version"], catalog=catalog,
     )
     manifests["checkpoints"] = store.manifest()
     return manifests

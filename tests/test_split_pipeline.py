@@ -90,3 +90,59 @@ def test_write_extracts_salted_layout(spark, tmp_path):
     # hot extract written by multiple salted tasks -> multiple files
     files = glob.glob(str(tmp_path / "w/extract=hot/*.parquet"))
     assert len(files) > 1
+
+
+def test_write_extracts_observed_counts_and_bbox(spark, tmp_path):
+    """With a catalog: per-extract counts ride the write job (observe) and
+    the manifest carries each extract's bbox (reference cut.hpp:99-106)."""
+    from osm_history_splitter_spark.plans.catalog import Extract, ExtractCatalog
+
+    cat = ExtractCatalog(
+        [Extract.bbox("hot", -10.0, -10.0, 10.0, 10.0),
+         Extract.bbox("cold", 20.0, 20.0, 30.0, 30.0)]
+    )
+    df = spark.range(1000).selectExpr(
+        "id", "CASE WHEN id % 10 = 0 THEN 'cold' ELSE 'hot' END AS extract"
+    )
+    m = write_extracts(df, str(tmp_path / "w2"), "t", salt_buckets=4, catalog=cat)
+    assert m["per_extract_rows"] == {"hot": 900, "cold": 100}
+    assert m["extract_bbox"]["hot"] == [-10.0, -10.0, 10.0, 10.0]
+    assert m["extract_bbox"]["cold"] == [20.0, 20.0, 30.0, 30.0]
+
+
+def test_write_extracts_salt_is_deterministic(spark, tmp_path):
+    """Two writes of the same data land identical per-partition contents —
+    the salt is a content hash, not rand() (shuffle-retry safety)."""
+    from osm_history_splitter_spark.plans.io import _salt_col
+    from pyspark.sql import functions as F
+
+    df = spark.range(500).selectExpr("id", "'e' AS extract")
+    s1 = [r[0] for r in df.select(_salt_col(df, 8)).collect()]
+    s2 = [r[0] for r in df.select(_salt_col(df, 8)).collect()]
+    assert s1 == s2
+    assert len(set(s1)) > 1  # actually spreads
+
+
+def test_history_compat_raises(spark, tmp_path):
+    from osm_history_splitter_spark.model import validate_history_compat
+    from osm_history_splitter_spark.splitter import run_split
+    from .fixtures import golden_catalog, golden_relations, golden_ways
+
+    import pytest as _pytest
+
+    flat = spark.range(3).selectExpr(
+        "id", "0.0 AS lon", "0.0 AS lat"
+    )  # no version/visible -> not history-shaped
+    with _pytest.raises(ValueError, match="history"):
+        validate_history_compat(flat, "nodes", expect_history=True)
+    with _pytest.raises(ValueError, match="history"):
+        run_split(
+            spark, flat, golden_ways(spark), golden_relations(spark),
+            golden_catalog(), str(tmp_path / "x"),
+        )
+    # and the inverse direction
+    hist = spark.range(3).selectExpr(
+        "id", "1 AS version", "true AS visible"
+    )
+    with _pytest.raises(ValueError, match="versions"):
+        validate_history_compat(hist, "nodes", expect_history=False)
