@@ -67,28 +67,29 @@ def assign_extracts(
         cand = valid.withColumn("cell", grid.cell_id_expr(lon, lat, res)).join(
             F.broadcast(cov), "cell"
         )
-        parts.append(cand.filter(F.col("fully_inside")).select(*out_cols))
-
-        boundary = cand.filter(~F.col("fully_inside"))
-        # bbox refine via catalog COLUMNS — constant-size predicate no
-        # matter how many extracts (strictness: cut.hpp:36-40)
-        parts.append(
-            boundary.filter(F.col("kind") == "BBOX")
-            .filter(
-                bbox_strict_expr(
-                    lon, lat,
-                    F.col("minlon"), F.col("minlat"),
-                    F.col("maxlon"), F.col("maxlat"),
-                )
+        # ONE combined accept filter per resolution — the big input is
+        # scanned once per resolution, not once per accept/refine branch.
+        # Fully-inside cells and the strict-bbox refine stay entirely in
+        # codegen (constant-size predicate via catalog COLUMNS,
+        # cut.hpp:36-40); the Arrow PIP only exists when the catalog has
+        # polygons, and its extract argument is nulled for rows that don't
+        # need the exact test so the vectorized kernel skips them.
+        jvm_ok = F.col("fully_inside") | (
+            (F.col("kind") == "BBOX")
+            & bbox_strict_expr(
+                lon, lat,
+                F.col("minlon"), F.col("minlat"),
+                F.col("maxlon"), F.col("maxlat"),
             )
-            .select(*out_cols)
         )
         if has_poly:
-            parts.append(
-                boundary.filter(F.col("kind") != "BBOX")
-                .filter(pip(F.col("extract"), lon, lat))
-                .select(*out_cols)
+            needs_pip = (F.col("kind") != "BBOX") & ~F.col("fully_inside")
+            accept = jvm_ok | F.coalesce(
+                pip(F.when(needs_pip, F.col("extract")), lon, lat), F.lit(False)
             )
+        else:
+            accept = jvm_ok
+        parts.append(cand.filter(accept).select(*out_cols))
 
     out = parts[0]
     for p in parts[1:]:

@@ -64,6 +64,29 @@ def test_whole_stage_codegen_on_membership_path(spark):
     assert "ArrowEvalPython" not in plan, "bbox-only catalog must not hit Python"
 
 
+def test_assign_extracts_single_scan_per_resolution(spark, tmp_path):
+    """The accept/refine branches are ONE combined filter: the big input is
+    scanned once per distinct cover resolution, never once per branch."""
+    p = str(tmp_path / "pts")
+    spark.range(2000).selectExpr(
+        "id", "cast(id % 360 - 180 as double) AS lon",
+        "cast(id % 180 - 90 as double) AS lat"
+    ).write.parquet(p)
+    pts = spark.read.parquet(p)
+    cat = ExtractCatalog(
+        [
+            Extract.bbox("b1", -10.0, -10.0, 10.0, 10.0),
+            Extract.poly(
+                "p1", [[[0.0, 0.0], [20.0, 0.0], [20.0, 20.0], [0.0, 20.0], [0.0, 0.0]]]
+            ),
+        ]
+    )
+    n_res = len(set(cat.resolutions().values()))
+    plan = plan_of(assign_extracts(pts, cat))
+    n_scans = plan.count("Scan parquet")
+    assert n_scans == n_res, f"{n_scans} scans for {n_res} resolutions:\n{plan}"
+
+
 def test_neardup_and_lsh_have_no_cartesian(spark, testdata_sf):
     """The near-dup scale paths must be bucketed equi-joins — a cross join
     anywhere is an instant 100-TB disqualifier."""
