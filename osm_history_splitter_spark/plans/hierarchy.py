@@ -29,7 +29,12 @@ from ..sources.osm_xml import rings_from_osm_file
 from ..sources.poly import parse_poly
 from .catalog import Extract, ExtractCatalog
 
-__all__ = ["load_clipbounds_tree", "topo_batches", "parent_of"]
+__all__ = [
+    "load_clipbounds_tree",
+    "topo_batches",
+    "parent_of",
+    "run_hierarchy",
+]
 
 
 def load_clipbounds_tree(
@@ -68,3 +73,83 @@ def topo_batches(catalog: ExtractCatalog) -> list[list[str]]:
     for e in catalog:
         by_depth.setdefault(e.name.count("/"), []).append(e.name)
     return [sorted(by_depth[d]) for d in sorted(by_depth)]
+
+
+def run_hierarchy(
+    spark,
+    nodes,
+    ways,
+    relations,
+    tree: ExtractCatalog,
+    out_root: str,
+    mode: str = "softcut",
+) -> dict:
+    """Staged execution of a clipbounds tree (reference
+    ``tools/split-all-clipbounds.py:60-101``): children split FROM THEIR
+    PARENT'S WRITTEN OUTPUT, never from the planet, with parent-before-child
+    scheduling guaranteed by ``topo_batches``.
+
+    The reference groups all tasks sharing a source into one splitter
+    invocation (one scan feeds all siblings, re-queuing children whose
+    parent isn't finished). Here a topo batch plays the queue's role and
+    each (source -> children) group runs as ONE split job: the parent
+    output is read once and all its children are assigned in that single
+    membership job, mirroring the shared-scan design
+    (``splitter.cpp:80``).
+
+    Layout: job for source S writes to ``{out_root}/jobs/{S or '_root'}``
+    partitioned by (qualified) extract name; a child's rows are then read
+    back with partition pruning (``read_extract``). Returns a manifest
+    whose ``jobs`` list proves the ordering (each entry names its source
+    job, which always appears earlier).
+    """
+    from ..splitter import run_split
+    from .io import read_extract
+
+    names = {e.name for e in tree}
+    by_name = {e.name: e for e in tree}
+    manifest: dict = {"mode": mode, "jobs": []}
+    done: set[str] = set()
+
+    for batch in topo_batches(tree):
+        groups: dict[str | None, list[str]] = {}
+        for n in batch:
+            p = parent_of(n)
+            src = p if (p is not None and p in names) else None
+            groups.setdefault(src, []).append(n)
+        for src in sorted(groups, key=lambda s: (s is not None, s or "")):
+            children = sorted(groups[src])
+            if src is None:
+                src_nodes, src_ways, src_rels = nodes, ways, relations
+                job_src = "_root"
+            else:
+                assert src in done, f"scheduling bug: {src} not finished"
+                parent_job = parent_of(src)
+                base = f"{out_root}/jobs/{parent_job if parent_job in done else '_root'}"
+
+                def _part(sub, fallback):
+                    # an all-empty parent write leaves no parquet files ->
+                    # schema inference fails; substitute an empty frame of
+                    # the root schema (same columns flow through the split)
+                    try:
+                        return read_extract(spark, f"{base}/{sub}", src).drop(
+                            "extract"
+                        )
+                    except Exception:
+                        return spark.createDataFrame([], fallback.schema)
+
+                src_nodes = _part("nodes", nodes)
+                src_ways = _part("ways", ways)
+                src_rels = _part("relations", relations)
+                job_src = src
+            cat = ExtractCatalog([by_name[c] for c in children])
+            job_out = f"{out_root}/jobs/{job_src}"
+            m = run_split(
+                spark, src_nodes, src_ways, src_rels, cat, job_out, mode=mode
+            )
+            manifest["jobs"].append(
+                {"source": job_src, "children": children, "out": job_out,
+                 "rows": {k: v.get("rows") for k, v in m.items() if isinstance(v, dict)}}
+            )
+            done.update(children)
+    return manifest

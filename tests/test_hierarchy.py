@@ -66,3 +66,72 @@ def test_one_pass_equals_staged(spark, tree):
     staged_de = {r["id"] for r in assign_extracts(eu_rows, de_cat).collect()}
     assert staged_de == one_pass_de
     assert one_pass_de  # non-vacuous: some points actually in germany
+
+
+def test_staged_runner_matches_one_pass(spark, tree, tmp_path):
+    """run_hierarchy (children split from parent OUTPUT, reference
+    tools/split-all-clipbounds.py:60-101) produces exactly the rows the
+    one-pass multi-extract split produces, and its manifest proves
+    parent-before-child ordering."""
+    from osm_history_splitter_spark.model import RELATION_SCHEMA, WAY_SCHEMA
+    from osm_history_splitter_spark.plans.hierarchy import run_hierarchy
+    from osm_history_splitter_spark.splitter import run_split
+
+    sub = ExtractCatalog(
+        [e for e in tree if e.name in ("europe", "europe/germany", "africa")]
+    )
+    assert len(sub) == 3
+    rng = np.random.default_rng(29)
+    node_rows = [
+        (int(i), 1, True, TS, 0, 0, "u", float(lat), float(lon), {})
+        for i, (lon, lat) in enumerate(
+            zip(rng.uniform(-20, 40, 1200), rng.uniform(-35, 65, 1200))
+        )
+    ]
+    nodes = spark.createDataFrame(node_rows, schema=NODE_SCHEMA)
+    way_rows = [
+        (1000 + w, 1, True, TS, 0, 0, "u", [int(3 * w), int(3 * w + 1), int(3 * w + 2)], {})
+        for w in range(300)
+    ]
+    ways = spark.createDataFrame(way_rows, schema=WAY_SCHEMA)
+    rel_rows = [
+        (5000 + r, 1, True, TS, 0, 0, "u",
+         [("w", 1000 + 3 * r, "m"), ("n", int(9 * r), "m")], {})
+        for r in range(80)
+    ]
+    rels = spark.createDataFrame(rel_rows, schema=RELATION_SCHEMA)
+
+    one_out = str(tmp_path / "one")
+    run_split(spark, nodes, ways, rels, sub, one_out, mode="softcut")
+    staged_out = str(tmp_path / "staged")
+    manifest = run_hierarchy(spark, nodes, ways, rels, sub, staged_out, mode="softcut")
+
+    # ordering proof: each non-root job's source appears as a child of an
+    # earlier job
+    seen: set[str] = set()
+    for job in manifest["jobs"]:
+        if job["source"] != "_root":
+            assert job["source"] in seen, manifest["jobs"]
+        seen.update(job["children"])
+    assert {"europe", "europe/germany", "africa"} <= seen
+
+    def rows_of(path, entity, extract):
+        try:
+            df = spark.read.parquet(f"{path}/{entity}")
+        except Exception:
+            return set()
+        return {
+            (r["id"], r["version"])
+            for r in df.filter(df["extract"] == extract).collect()
+        }
+
+    for entity in ("nodes", "ways", "relations"):
+        # leaf: germany was split FROM europe's output in the staged run
+        one = rows_of(one_out, entity, "europe/germany")
+        staged = rows_of(str(tmp_path / "staged/jobs/europe"), entity, "europe/germany")
+        assert staged == one, (entity, len(staged), len(one))
+    # and a top-level extract comes from the root job
+    assert rows_of(one_out, "nodes", "africa") == rows_of(
+        str(tmp_path / "staged/jobs/_root"), "nodes", "africa"
+    )
+    assert rows_of(one_out, "nodes", "europe/germany")  # non-vacuous
