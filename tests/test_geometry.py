@@ -132,3 +132,41 @@ class TestBoundaryDetection:
             SQUARE,
         )
         assert on.tolist() == [True, True, False, False]
+
+
+def test_overlapping_outers_divergence_pinned():
+    """Two overlapping OUTER rings: even-odd parity cancels the overlap to
+    OUTSIDE while the reference's GEOS union keeps it INSIDE. The parser
+    warns; the PIP behavior is pinned here so the divergence is explicit
+    (sources/poly.py module docstring)."""
+    import warnings
+
+    import numpy as np
+
+    from osm_history_splitter_spark.functions.geometry import (
+        close_ring,
+        points_in_rings,
+    )
+    from osm_history_splitter_spark.sources.poly import parse_poly_text
+
+    a = close_ring(np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0]]))
+    b = close_ring(np.array([[2.0, 2.0], [6.0, 2.0], [6.0, 6.0], [2.0, 6.0]]))
+    lon = np.array([3.0, 1.0, 5.0, 10.0])
+    lat = np.array([3.0, 1.0, 5.0, 10.0])
+    got = points_in_rings(lon, lat, [a, b]).tolist()
+    # (3,3) is in BOTH outers -> parity cancels -> OUT (GEOS union: IN)
+    assert got == [False, True, True, False]
+
+    poly = "ov\nfirst\n0 0\n4 0\n4 4\n0 4\nEND\nsecond\n2 2\n6 2\n6 6\n2 6\nEND\nEND\n"
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        rings = parse_poly_text(poly)
+    assert len(rings) == 2
+    assert any("overlap" in str(x.message) for x in w), [str(x.message) for x in w]
+
+    # and a VALID outer+hole file must stay silent
+    hole = "hv\nouter\n0 0\n10 0\n10 10\n0 10\nEND\n!inner\n4 4\n6 4\n6 6\n4 6\nEND\nEND\n"
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        parse_poly_text(hole)
+    assert not [x for x in w2 if "overlap" in str(x.message)]
