@@ -17,7 +17,8 @@ import json
 import time
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 
 __all__ = ["StageStore"]
 
@@ -41,8 +42,13 @@ class StageStore:
         """Materialize a stage; returns the re-read DataFrame (so downstream
         plans read the checkpoint, cutting lineage)."""
         path = str(self.root / name)
-        df.write.mode("overwrite").parquet(path)
-        n = self.spark.read.parquet(path).count()
+        # row count rides the write job itself (observe) — a marker table at
+        # planet scale is billions of rows; no second scan for metadata
+        obs = Observation(f"ckpt_{name}")
+        df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+            "overwrite"
+        ).parquet(path)
+        n = obs.get["rows"]
         self._marker(name).write_text(
             json.dumps(
                 {"rows": n, "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
