@@ -32,6 +32,8 @@ BENCH_QUERIES = [
     "knn_centroid",
     "lsh_pairs",
     "ann_topk",
+    "ivf_topk",
+    "embedding_neardup",
     "sessionize",
 ]
 
