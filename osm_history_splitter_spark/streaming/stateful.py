@@ -1,0 +1,163 @@
+"""Stateful / windowed Structured Streaming operators (SURVEY §2.7 — the
+training-pipeline streaming layer beyond the stream-static hardcut).
+
+- ``hourly_rollup_stream``: watermarked tumbling-window aggregation — the
+  streaming twin of ``text_queries.q_events_hourly``. Late events beyond
+  the watermark are dropped deterministically; windows close and emit once
+  (append mode) so the sink is an incremental, exactly-once ledger.
+- ``sessionize_stream``: custom stateful operator via
+  ``applyInPandasWithState`` — per-user session assignment with a 30-min
+  inactivity gap, the streaming twin of ``text_queries.q_sessionize``.
+  Spark has no built-in session operator with this exact gap semantics +
+  per-session aggregates, so this is the (b)-tier escape hatch the brief
+  prescribes: Arrow-batched state updates, never per-row Python.
+
+State scale: the session state is one small tuple per ACTIVE user (last
+event second, open-session number, open-session aggregates) — at 10^9
+users that is a few GB spread across executors via the groupBy hash
+partitioning; the GroupStateTimeout evicts idle users, bounding it.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+__all__ = ["hourly_rollup_stream", "sessionize_stream", "SESSION_GAP_SEC"]
+
+SESSION_GAP_SEC = 1800
+
+_SESSION_OUT_SCHEMA = (
+    "user_id long, sess_no long, n_events long, start_epoch long, end_epoch long"
+)
+_SESSION_STATE_SCHEMA = (
+    "last_ts long, sess_no long, n_events long, start_epoch long"
+)
+# module-level because applyInPandasWithState pickles the bare function;
+# set by sessionize_stream(evict=True) before building the plan
+_SESSION_EVICT_MS = 0
+
+
+def hourly_rollup_stream(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Watermarked hourly rollup (streaming twin of ``q_events_hourly``).
+
+    Returns an unstarted streaming DataFrame; callers attach a sink. The
+    aggregates are the same integer-cents sums as the batch/oracle query,
+    so a drained (availableNow) run is row-identical to the batch result.
+    """
+    # watermarks require TIMESTAMP (not NTZ); the session runs UTC so the
+    # cast is value-identical to the batch query's NTZ arithmetic
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("hour_epoch"),
+            "event_type",
+            "n",
+            "sum_cents",
+        )
+    )
+
+
+def _session_fn(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user session assignment over Arrow batches. Emits every session
+    touched in this trigger (closed sessions are final; the currently-open
+    session re-emits with updated aggregates on later triggers — a sink
+    keyed on (user_id, sess_no) upserts to the exact batch semantics)."""
+    (user_id,) = key
+    if state.exists:
+        last_ts, sess_no, n_events, start_epoch = state.get
+    else:
+        last_ts, sess_no, n_events, start_epoch = None, 0, 0, 0
+
+    if state.hasTimedOut:
+        # idle user: flush the open session one last time and evict state
+        state.remove()
+        if last_ts is not None:
+            yield pd.DataFrame(
+                [(user_id, sess_no, n_events, start_epoch, last_ts)],
+                columns=[
+                    "user_id", "sess_no", "n_events", "start_epoch", "end_epoch"
+                ],
+            )
+        return
+
+    out_rows = []
+    touched: dict[int, list] = {}
+    batches = [pdf for pdf in pdfs]
+    if batches:
+        # one user's rows may span Arrow batches — order globally, once
+        allp = pd.concat(batches).sort_values(["tse", "event_id"])
+        for tse in allp["tse"].to_numpy():
+            t = int(tse)
+            if last_ts is None:
+                sess_no, n_events, start_epoch = 1, 1, t
+            elif t - last_ts > SESSION_GAP_SEC:
+                touched[sess_no] = [n_events, start_epoch, last_ts]
+                sess_no += 1
+                n_events, start_epoch = 1, t
+            else:
+                n_events += 1
+            last_ts = t
+    if last_ts is not None:
+        touched[sess_no] = [n_events, start_epoch, last_ts]
+        state.update((last_ts, sess_no, n_events, start_epoch))
+        if _SESSION_EVICT_MS:
+            state.setTimeoutDuration(_SESSION_EVICT_MS)
+    for sno, (n, st, en) in touched.items():
+        out_rows.append((user_id, sno, n, st, en))
+    if out_rows:
+        yield pd.DataFrame(
+            out_rows,
+            columns=["user_id", "sess_no", "n_events", "start_epoch", "end_epoch"],
+        )
+
+
+def sessionize_stream(events: DataFrame, evict: bool = False) -> DataFrame:
+    """Stateful streaming sessionize (streaming twin of ``q_sessionize``).
+
+    Input: a streaming events frame with (user_id, event_id, ts). Output:
+    per-session aggregates, updated as triggers fire. A single-trigger
+    (availableNow over one backlog) drain is row-identical to the batch
+    query; across triggers, re-emitted open sessions upsert by
+    (user_id, sess_no).
+
+    ``evict=True`` enables processing-time state eviction (idle users'
+    open sessions flush once, then their state is removed — the bound on
+    state size for continuous deployments). Left off by default because a
+    timeout-armed query never reaches the terminated state under an
+    availableNow drain.
+    """
+    global _SESSION_EVICT_MS
+    _SESSION_EVICT_MS = 10 * SESSION_GAP_SEC * 1000 if evict else 0
+    keyed = events.select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp(F.col("ts")).alias("tse"),
+    ).groupBy("user_id")
+    return keyed.applyInPandasWithState(
+        _session_fn,
+        outputStructType=_SESSION_OUT_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if evict
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
