@@ -111,12 +111,23 @@ def write_extracts(
             else {}
         )
         bboxes = None
+    # per-partition (file-level) lineage: names + bytes of every written
+    # part file, grouped by extract — directory metadata only, no data scan
+    files = {}
+    root = Path(path)
+    if root.exists():
+        for part_dir in sorted(root.glob("extract=*")):
+            files[part_dir.name.split("=", 1)[1]] = [
+                {"file": f.name, "bytes": f.stat().st_size}
+                for f in sorted(part_dir.glob("*.parquet"))
+            ]
     manifest = {
         "stage": stage,
         "path": path,
         "rows": n_rows,
         "per_extract_rows": per_extract,
         "extract_bbox": bboxes,
+        "partition_files": files,
         "salt_buckets": salt_buckets,
         "wall_sec": round(wall, 3),
         "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
