@@ -48,12 +48,24 @@ __all__ = ["softcut_membership", "softcut", "SoftcutMembership", "SoftcutResult"
 
 @dataclass
 class SoftcutMembership:
-    """Pass-1 output: distinct (id, extract) marker tables."""
+    """Pass-1 output: distinct (id, extract) marker tables.
+
+    ``relation_members`` is lazy: the rel→rel closure runs eager driver
+    actions (edge count, fast-path collect), so consumers that only need
+    node/way markers (e.g. the node output path) must not pay for it.
+    """
 
     node_members: DataFrame        # nodes directly inside
     way_members: DataFrame         # ways with >=1 tracked node ref
     extra_nodes: DataFrame         # all refs of all versions of tracked ways
-    relation_members: DataFrame    # relations, closed over rel->rel refs
+    _relation_members: object = None  # DataFrame, or 0-arg thunk building it
+
+    @property
+    def relation_members(self) -> DataFrame:
+        """Relations closed over rel→rel refs (computed on first access)."""
+        if callable(self._relation_members):
+            self._relation_members = self._relation_members()
+        return self._relation_members
 
     def all_nodes(self) -> DataFrame:
         """node ∪ extra-node trackers (reference ``softcut.hpp:339``)."""
@@ -136,13 +148,12 @@ def softcut_membership(
         .select(F.col("ref").alias("child"), F.col("id").alias("parent"))
         .distinct()
     )
-    relation_members = _p(relation_closure(direct_nw, edges))
 
     return SoftcutMembership(
         node_members=node_members,
         way_members=way_members,
         extra_nodes=extra_nodes,
-        relation_members=relation_members,
+        _relation_members=lambda: _p(relation_closure(direct_nw, edges)),
     )
 
 
