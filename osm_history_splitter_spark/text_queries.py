@@ -242,6 +242,31 @@ FROM capped a JOIN capped b ON a.band = b.band AND a.bh = b.bh
 WHERE a.doc_id < b.doc_id"""
 
 
+# --- dedup clustering (connected components over LSH pairs) ------------------
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clusters: connected components over the (capped) LSH pair
+    graph, canonical member = min doc id (operators/dedup.py — the keep-one
+    step of the dedup pipeline)."""
+    from .operators.dedup import dedup_clusters
+
+    return dedup_clusters(q_lsh_pairs(spark, sf_dir))
+
+
+Q_DEDUP_CLUSTERS_SQL = f"""WITH RECURSIVE pairs AS ({Q_LSH_PAIRS_SQL}),
+edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+verts AS (SELECT DISTINCT s AS doc FROM edges),
+reach(doc, r) AS (
+  SELECT doc, doc FROM verts
+  UNION
+  SELECT reach.doc, e.t FROM reach JOIN edges e ON e.s = reach.r)
+SELECT doc AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id,
+  (doc = min(r)) AS is_canonical
+FROM reach GROUP BY doc"""
+
+
 # --- n-gram Jaccard near-dup ------------------------------------------------
 
 
@@ -834,6 +859,7 @@ TEXT_QUERIES = {
     "fingerprint": (q_fingerprint, Q_FINGERPRINT_SQL),
     "minhash_sig": (q_minhash_sig, Q_MINHASH_SIG_SQL),
     "lsh_pairs": (q_lsh_pairs, Q_LSH_PAIRS_SQL),
+    "dedup_clusters": (q_dedup_clusters, Q_DEDUP_CLUSTERS_SQL),
     "ngram_jaccard": (q_ngram_jaccard, Q_NGRAM_JACCARD_SQL),
     "ann_topk": (q_ann_topk, Q_ANN_TOPK_SQL),
     "ivf_topk": (q_ivf_topk, Q_IVF_TOPK_SQL),

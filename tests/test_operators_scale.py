@@ -247,3 +247,23 @@ def test_multimodal_decode_and_frame_sample(spark):
     frames = frame_sample(df.filter(F.col("kind") == "video"), every_n=10).collect()
     vid = next(r for r in dec if r["asset_id"] == 2)
     assert len(frames) == len(range(0, vid["n_frames"], 10))
+
+
+def test_connected_components_chains_and_islands(spark):
+    from osm_history_splitter_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        # component {1,2,3,4} as a chain (diameter 3), component {10,11},
+        # and a self-contained pair {20,21}
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        (r["doc_id"]): (r["cluster_id"], r["is_canonical"])
+        for r in dedup_clusters(pairs).collect()
+    }
+    assert got == {
+        1: (1, True), 2: (1, False), 3: (1, False), 4: (1, False),
+        10: (10, True), 11: (10, False),
+        20: (20, True), 21: (20, False),
+    }
