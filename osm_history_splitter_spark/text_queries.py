@@ -105,6 +105,56 @@ Q_QUALITY_SCORE_SQL = f"""SELECT doc_id,
 FROM documents"""
 
 
+def q_quality_topk(spark, sf_dir):
+    """Per-source quality top-k (k=3): the curation step that keeps only
+    the best documents of each source. Window top-k over the integer
+    quality score — partial-aggregate-friendly, ties broken by doc_id."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    scored = q_quality_score(spark, sf_dir).join(d, "doc_id")
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("source", "rnk", "doc_id", "quality_score")
+    )
+
+
+Q_QUALITY_TOPK_SQL = f"""WITH scored AS ({Q_QUALITY_SCORE_SQL}),
+j AS (SELECT s.doc_id, s.quality_score, d.source
+      FROM scored s JOIN documents d ON d.doc_id = s.doc_id),
+r AS (SELECT source, doc_id, quality_score,
+        row_number() OVER (PARTITION BY source
+          ORDER BY quality_score DESC, doc_id ASC) AS rnk
+      FROM j)
+SELECT source, CAST(rnk AS BIGINT) AS rnk, doc_id, quality_score
+FROM r WHERE rnk <= 3"""
+
+
+def q_hash_sample(spark, sf_dir):
+    """Deterministic content-hash sampling with per-language rates (en 50%,
+    de 25%, others 10%) — reproducible train/eval splits need a hash, not
+    rand(). The md5-hex prefix is a uniform 16-bit integer on both engines.
+    """
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit("smpl:"), F.col("doc_id").cast("string")).cast("binary")), 1, 4),
+        16, 10,
+    ).cast("long") % 100
+    rate = (
+        F.when(F.col("lang") == "en", 50)
+        .when(F.col("lang") == "de", 25)
+        .otherwise(10)
+    )
+    return d.filter(bucket < rate).select("doc_id", "lang")
+
+
+Q_HASH_SAMPLE_SQL = """SELECT doc_id, lang FROM documents
+WHERE CAST(('0x' || substr(md5('smpl:' || CAST(doc_id AS VARCHAR)), 1, 4))::UINTEGER AS BIGINT) % 100
+      < (CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 25 ELSE 10 END)"""
+
+
 # --- language id ------------------------------------------------------------
 
 
@@ -855,6 +905,8 @@ TEXT_QUERIES = {
     "dedup_exact": (q_dedup_exact, Q_DEDUP_EXACT_SQL),
     "token_stats": (q_token_stats, Q_TOKEN_STATS_SQL),
     "quality_score": (q_quality_score, Q_QUALITY_SCORE_SQL),
+    "quality_topk": (q_quality_topk, Q_QUALITY_TOPK_SQL),
+    "hash_sample": (q_hash_sample, Q_HASH_SAMPLE_SQL),
     "lang_id": (q_lang_id, Q_LANG_ID_SQL),
     "fingerprint": (q_fingerprint, Q_FINGERPRINT_SQL),
     "minhash_sig": (q_minhash_sig, Q_MINHASH_SIG_SQL),
