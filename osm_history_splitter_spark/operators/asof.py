@@ -1,0 +1,71 @@
+"""As-of (point-in-time) join — an operator Spark lacks natively.
+
+For every left row, attach the payload of the latest right row with the
+same key and ``right_ts <= left_ts``. The naive formulation is a range
+join (quadratic per key); the scalable shape used here is the
+union-window trick:
+
+1. union the two inputs with an ``is_right`` tag (right rows carry the
+   payload, left rows carry null);
+2. one window per key ordered by (ts, is_right DESC) — a right row sorts
+   before a left row at the same timestamp, giving ``<=`` semantics;
+3. ``last(payload, ignorenulls=true)`` over the running frame assigns each
+   left row the most recent right payload;
+4. filter back to left rows.
+
+One shuffle (the window partitioning), no join at all — the same plan
+Flink's temporal join and kdb's aj compile to. The DuckDB oracle uses its
+NATIVE ``ASOF JOIN`` operator, so the equivalence check crosses two
+independent implementations.
+
+Skew note: the window partitions by key; a pathologically hot key (one
+user with 10^9 events) serializes inside one partition — pre-split such
+keys by time range and stitch, or use the bucketed variant. Normal
+training-data keys (url, user) are fine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """Left as-of join; output = left columns + payload columns (null when
+    no right row precedes). ``right`` must be unique per (on, right_ts) —
+    dedup upstream to make the match deterministic."""
+    lcols = left.columns
+    l_tag = left.withColumn("__ts", F.col(left_ts)).withColumn(
+        "__is_right", F.lit(0)
+    )
+    for c in payload_cols:
+        l_tag = l_tag.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    r_tag = right.select(
+        *on, F.col(right_ts).alias("__ts"), F.lit(1).alias("__is_right"), *payload_cols
+    )
+    for c in lcols:
+        if c not in on and c not in r_tag.columns:
+            r_tag = r_tag.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    unioned = l_tag.select(*lcols, *payload_cols, "__ts", "__is_right").unionByName(
+        r_tag.select(*lcols, *payload_cols, "__ts", "__is_right")
+    )
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts").asc(), F.col("__is_right").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.select(
+        *lcols,
+        "__is_right",
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload_cols],
+    )
+    return filled.filter(F.col("__is_right") == 0).select(*lcols, *payload_cols)

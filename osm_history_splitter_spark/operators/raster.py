@@ -92,3 +92,43 @@ def zonal_stats(
     if "sum_val" in raster.columns:
         aggs.append(F.sum("sum_val").alias("sum_val"))
     return assigned.groupBy("extract").agg(*aggs)
+
+
+def parent_cell_expr(cell):
+    """Cell id at resolution r-1 from a cell at r: both axis indices halve
+    (the grid origin is axis-aligned and widths double per level). Pure
+    integer arithmetic — exact, codegen-friendly."""
+    ix = F.expr(f"cell div {grid.CELL_SHIFT}")
+    iy = cell % F.lit(grid.CELL_SHIFT)
+    return (
+        F.floor(ix / 2).cast("long") * F.lit(grid.CELL_SHIFT)
+        + F.floor(iy / 2).cast("long")
+    )
+
+
+def tile_pyramid(raster: DataFrame, from_res: int, to_res: int) -> DataFrame:
+    """Multi-resolution rollup: (res, cell, n[, sum_val]) for every level
+    from ``from_res`` down to ``to_res``.
+
+    Each level aggregates the PREVIOUS level (4 children → 1 parent), not
+    the raw points — the hypertable/tile-pyramid pattern: total work is
+    O(cells) summed over levels (a geometric series), and every groupBy is
+    map-side combinable on an already-tiny input. Building L levels from
+    raw points instead would scan the planet L times."""
+    has_sum = "sum_val" in raster.columns
+    aggs = [F.sum("n").alias("n")] + (
+        [F.sum("sum_val").alias("sum_val")] if has_sum else []
+    )
+    cols = ["res", "cell", "n"] + (["sum_val"] if has_sum else [])
+    level = raster.withColumn("res", F.lit(from_res))
+    out = level.select(*cols)
+    for r in range(from_res - 1, to_res - 1, -1):
+        level = (
+            level.select(parent_cell_expr(F.col("cell")).alias("cell"), "n",
+                         *(["sum_val"] if has_sum else []))
+            .groupBy("cell")
+            .agg(*aggs)
+            .withColumn("res", F.lit(r))
+        )
+        out = out.unionByName(level.select(*cols))
+    return out

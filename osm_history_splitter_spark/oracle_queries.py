@@ -462,6 +462,41 @@ Q_RASTERIZE_SQL = (
 )
 
 
+def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution tile rollup (operators/raster.py:tile_pyramid):
+    levels res..res-2, each aggregated from the PREVIOUS level (4 children
+    -> 1 parent), never from raw points."""
+    from .operators.raster import rasterize, tile_pyramid
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    pts = c.select(
+        (((k * 7919) % 36000) / F.lit(100.0) - F.lit(180.0)).alias("lon"),
+        (((k * 104729) % 18000) / F.lit(100.0) - F.lit(90.0)).alias("lat"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    return tile_pyramid(
+        rasterize(pts, RASTER_RES, value_col="cents"), RASTER_RES, RASTER_RES - 2
+    )
+
+
+def _parent_sql(cell: str) -> str:
+    s = grid.CELL_SHIFT
+    return f"(({cell} // {s}) // 2) * {s} + (({cell} % {s}) // 2)"
+
+
+Q_TILE_PYRAMID_SQL = f"""WITH pts AS ({_CUST_PTS_SQL}),
+r2 AS (SELECT {grid.cell_id_sql('lon', 'lat', RASTER_RES)} AS cell,
+       count(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_val FROM pts GROUP BY 1),
+r1 AS (SELECT {_parent_sql('cell')} AS cell, CAST(SUM(n) AS BIGINT) AS n,
+       CAST(SUM(sum_val) AS BIGINT) AS sum_val FROM r2 GROUP BY 1),
+r0 AS (SELECT {_parent_sql('cell')} AS cell, CAST(SUM(n) AS BIGINT) AS n,
+       CAST(SUM(sum_val) AS BIGINT) AS sum_val FROM r1 GROUP BY 1)
+SELECT {RASTER_RES} AS res, cell, n, sum_val FROM r2
+UNION ALL SELECT {RASTER_RES - 1} AS res, cell, n, sum_val FROM r1
+UNION ALL SELECT {RASTER_RES - 2} AS res, cell, n, sum_val FROM r0"""
+
+
 def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster×vector zonal statistics: per-extract aggregates over raster
     cell centers (center-point rule)."""
@@ -496,6 +531,7 @@ SPATIAL_QUERIES = {
     "node_membership": (q_node_membership, Q_NODE_MEMBERSHIP_SQL),
     "rasterize": (q_rasterize, Q_RASTERIZE_SQL),
     "zonal_stats": (q_zonal_stats, Q_ZONAL_STATS_SQL),
+    "tile_pyramid": (q_tile_pyramid, Q_TILE_PYRAMID_SQL),
     "cell_assign": (q_cell_assign, Q_CELL_ASSIGN_SQL),
     "way_members": (q_way_members, Q_WAY_MEMBERS_SQL),
     "extra_nodes": (q_extra_nodes, Q_EXTRA_NODES_SQL),

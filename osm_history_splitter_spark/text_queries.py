@@ -764,6 +764,49 @@ WHERE CAST(list_dot_product(a.q, b.q) AS DOUBLE)
 Q_EMBEDDING_NEARDUP_SQL = _neardup_sql()
 
 
+# --- as-of join ---------------------------------------------------------------
+
+
+def q_events_asof(spark, sf_dir):
+    """As-of join (operators/asof.py): every event gets the id of the same
+    user's latest 'purchase' event at-or-before it. Spark side is the
+    union-window formulation; the oracle is DuckDB's NATIVE ASOF JOIN —
+    two independent implementations checked for equivalence."""
+    from .operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_timestamp(F.col("ts")).alias("tse")
+    )
+    ev_typed = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.unix_timestamp(F.col("ts")).alias("tse"),
+    )
+    # right side: unique per (user_id, tse) for a deterministic match
+    snaps = (
+        ev_typed.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("tse").alias("snap_ts"))
+        .agg(F.max("event_id").alias("snap_id"))
+    )
+    out = asof_join(
+        ev, snaps, on=["user_id"], left_ts="tse", right_ts="snap_ts",
+        payload_cols=["snap_id"],
+    )
+    return out.select(
+        "event_id", "user_id", F.coalesce(F.col("snap_id"), F.lit(-1)).alias("snap_id")
+    )
+
+
+Q_EVENTS_ASOF_SQL = """WITH ev AS (
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tse FROM events),
+snaps AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS snap_ts,
+         max(event_id) AS snap_id
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+SELECT e.event_id, e.user_id, COALESCE(s.snap_id, -1) AS snap_id
+FROM ev e ASOF LEFT JOIN snaps s
+  ON e.user_id = s.user_id AND e.tse >= s.snap_ts"""
+
+
 # --- events -----------------------------------------------------------------
 
 
@@ -916,6 +959,7 @@ TEXT_QUERIES = {
     "ann_topk": (q_ann_topk, Q_ANN_TOPK_SQL),
     "ivf_topk": (q_ivf_topk, Q_IVF_TOPK_SQL),
     "embedding_neardup": (q_embedding_neardup, Q_EMBEDDING_NEARDUP_SQL),
+    "events_asof": (q_events_asof, Q_EVENTS_ASOF_SQL),
     "events_hourly": (q_events_hourly, Q_EVENTS_HOURLY_SQL),
     "sessionize": (q_sessionize, Q_SESSIONIZE_SQL),
 }
