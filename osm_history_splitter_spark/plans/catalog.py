@@ -50,6 +50,12 @@ class Extract:
 class ExtractCatalog:
     extracts: list[Extract] = field(default_factory=list)
     max_cover_cells: int = 4096
+    #: budget for the TOTAL broadcast cover (all extracts): ~2M rows ≈
+    #: 60 MB broadcast. A 10^5-extract tile grid at 4096 cells each would
+    #: otherwise build a 4*10^8-row "broadcast" — cover_rows() degrades
+    #: per-extract resolution uniformly until the total fits (coarser
+    #: cover = more exact-refine work per boundary cell, never wrong).
+    max_total_cover_cells: int = 2_000_000
 
     def add(self, e: Extract) -> "ExtractCatalog":
         self.extracts.append(e)
@@ -78,14 +84,33 @@ class ExtractCatalog:
         ]
         return spark.createDataFrame(rows, schema=EXTRACT_SCHEMA)
 
-    def resolutions(self) -> dict[str, int]:
-        """Per-extract grid resolution bounded by ``max_cover_cells``."""
+    def resolutions(self, per_extract_cap: int | None = None) -> dict[str, int]:
+        """Per-extract grid resolution bounded by the per-extract cap."""
+        cap = per_extract_cap or self._fitted_cap()
         return {
-            e.name: grid.pick_res(
-                e.minlon, e.minlat, e.maxlon, e.maxlat, self.max_cover_cells
-            )
+            e.name: grid.pick_res(e.minlon, e.minlat, e.maxlon, e.maxlat, cap)
             for e in self.extracts
         }
+
+    def _fitted_cap(self) -> int:
+        """Largest per-extract cell cap (<= max_cover_cells) whose TOTAL
+        cover fits max_total_cover_cells. Estimates each extract's cover by
+        its bbox cell count at the capped resolution (an upper bound for
+        bboxes, close for polygons) — driver-side arithmetic only, no cover
+        is actually built while fitting."""
+        cap = self.max_cover_cells
+        while cap > 16:
+            total = 0
+            for e in self.extracts:
+                res = grid.pick_res(e.minlon, e.minlat, e.maxlon, e.maxlat, cap)
+                w = grid.cell_width(res)
+                nx = int((e.maxlon - e.minlon) / w) + 2
+                ny = int((e.maxlat - e.minlat) / w) + 2
+                total += nx * ny
+            if total <= self.max_total_cover_cells:
+                break
+            cap //= 4  # one resolution level coarser
+        return cap
 
     def cover_rows(self) -> list[tuple]:
         """(extract, res, cell, fully_inside, kind, bbox…) for every covered

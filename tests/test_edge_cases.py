@@ -131,3 +131,35 @@ class TestPolyHoleEndToEnd:
         pts = [(2.0, 2.0), (5.0, 5.0), (4.0, 5.0)]  # in, in-hole, on hole edge
         got = members_of(assign_extracts(nodes_df(spark, pts), cat))
         assert got == [(0, "holey")]
+
+
+def test_total_cover_budget_degrades_resolution_not_correctness(spark):
+    """A catalog of many extracts must keep its TOTAL broadcast cover under
+    max_total_cover_cells by degrading resolution uniformly; membership is
+    unchanged (coarser cover only moves cells to the exact-refine path)."""
+    import numpy as np
+
+    from osm_history_splitter_spark.operators.spatial_join import assign_extracts
+    from osm_history_splitter_spark.plans.catalog import Extract, ExtractCatalog
+
+    tiles = [
+        Extract.bbox(f"t{i}", -50.0 + i, 0.0, -48.0 + i, 2.0) for i in range(60)
+    ]
+    rich = ExtractCatalog(list(tiles))
+    budget = ExtractCatalog(list(tiles), max_total_cover_cells=3000)
+    assert len(budget.cover_rows()) <= 3000
+    assert len(rich.cover_rows()) > len(budget.cover_rows())
+
+    rng = np.random.default_rng(31)
+    pts = spark.createDataFrame(
+        [
+            (int(i), float(lon), float(lat))
+            for i, (lon, lat) in enumerate(
+                zip(rng.uniform(-55, 15, 1500), rng.uniform(-2, 4, 1500))
+            )
+        ],
+        "id long, lon double, lat double",
+    )
+    a = {(r["id"], r["extract"]) for r in assign_extracts(pts, rich).collect()}
+    b = {(r["id"], r["extract"]) for r in assign_extracts(pts, budget).collect()}
+    assert a == b and a

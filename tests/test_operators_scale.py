@@ -267,3 +267,18 @@ def test_connected_components_chains_and_islands(spark):
         10: (10, True), 11: (10, False),
         20: (20, True), 21: (20, False),
     }
+
+
+def test_tile_pyramid_equals_direct_rasterize(spark, points):
+    """Each pyramid level (rolled up 4-children->parent from the level
+    above) must equal rasterizing the raw points directly at that res."""
+    from osm_history_splitter_spark.operators.raster import rasterize, tile_pyramid
+
+    pyr = tile_pyramid(rasterize(points, res=6), 6, 4)
+    for res in (6, 5, 4):
+        got = {
+            (r["cell"]): r["n"]
+            for r in pyr.filter(F.col("res") == res).collect()
+        }
+        want = {r["cell"]: r["n"] for r in rasterize(points, res=res).collect()}
+        assert got == want, res

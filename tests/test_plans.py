@@ -111,3 +111,23 @@ def test_poly_catalog_refine_is_arrow_batched(spark):
     # row-at-a-time BatchEvalPython
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_asof_join_is_single_shuffle_no_join(spark):
+    """The as-of join must compile to window-over-union: zero join nodes,
+    exactly one exchange (the window partitioning)."""
+    from osm_history_splitter_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100)], "event_id long, user_id long, tse long"
+    )
+    right = spark.createDataFrame(
+        [(10, 50, 7)], "user_id long, snap_ts long, snap_id long"
+    )
+    df = asof_join(left, right, on=["user_id"], left_ts="tse",
+                   right_ts="snap_ts", payload_cols=["snap_id"])
+    plan = plan_of(df)
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert node not in plan, node
+    assert plan.count("Exchange") == 1, plan
