@@ -85,3 +85,34 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
         if r["user_id"] % 5 == 0
     }
     assert got == want
+
+
+def test_softcut_emit_stream_matches_batch_pass2(spark, tmp_path):
+    """Late-arriving versions of tracked ids are emitted by the streaming
+    pass-2 exactly as the batch join would emit them."""
+    from osm_history_splitter_spark.streaming.hardcut_stream import (
+        softcut_emit_stream,
+    )
+
+    markers = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (2, "b")], "id long, extract string"
+    )
+    arrivals = spark.createDataFrame(
+        [(1, 3), (2, 9), (5, 1)], "id long, version int"
+    )  # id 5 is untracked -> dropped
+    src = str(tmp_path / "arrivals")
+    arrivals.write.parquet(src)
+    stream = spark.readStream.schema(arrivals.schema).parquet(src)
+    q = softcut_emit_stream(
+        stream, markers, str(tmp_path / "out"), str(tmp_path / "ck")
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["id"], r["version"], r["extract"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    want = {
+        (r["id"], r["version"], r["extract"])
+        for r in arrivals.join(markers, "id").collect()
+    }
+    assert got == want and len(got) == 3
