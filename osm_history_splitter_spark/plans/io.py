@@ -67,6 +67,16 @@ def write_extracts(
     """
     obs_cols = [F.count(F.lit(1)).alias("rows")]
     names: list[str] = []
+    if catalog is not None and len(catalog) > 256:
+        # one observe aggregate per extract stops paying off when the
+        # expression list itself bloats codegen; huge catalogs use the
+        # footer-count fallback below (row-group metadata scan)
+        bboxes_only = {
+            e.name: [e.minlon, e.minlat, e.maxlon, e.maxlat] for e in catalog
+        }
+        catalog = None
+    else:
+        bboxes_only = None
     if catalog is not None:
         names = [e.name for e in catalog]
         obs_cols += [
@@ -110,7 +120,7 @@ def write_extracts(
             if n_rows
             else {}
         )
-        bboxes = None
+        bboxes = bboxes_only
     # per-partition (file-level) lineage: names + bytes of every written
     # part file, grouped by extract — directory metadata only, no data scan
     files = {}

@@ -146,3 +146,21 @@ def test_history_compat_raises(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="versions"):
         validate_history_compat(hist, "nodes", expect_history=False)
+
+
+def test_write_extracts_large_catalog_falls_back(spark, tmp_path):
+    """>256 extracts: observe-per-extract would bloat codegen; counts come
+    from footers instead, bboxes still recorded."""
+    from osm_history_splitter_spark.plans.catalog import Extract, ExtractCatalog
+
+    cat = ExtractCatalog(
+        [Extract.bbox(f"e{i}", 0.0, 0.0, 1.0, 1.0) for i in range(300)]
+    )
+    df = spark.range(600).selectExpr(
+        "id", "concat('e', cast(id % 300 as string)) AS extract"
+    )
+    m = write_extracts(df, str(tmp_path / "big"), "t", salt_buckets=2, catalog=cat)
+    assert m["rows"] == 600
+    assert m["per_extract_rows"]["e0"] == 2
+    assert len(m["per_extract_rows"]) == 300
+    assert m["extract_bbox"]["e7"] == [0.0, 0.0, 1.0, 1.0]
