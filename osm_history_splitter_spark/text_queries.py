@@ -517,10 +517,13 @@ def q_ivf_topk(spark, sf_dir):
         for j, c in enumerate(cents)
     ]
     darr = F.array(*[F.col(f"dc{j}") for j in range(IVF_LISTS)])
+    # persisted: the inverted table feeds the probe build, the candidate
+    # join and (via e) the query table — one materialization, not 6 scans
     inv = (
         e.select("vid", "q", *dots)
         .withColumn("list_id", F.array_position(darr, F.array_max(darr)).cast("int"))
         .select("vid", "q", "list_id", darr.alias("ds"))
+        .persist()
     )
     # query side: probe the IVF_PROBE lists with the highest centroid dot
     # (dot desc, list index asc) — a tiny table, broadcast into the join
@@ -655,6 +658,10 @@ def q_embedding_neardup(spark, sf_dir):
     (/root/reference/cut.hpp:36-49 bbox prefilter + exact test) in
     embedding space: candidate generation is a narrow (vid, band, key)
     equi-join; vectors are re-attached by id for the exact rerank.
+
+    The quantized table is persisted: the DAG references it from the
+    banding subtree AND both rerank joins — unpersisted, Catalyst
+    re-scans the source per reference (measured 16 scans in the plan).
     """
     planes = _neardup_planes()
     base = _t(spark, sf_dir, "embeddings").select(
@@ -666,7 +673,7 @@ def q_embedding_neardup(spark, sf_dir):
             f"transform(q, (x, i) -> IF(i = 0, x + {NEARDUP_PERTURB}L, x))"
         ).alias("q"),
     )
-    allv = base.unionByName(plant)
+    allv = base.unionByName(plant).persist()
 
     dots = [
         F.expr(
