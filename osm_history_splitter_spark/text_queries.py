@@ -771,6 +771,51 @@ WHERE CAST(list_dot_product(a.q, b.q) AS DOUBLE)
 Q_EMBEDDING_NEARDUP_SQL = _neardup_sql()
 
 
+# --- multimodal decode plumbing ----------------------------------------------
+
+
+def q_multimodal_decode(spark, sf_dir):
+    """Arrow mapInPandas decode over binary assets (functions/multimodal.py).
+    The decoder is the documented deterministic stub (sha256-derived
+    pseudo-dimensions — PIL/pyav absent in this container), which makes the
+    WHOLE mapInPandas path oracle-checkable: schema, batching and the
+    stub's arithmetic are reproduced exactly in DuckDB (its sha256 matches
+    hashlib)."""
+    from .functions.multimodal import decode_assets
+
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id") % 3
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.when(k == 0, "image").when(k == 1, "video").otherwise("audio").alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+        F.lit(None).cast("map<string,string>").alias("meta"),
+    )
+    return decode_assets(assets)
+
+
+def _hexbyte(sha: str, i: int) -> str:
+    """SQL for byte i (0-based) of a hex digest as an integer."""
+    return f"('0x' || substr({sha}, {2 * i + 1}, 2))::UINTEGER"
+
+
+Q_MULTIMODAL_DECODE_SQL = f"""WITH a AS (
+  SELECT doc_id AS asset_id,
+    CASE WHEN doc_id % 3 = 0 THEN 'image'
+         WHEN doc_id % 3 = 1 THEN 'video' ELSE 'audio' END AS kind,
+    sha256(text) AS sha
+  FROM documents)
+SELECT asset_id, kind,
+  CAST(64 + {_hexbyte('sha', 0)} % 192 AS INTEGER) AS width,
+  CAST(64 + {_hexbyte('sha', 1)} % 192 AS INTEGER) AS height,
+  CAST(CASE WHEN kind = 'image' THEN 1
+            ELSE 1 + {_hexbyte('sha', 2)} % 120 END AS INTEGER) AS n_frames,
+  CAST(CASE WHEN kind = 'image' THEN 0
+            ELSE (1 + {_hexbyte('sha', 3)}) * 250 END AS BIGINT) AS duration_ms,
+  sha AS content_sha
+FROM a"""
+
+
 # --- as-of join ---------------------------------------------------------------
 
 
@@ -966,6 +1011,7 @@ TEXT_QUERIES = {
     "ann_topk": (q_ann_topk, Q_ANN_TOPK_SQL),
     "ivf_topk": (q_ivf_topk, Q_IVF_TOPK_SQL),
     "embedding_neardup": (q_embedding_neardup, Q_EMBEDDING_NEARDUP_SQL),
+    "multimodal_decode": (q_multimodal_decode, Q_MULTIMODAL_DECODE_SQL),
     "events_asof": (q_events_asof, Q_EVENTS_ASOF_SQL),
     "events_hourly": (q_events_hourly, Q_EVENTS_HOURLY_SQL),
     "sessionize": (q_sessionize, Q_SESSIONIZE_SQL),
