@@ -292,6 +292,44 @@ FROM capped a JOIN capped b ON a.band = b.band AND a.bh = b.bh
 WHERE a.doc_id < b.doc_id"""
 
 
+# --- decontamination (benchmark n-gram overlap) -------------------------------
+
+#: docs with doc_id < this stand in for the held-out benchmark set
+DECONTAM_BENCH = 10
+DECONTAM_N = 13  # 13-gram overlap, the common contamination heuristic
+
+
+def q_decontaminate(spark, sf_dir):
+    """Test-set decontamination: flag corpus documents sharing any
+    character 13-gram with the (small, broadcast) benchmark set, with the
+    matching-gram count. The benchmark side is tiny by construction, so
+    the join is a broadcast semi-join against the corpus shingle stream —
+    at 100 TB the corpus side is one map-side pass, no corpus shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    sh = shingles(d, n=DECONTAM_N)
+    bench = (
+        sh.filter(F.col("doc_id") < DECONTAM_BENCH).select("s").distinct()
+    )
+    return (
+        sh.filter(F.col("doc_id") >= DECONTAM_BENCH)
+        .join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated_grams"))
+    )
+
+
+Q_DECONTAMINATE_SQL = f"""WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    generate_series(1, length(text) - {DECONTAM_N - 1}),
+    g -> substr(text, g, {DECONTAM_N})))) AS s
+  FROM documents WHERE length(text) >= {DECONTAM_N}),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < {DECONTAM_BENCH})
+SELECT sh.doc_id, count(*) AS n_contaminated_grams
+FROM sh JOIN bench USING (s)
+WHERE sh.doc_id >= {DECONTAM_BENCH}
+GROUP BY sh.doc_id"""
+
+
 # --- dedup clustering (connected components over LSH pairs) ------------------
 
 
@@ -1007,6 +1045,7 @@ TEXT_QUERIES = {
     "minhash_sig": (q_minhash_sig, Q_MINHASH_SIG_SQL),
     "lsh_pairs": (q_lsh_pairs, Q_LSH_PAIRS_SQL),
     "dedup_clusters": (q_dedup_clusters, Q_DEDUP_CLUSTERS_SQL),
+    "decontaminate": (q_decontaminate, Q_DECONTAMINATE_SQL),
     "ngram_jaccard": (q_ngram_jaccard, Q_NGRAM_JACCARD_SQL),
     "ann_topk": (q_ann_topk, Q_ANN_TOPK_SQL),
     "ivf_topk": (q_ivf_topk, Q_IVF_TOPK_SQL),

@@ -7,6 +7,7 @@ import datetime as dt
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from osm_history_splitter_spark.model import NODE_SCHEMA
 from osm_history_splitter_spark.operators.spatial_join import assign_extracts
@@ -135,3 +136,52 @@ def test_staged_runner_matches_one_pass(spark, tree, tmp_path):
         str(tmp_path / "staged/jobs/_root"), "nodes", "africa"
     )
     assert rows_of(one_out, "nodes", "europe/germany")  # non-vacuous
+
+
+def test_staged_runner_matches_one_pass_hardcut(spark, tree, tmp_path):
+    """Hardcut composes through the hierarchy too: clipping a child from
+    the parent's clipped output equals clipping it directly (child refs
+    are a subset of parent refs, so the <2-refs drop agrees)."""
+    from osm_history_splitter_spark.model import RELATION_SCHEMA, WAY_SCHEMA
+    from osm_history_splitter_spark.plans.hierarchy import run_hierarchy
+    from osm_history_splitter_spark.splitter import run_split
+
+    sub = ExtractCatalog(
+        [e for e in tree if e.name in ("europe", "europe/germany")]
+    )
+    rng = np.random.default_rng(37)
+    nodes = spark.createDataFrame(
+        [
+            (int(i), 1, True, TS, 0, 0, "u", float(lat), float(lon), {})
+            for i, (lon, lat) in enumerate(
+                zip(rng.uniform(0, 20, 800), rng.uniform(40, 60, 800))
+            )
+        ],
+        schema=NODE_SCHEMA,
+    )
+    ways = spark.createDataFrame(
+        [(1000 + w, 1, True, TS, 0, 0, "u",
+          [int(4 * w), int(4 * w + 1), int(4 * w + 2), int(4 * w + 3)], {})
+         for w in range(200)],
+        schema=WAY_SCHEMA,
+    )
+    rels = spark.createDataFrame([], schema=RELATION_SCHEMA)
+
+    one_out = str(tmp_path / "one_hc")
+    run_split(spark, nodes, ways, rels, sub, one_out, mode="hardcut")
+    staged_out = str(tmp_path / "staged_hc")
+    run_hierarchy(spark, nodes, ways, rels, sub, staged_out, mode="hardcut")
+
+    for entity in ("nodes", "ways"):
+        one = {
+            (r["id"], r["version"])
+            for r in spark.read.parquet(f"{one_out}/{entity}")
+            .filter(F.col("extract") == "europe/germany").collect()
+        }
+        staged = {
+            (r["id"], r["version"])
+            for r in spark.read.parquet(f"{staged_out}/jobs/europe/{entity}")
+            .filter(F.col("extract") == "europe/germany").collect()
+        }
+        assert staged == one, entity
+    assert one  # non-vacuous
