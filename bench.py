@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "lsh_pairs",
     "ann_topk",
     "ivf_topk",
+    "events_asof",
     "embedding_neardup",
     "sessionize",
 ]
