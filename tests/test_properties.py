@@ -178,3 +178,79 @@ def test_hardcut_matches_reference_semantics(spark, seed):
     for e in expected:
         assert {i for i, _ in expected[e]["node_versions"]} <= soft[e]["nodes"]
         assert {i for i, _ in expected[e]["ways"]} <= soft[e]["ways"]
+
+
+def _naive_asof(left_rows, right_rows):
+    """Pure-python as-of oracle: latest right with same key and ts <= left ts."""
+    out = {}
+    for eid, key, lts in left_rows:
+        best = None
+        for rkey, rts, payload in right_rows:
+            if rkey == key and rts <= lts and (best is None or rts > best[0]
+                                               or (rts == best[0] and payload > best[1])):
+                best = (rts, payload)
+        out[eid] = best[1] if best else None
+    return out
+
+
+@pytest.mark.parametrize("seed", [1, 7, 19])
+def test_asof_join_random_equivalence(spark, seed):
+    from osm_history_splitter_spark.operators.asof import asof_join
+
+    rng = np.random.default_rng(seed)
+    left_rows = [
+        (int(i), int(rng.integers(0, 6)), int(rng.integers(0, 50)))
+        for i in range(120)
+    ]
+    # right unique per (key, ts) — the operator's documented contract
+    seen = {}
+    for _ in range(40):
+        k, t = int(rng.integers(0, 6)), int(rng.integers(0, 50))
+        seen[(k, t)] = max(seen.get((k, t), 0), int(rng.integers(1, 1000)))
+    right_rows = [(k, t, p) for (k, t), p in seen.items()]
+
+    left = spark.createDataFrame(left_rows, "event_id long, user_id long, tse long")
+    right = spark.createDataFrame(right_rows, "user_id long, snap_ts long, snap_id long")
+    got = {
+        r["event_id"]: r["snap_id"]
+        for r in asof_join(
+            left, right, on=["user_id"], left_ts="tse",
+            right_ts="snap_ts", payload_cols=["snap_id"],
+        ).collect()
+    }
+    want = _naive_asof(left_rows, right_rows)
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_connected_components_random_vs_union_find(spark, seed):
+    from osm_history_splitter_spark.operators.dedup import connected_components
+
+    rng = np.random.default_rng(seed)
+    edges = {
+        (int(a), int(b))
+        for a, b in zip(rng.integers(0, 40, 80), rng.integers(0, 40, 80))
+        if a != b
+    }
+    # pure-python union-find oracle
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {v: find(v) for v in parent}
+
+    pairs = spark.createDataFrame(list(edges), "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == want
