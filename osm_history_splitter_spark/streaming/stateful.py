@@ -37,9 +37,6 @@ _SESSION_OUT_SCHEMA = (
 _SESSION_STATE_SCHEMA = (
     "last_ts long, sess_no long, n_events long, start_epoch long"
 )
-# module-level because applyInPandasWithState pickles the bare function;
-# set by sessionize_stream(evict=True) before building the plan
-_SESSION_EVICT_MS = 0
 
 
 def hourly_rollup_stream(
@@ -70,62 +67,72 @@ def hourly_rollup_stream(
     )
 
 
-def _session_fn(
-    key: Tuple[Any, ...],
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """Per-user session assignment over Arrow batches. Emits every session
-    touched in this trigger (closed sessions are final; the currently-open
-    session re-emits with updated aggregates on later triggers — a sink
-    keyed on (user_id, sess_no) upserts to the exact batch semantics)."""
-    (user_id,) = key
-    if state.exists:
-        last_ts, sess_no, n_events, start_epoch = state.get
-    else:
-        last_ts, sess_no, n_events, start_epoch = None, 0, 0, 0
+def _make_session_fn(evict_ms: int):
+    """Build the per-user state function as a CLOSURE: cloudpickle ships a
+    nested function by value (with its captured cells), while a
+    module-level function is pickled by reference and re-imported on
+    executors — a module-global eviction flag would silently reset there.
+    """
 
-    if state.hasTimedOut:
-        # idle user: flush the open session one last time and evict state
-        state.remove()
+    def _session_fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        """Per-user session assignment over Arrow batches. Emits every
+        session touched in this trigger (closed sessions are final; the
+        open session re-emits with updated aggregates on later triggers —
+        a sink keyed on (user_id, sess_no) upserts to the exact batch
+        semantics)."""
+        (user_id,) = key
+        if state.exists:
+            last_ts, sess_no, n_events, start_epoch = state.get
+        else:
+            last_ts, sess_no, n_events, start_epoch = None, 0, 0, 0
+
+        if state.hasTimedOut:
+            # idle user: flush the open session one last time and evict state
+            state.remove()
+            if last_ts is not None:
+                yield pd.DataFrame(
+                    [(user_id, sess_no, n_events, start_epoch, last_ts)],
+                    columns=[
+                        "user_id", "sess_no", "n_events", "start_epoch", "end_epoch"
+                    ],
+                )
+            return
+
+        out_rows = []
+        touched: dict[int, list] = {}
+        batches = [pdf for pdf in pdfs]
+        if batches:
+            # one user's rows may span Arrow batches — order globally, once
+            allp = pd.concat(batches).sort_values(["tse", "event_id"])
+            for tse in allp["tse"].to_numpy():
+                t = int(tse)
+                if last_ts is None:
+                    sess_no, n_events, start_epoch = 1, 1, t
+                elif t - last_ts > SESSION_GAP_SEC:
+                    touched[sess_no] = [n_events, start_epoch, last_ts]
+                    sess_no += 1
+                    n_events, start_epoch = 1, t
+                else:
+                    n_events += 1
+                last_ts = t
         if last_ts is not None:
+            touched[sess_no] = [n_events, start_epoch, last_ts]
+            state.update((last_ts, sess_no, n_events, start_epoch))
+            if evict_ms:
+                state.setTimeoutDuration(evict_ms)
+        for sno, (n, st, en) in touched.items():
+            out_rows.append((user_id, sno, n, st, en))
+        if out_rows:
             yield pd.DataFrame(
-                [(user_id, sess_no, n_events, start_epoch, last_ts)],
-                columns=[
-                    "user_id", "sess_no", "n_events", "start_epoch", "end_epoch"
-                ],
+                out_rows,
+                columns=["user_id", "sess_no", "n_events", "start_epoch", "end_epoch"],
             )
-        return
 
-    out_rows = []
-    touched: dict[int, list] = {}
-    batches = [pdf for pdf in pdfs]
-    if batches:
-        # one user's rows may span Arrow batches — order globally, once
-        allp = pd.concat(batches).sort_values(["tse", "event_id"])
-        for tse in allp["tse"].to_numpy():
-            t = int(tse)
-            if last_ts is None:
-                sess_no, n_events, start_epoch = 1, 1, t
-            elif t - last_ts > SESSION_GAP_SEC:
-                touched[sess_no] = [n_events, start_epoch, last_ts]
-                sess_no += 1
-                n_events, start_epoch = 1, t
-            else:
-                n_events += 1
-            last_ts = t
-    if last_ts is not None:
-        touched[sess_no] = [n_events, start_epoch, last_ts]
-        state.update((last_ts, sess_no, n_events, start_epoch))
-        if _SESSION_EVICT_MS:
-            state.setTimeoutDuration(_SESSION_EVICT_MS)
-    for sno, (n, st, en) in touched.items():
-        out_rows.append((user_id, sno, n, st, en))
-    if out_rows:
-        yield pd.DataFrame(
-            out_rows,
-            columns=["user_id", "sess_no", "n_events", "start_epoch", "end_epoch"],
-        )
+    return _session_fn
 
 
 def sessionize_stream(events: DataFrame, evict: bool = False) -> DataFrame:
@@ -143,15 +150,14 @@ def sessionize_stream(events: DataFrame, evict: bool = False) -> DataFrame:
     timeout-armed query never reaches the terminated state under an
     availableNow drain.
     """
-    global _SESSION_EVICT_MS
-    _SESSION_EVICT_MS = 10 * SESSION_GAP_SEC * 1000 if evict else 0
+    fn = _make_session_fn(10 * SESSION_GAP_SEC * 1000 if evict else 0)
     keyed = events.select(
         "user_id",
         "event_id",
         F.unix_timestamp(F.col("ts")).alias("tse"),
     ).groupBy("user_id")
     return keyed.applyInPandasWithState(
-        _session_fn,
+        fn,
         outputStructType=_SESSION_OUT_SCHEMA,
         stateStructType=_SESSION_STATE_SCHEMA,
         outputMode="update",
