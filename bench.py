@@ -61,6 +61,12 @@ def run(sf_dir: str, cores: int | None = None) -> dict:
 
     n_pages = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     docs_per_sec = round(n_pages / times["pages_split"], 1)
+
+    # flagship-split throughput on a corpus big enough to amortize the
+    # ~3.3 s stage-scheduling floor (BENCH.md): pages written once to
+    # tmpfs (generation unmeasured), split measured warm (best of 2)
+    split_thr, split_pages = _split_throughput(spark)
+
     total = round(sum(times.values()), 3)
     out = {
         "metric": "pages-split throughput + operator suite wall-clock",
@@ -69,11 +75,58 @@ def run(sf_dir: str, cores: int | None = None) -> dict:
         "queries": times,
         "sf": sf_dir,
         "docs_per_sec": docs_per_sec,
+        "split_docs_per_sec": split_thr,
+        "split_pages": split_pages,
         "rows": rows,
         "cores": cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
     }
     spark.stop()
     return out
+
+
+def _split_throughput(spark, replicate: int = 512) -> tuple[float, int]:
+    """Warm flagship-split docs/sec over a ×replicate fanned corpus
+    (2.56M pages by default) read from tmpfs parquet — the measured job
+    is the split, not the synthesizer (methodology: BENCH.md)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from osm_history_splitter_spark.functions.geotags import extract_geotags
+    from osm_history_splitter_spark.operators.spatial_join import assign_extracts
+    from osm_history_splitter_spark.sources.pages import synth_pages
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    tmp = tempfile.mkdtemp(prefix="bench_pages_", dir=base)
+    try:
+        path = f"{tmp}/pages"
+        synth_pages(
+            spark, "/root/testdata/sf0.1", replicate=replicate, partitions=32
+        ).write.parquet(path)
+        n_pages = 5000 * replicate
+
+        def job():
+            pages = spark.read.parquet(path)
+            pts = pages.select(
+                "url", F.explode(extract_geotags(F.col("text"))).alias("g")
+            ).select(
+                "url", F.col("g.lat").alias("lat"), F.col("g.lon").alias("lon")
+            )
+            members = assign_extracts(pts, oq.catalog()).select(
+                "url", "extract"
+            ).distinct()
+            return pages.join(members, "url").count()
+
+        job()  # warm: JIT + codegen + footers
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            job()
+            best = min(best, time.perf_counter() - t0)
+        return round(n_pages / best, 1), n_pages
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":
