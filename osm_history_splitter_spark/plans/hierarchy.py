@@ -97,12 +97,20 @@ def run_hierarchy(
     membership job, mirroring the shared-scan design
     (``splitter.cpp:80``).
 
-    Layout: job for source S writes to ``{out_root}/jobs/{S or '_root'}``
-    partitioned by (qualified) extract name; a child's rows are then read
-    back with partition pruning (``read_extract``). Returns a manifest
-    whose ``jobs`` list proves the ordering (each entry names its source
-    job, which always appears earlier).
+    Layout: the job sourced from extract S writes to
+    ``{out_root}/jobs/{S}``; root-sourced jobs write to
+    ``{out_root}/jobs/_root.d{depth}`` — **depth-unique**, because extracts
+    whose parent *directory* has no geometry file (e.g. the reference tree's
+    ``europe/great_britain/england/london/enfield`` where ``london`` has no
+    .poly) also source from the root, in a LATER batch; sharing one ``_root``
+    dir would let that later overwrite-mode job clobber the depth-0 job's
+    output. A child's rows are read back from the dir its job actually wrote
+    (tracked in ``written_at``), with partition pruning (``read_extract``).
+    Returns a manifest whose ``jobs`` list proves the ordering (each entry
+    names its source job, which always appears earlier).
     """
+    from pyspark.errors import AnalysisException
+
     from ..splitter import run_split
     from .io import read_extract
 
@@ -110,8 +118,9 @@ def run_hierarchy(
     by_name = {e.name: e for e in tree}
     manifest: dict = {"mode": mode, "jobs": []}
     done: set[str] = set()
+    written_at: dict[str, str] = {}  # extract name -> dir of the job that wrote it
 
-    for batch in topo_batches(tree):
+    for depth, batch in enumerate(topo_batches(tree)):
         groups: dict[str | None, list[str]] = {}
         for n in batch:
             p = parent_of(n)
@@ -121,22 +130,31 @@ def run_hierarchy(
             children = sorted(groups[src])
             if src is None:
                 src_nodes, src_ways, src_rels = nodes, ways, relations
-                job_src = "_root"
+                job_src = f"_root.d{depth}"
             else:
                 assert src in done, f"scheduling bug: {src} not finished"
-                parent_job = parent_of(src)
-                base = f"{out_root}/jobs/{parent_job if parent_job in done else '_root'}"
+                base = written_at[src]
 
                 def _part(sub, fallback):
                     # an all-empty parent write leaves no parquet files ->
                     # schema inference fails; substitute an empty frame of
-                    # the root schema (same columns flow through the split)
+                    # the root schema (same columns flow through the split).
+                    # ONLY that case: any other read failure (bad path,
+                    # corrupt parquet) must surface, not yield silently
+                    # empty child extracts.
                     try:
                         return read_extract(spark, f"{base}/{sub}", src).drop(
                             "extract"
                         )
-                    except Exception:
-                        return spark.createDataFrame([], fallback.schema)
+                    except AnalysisException as e:
+                        msg = str(e)
+                        if (
+                            "PATH_NOT_FOUND" in msg
+                            or "UNABLE_TO_INFER_SCHEMA" in msg
+                            or "Unable to infer schema" in msg
+                        ):
+                            return spark.createDataFrame([], fallback.schema)
+                        raise
 
                 src_nodes = _part("nodes", nodes)
                 src_ways = _part("ways", ways)
@@ -152,4 +170,5 @@ def run_hierarchy(
                  "rows": {k: v.get("rows") for k, v in m.items() if isinstance(v, dict)}}
             )
             done.update(children)
+            written_at.update({c: job_out for c in children})
     return manifest

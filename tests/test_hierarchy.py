@@ -111,7 +111,7 @@ def test_staged_runner_matches_one_pass(spark, tree, tmp_path):
     # earlier job
     seen: set[str] = set()
     for job in manifest["jobs"]:
-        if job["source"] != "_root":
+        if not job["source"].startswith("_root"):
             assert job["source"] in seen, manifest["jobs"]
         seen.update(job["children"])
     assert {"europe", "europe/germany", "africa"} <= seen
@@ -131,11 +131,63 @@ def test_staged_runner_matches_one_pass(spark, tree, tmp_path):
         one = rows_of(one_out, entity, "europe/germany")
         staged = rows_of(str(tmp_path / "staged/jobs/europe"), entity, "europe/germany")
         assert staged == one, (entity, len(staged), len(one))
-    # and a top-level extract comes from the root job
+    # and a top-level extract comes from the depth-0 root job
     assert rows_of(one_out, "nodes", "africa") == rows_of(
-        str(tmp_path / "staged/jobs/_root"), "nodes", "africa"
+        str(tmp_path / "staged/jobs/_root.d0"), "nodes", "africa"
     )
     assert rows_of(one_out, "nodes", "europe/germany")  # non-vacuous
+
+
+def test_orphan_parent_does_not_clobber_root_job(spark, tmp_path):
+    """An extract whose parent directory has NO geometry file (reference
+    tree has europe/great_britain/england/london/enfield with no london
+    geometry) sources from the root in a LATER batch. Its overwrite-mode
+    write must not clobber the depth-0 root job's output — regression test
+    for the shared jobs/_root dir bug."""
+    from osm_history_splitter_spark.model import RELATION_SCHEMA, WAY_SCHEMA
+    from osm_history_splitter_spark.plans.catalog import Extract
+    from osm_history_splitter_spark.plans.hierarchy import run_hierarchy
+
+    cat = ExtractCatalog(
+        [
+            Extract.bbox("africa", -20.0, -35.0, 52.0, 37.0),
+            # depth-1 name, but "europe" itself has no geometry -> orphan
+            Extract.bbox("europe/germany", 5.0, 47.0, 15.0, 55.0),
+        ]
+    )
+    rng = np.random.default_rng(41)
+    nodes = spark.createDataFrame(
+        [
+            (int(i), 1, True, TS, 0, 0, "u", float(lat), float(lon), {})
+            for i, (lon, lat) in enumerate(
+                zip(rng.uniform(-20, 40, 600), rng.uniform(-35, 65, 600))
+            )
+        ],
+        schema=NODE_SCHEMA,
+    )
+    ways = spark.createDataFrame([], schema=WAY_SCHEMA)
+    rels = spark.createDataFrame([], schema=RELATION_SCHEMA)
+
+    out = str(tmp_path / "orphan")
+    manifest = run_hierarchy(spark, nodes, ways, rels, cat, out, mode="softcut")
+    # both jobs ran root-sourced, in different batches, to DIFFERENT dirs
+    srcs = [j["source"] for j in manifest["jobs"]]
+    assert srcs == ["_root.d0", "_root.d1"], srcs
+    africa = spark.read.parquet(f"{out}/jobs/_root.d0/nodes").filter(
+        F.col("extract") == "africa"
+    )
+    germany = spark.read.parquet(f"{out}/jobs/_root.d1/nodes").filter(
+        F.col("extract") == "europe/germany"
+    )
+    from osm_history_splitter_spark.operators.spatial_join import (
+        assign_extracts as _assign,
+    )
+
+    expect_africa = _assign(
+        nodes, ExtractCatalog([Extract.bbox("africa", -20.0, -35.0, 52.0, 37.0)])
+    )
+    assert africa.count() == expect_africa.count() > 0
+    assert germany.count() > 0
 
 
 def test_staged_runner_matches_one_pass_hardcut(spark, tree, tmp_path):
