@@ -47,10 +47,14 @@ def relation_closure(
     # semi-naive loop when either bound trips.
     max_pairs = 20 * driver_threshold
 
-    n_edges = edges.limit(driver_threshold + 1).count()
+    # ONE bounded action decides the path AND fetches the edges: collect up
+    # to threshold+1 rows and branch on the length (two separate actions —
+    # a limit-count probe then a collect — re-ran the edge subtree twice and
+    # cost a scheduling round-trip per membership build; BENCH_r02 measured
+    # it as a +40% relation_members regression)
+    edge_rows = edges.limit(driver_threshold + 1).collect()
     anc_pairs: list | None = None
-    if n_edges <= driver_threshold:
-        edge_rows = edges.collect()  # bounded by driver_threshold (tiny)
+    if len(edge_rows) <= driver_threshold:
         parents: dict = {}
         for r in edge_rows:
             parents.setdefault(r["child"], []).append(r["parent"])

@@ -1,0 +1,91 @@
+"""One-command verify drive (the recipe in .claude/skills/verify): golden
+softcut/hardcut semantics on the fixture world, the driver contract
+(entry/queries/oracle_sql), and one Spark-vs-DuckDB oracle spot-check.
+
+Usage: python tools/verify_drive.py
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    from osm_history_splitter_spark.model import (
+        NODE_SCHEMA,
+        RELATION_SCHEMA,
+        WAY_SCHEMA,
+    )
+    from osm_history_splitter_spark.operators.hardcut import hardcut
+    from osm_history_splitter_spark.operators.softcut import softcut
+    from osm_history_splitter_spark.plans.catalog import Extract, ExtractCatalog
+    from osm_history_splitter_spark.session import get_spark
+
+    spark = get_spark("verify", cores=8, shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    ts = dt.datetime(2020, 1, 1)
+    nodes = spark.createDataFrame(
+        [
+            (1, 1, True, ts, 0, 0, "u", 0.5, 0.5, {}),
+            (1, 2, True, ts, 0, 0, "u", 5.0, 5.0, {}),
+            (2, 1, True, ts, 0, 0, "u", 5.0, 5.0, {}),
+            (2, 2, True, ts, 0, 0, "u", 0.6, 0.6, {}),
+            (3, 1, True, ts, 0, 0, "u", 0.0, 0.0, {}),
+            (3, 2, True, ts, 0, 0, "u", 9.0, 9.0, {}),
+            (4, 1, True, ts, 0, 0, "u", 8.0, 8.0, {}),
+        ],
+        schema=NODE_SCHEMA,
+    )
+    ways = spark.createDataFrame(
+        [
+            (10, 1, True, ts, 0, 0, "u", [1, 2], {}),
+            (10, 2, True, ts, 0, 0, "u", [1, 2], {}),
+            (11, 1, True, ts, 0, 0, "u", [4], {}),
+        ],
+        schema=WAY_SCHEMA,
+    )
+    rels = spark.createDataFrame([], schema=RELATION_SCHEMA)
+    cat = ExtractCatalog([Extract.bbox("t", -1.0, -1.0, 1.0, 1.0)])
+
+    sc = softcut(nodes, ways, rels, cat)
+    got_n = sorted((r["id"], r["version"]) for r in sc.nodes.collect())
+    got_w = sorted((r["id"], r["version"]) for r in sc.ways.collect())
+    assert got_n == [(1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2)], got_n
+    assert got_w == [(10, 1), (10, 2)], got_w
+    hc = hardcut(nodes, ways, rels, cat)
+    hn = sorted((r["id"], r["version"]) for r in hc.nodes.collect())
+    assert hn == [(1, 1), (2, 2), (3, 1)], hn
+    print("golden softcut/hardcut OK")
+
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    n = df.count()
+    assert n > 0, "entry() returned no rows"
+    qs, osql = e.queries(), e.oracle_sql()
+    print(f"entry rows: {n}; queries: {len(qs)}; oracles: {len(osql)}")
+
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf0.01/{t}.parquet')"
+        )
+    name = "node_membership"
+    got = qs[name](spark, "/root/testdata/sf0.01").count()
+    want = con.execute(f"SELECT count(*) FROM ({osql[name]})").fetchone()[0]
+    assert got == want, (name, got, want)
+    print(f"oracle spot-check {name}: {got} == {want} OK")
+
+
+if __name__ == "__main__":
+    main()
