@@ -9,9 +9,13 @@ union-window trick:
    payload, left rows carry null);
 2. one window per key ordered by (ts, is_right DESC) — a right row sorts
    before a left row at the same timestamp, giving ``<=`` semantics;
-3. ``last(payload, ignorenulls=true)`` over the running frame assigns each
-   left row the most recent right payload;
-4. filter back to left rows.
+3. ``last(struct(payloads), ignorenulls=true)`` over the running frame
+   assigns each left row the most recent right row AS A UNIT — the struct
+   is non-null for every right row even when individual payload values are
+   NULL, so a null payload is attached (matching DuckDB ``ASOF JOIN``)
+   rather than skipped for a stale older one, and multi-column payloads
+   can never mix values from different right rows;
+4. filter back to left rows and unpack the struct.
 
 One shuffle (the window partitioning), no join at all — the same plan
 Flink's temporal join and kdb's aj compile to. The DuckDB oracle uses its
@@ -44,19 +48,32 @@ def asof_join(
     no right row precedes). ``right`` must be unique per (on, right_ts) —
     dedup upstream to make the match deterministic."""
     lcols = left.columns
-    l_tag = left.withColumn("__ts", F.col(left_ts)).withColumn(
-        "__is_right", F.lit(0)
+    l_tag = (
+        left.withColumn("__ts", F.col(left_ts))
+        .withColumn("__is_right", F.lit(0))
+        .withColumn(
+            "__p",
+            F.lit(None).cast(
+                "struct<" + ",".join(
+                    f"{c}:{right.schema[c].dataType.simpleString()}"
+                    for c in payload_cols
+                ) + ">"
+            ),
+        )
     )
-    for c in payload_cols:
-        l_tag = l_tag.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    # the payload struct is NEVER null on a right row (struct() of nullable
+    # fields is non-null), so last(ignorenulls) skips only left rows
     r_tag = right.select(
-        *on, F.col(right_ts).alias("__ts"), F.lit(1).alias("__is_right"), *payload_cols
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(1).alias("__is_right"),
+        F.struct(*payload_cols).alias("__p"),
     )
     for c in lcols:
         if c not in on and c not in r_tag.columns:
             r_tag = r_tag.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
-    unioned = l_tag.select(*lcols, *payload_cols, "__ts", "__is_right").unionByName(
-        r_tag.select(*lcols, *payload_cols, "__ts", "__is_right")
+    unioned = l_tag.select(*lcols, "__p", "__ts", "__is_right").unionByName(
+        r_tag.select(*lcols, "__p", "__ts", "__is_right")
     )
     w = (
         Window.partitionBy(*on)
@@ -66,6 +83,8 @@ def asof_join(
     filled = unioned.select(
         *lcols,
         "__is_right",
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload_cols],
+        F.last("__p", ignorenulls=True).over(w).alias("__p"),
     )
-    return filled.filter(F.col("__is_right") == 0).select(*lcols, *payload_cols)
+    return filled.filter(F.col("__is_right") == 0).select(
+        *lcols, *[F.col(f"__p.{c}").alias(c) for c in payload_cols]
+    )

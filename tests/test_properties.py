@@ -222,6 +222,47 @@ def test_asof_join_random_equivalence(spark, seed):
     assert got == want
 
 
+def test_asof_join_null_payload_is_attached_not_skipped(spark):
+    """A right row whose payload IS null must be attached as the match
+    (DuckDB ASOF JOIN semantics), not skipped in favor of a stale older
+    non-null row; and multi-column payloads must come from ONE right row."""
+    from osm_history_splitter_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 15)], "event_id long, user_id long, tse long"
+    )
+    right = spark.createDataFrame(
+        [(10, 5, 111, "old"), (10, 50, None, "new")],
+        "user_id long, snap_ts long, snap_id long, tag string",
+    )
+    got = {
+        r["event_id"]: (r["snap_id"], r["tag"])
+        for r in asof_join(
+            left, right, on=["user_id"], left_ts="tse",
+            right_ts="snap_ts", payload_cols=["snap_id", "tag"],
+        ).collect()
+    }
+    # event 1 (ts=100): latest right is ts=50 whose snap_id is NULL — the
+    # null is the answer, and tag must come from the SAME row ("new")
+    assert got[1] == (None, "new"), got
+    # event 2 (ts=15): only ts=5 precedes
+    assert got[2] == (111, "old"), got
+
+
+def test_asof_join_no_preceding_right_row_yields_nulls(spark):
+    from osm_history_splitter_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10, 3)], "event_id long, user_id long, tse long")
+    right = spark.createDataFrame(
+        [(10, 50, 7)], "user_id long, snap_ts long, snap_id long"
+    )
+    rows = asof_join(
+        left, right, on=["user_id"], left_ts="tse",
+        right_ts="snap_ts", payload_cols=["snap_id"],
+    ).collect()
+    assert len(rows) == 1 and rows[0]["snap_id"] is None
+
+
 @pytest.mark.parametrize("seed", [3, 11])
 def test_connected_components_random_vs_union_find(spark, seed):
     from osm_history_splitter_spark.operators.dedup import connected_components
