@@ -97,13 +97,14 @@ def zonal_stats(
 def parent_cell_expr(cell):
     """Cell id at resolution r-1 from a cell at r: both axis indices halve
     (the grid origin is axis-aligned and widths double per level). Pure
-    integer arithmetic — exact, codegen-friendly."""
-    ix = F.expr(f"cell div {grid.CELL_SHIFT}")
-    iy = cell % F.lit(grid.CELL_SHIFT)
-    return (
-        F.floor(ix / 2).cast("long") * F.lit(grid.CELL_SHIFT)
-        + F.floor(iy / 2).cast("long")
-    )
+    integer shift arithmetic on the PASSED expression (CELL_SHIFT is 2^32,
+    both indices non-negative) — exact, codegen-friendly, and correct for
+    any column name or computed expression, not just a column literally
+    named ``cell``."""
+    c = cell.cast("long")
+    ix = F.shiftright(c, 32)
+    iy = c.bitwiseAND(F.lit(grid.CELL_SHIFT - 1))
+    return F.shiftright(ix, 1) * F.lit(grid.CELL_SHIFT) + F.shiftright(iy, 1)
 
 
 def tile_pyramid(raster: DataFrame, from_res: int, to_res: int) -> DataFrame:

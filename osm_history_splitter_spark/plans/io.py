@@ -28,6 +28,7 @@ from __future__ import annotations
 import json
 import time
 from pathlib import Path
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
@@ -40,6 +41,8 @@ def _salt_col(df: DataFrame, salt_buckets: int):
     Map columns are excluded (Spark forbids hashing MapType); id/version/
     coordinate columns dominate the hash anyway."""
     cols = [c for c, t in df.dtypes if not t.startswith("map<")]
+    if not cols:  # all-MapType frame: xxhash64() with zero args is invalid
+        return F.pmod(F.spark_partition_id().cast("long"), F.lit(salt_buckets))
     return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(salt_buckets))
 
 
@@ -127,7 +130,10 @@ def write_extracts(
     root = Path(path)
     if root.exists():
         for part_dir in sorted(root.glob("extract=*")):
-            files[part_dir.name.split("=", 1)[1]] = [
+            # partition dir values are URL-escaped on disk (europe%2Fgermany)
+            # — unquote so keys match per_extract_rows / extract_bbox
+            name = unquote(part_dir.name.split("=", 1)[1])
+            files[name] = [
                 {"file": f.name, "bytes": f.stat().st_size}
                 for f in sorted(part_dir.glob("*.parquet"))
             ]

@@ -269,6 +269,38 @@ def test_connected_components_chains_and_islands(spark):
     }
 
 
+def test_parent_cell_expr_works_on_any_expression(spark, points):
+    """parent_cell_expr must derive BOTH axis indices from the passed
+    expression — regression for the version that hardcoded a column
+    literally named 'cell' for the x index."""
+    from osm_history_splitter_spark.operators.raster import (
+        parent_cell_expr,
+        rasterize,
+    )
+
+    r = rasterize(points, res=5)
+    via_cell = {
+        row["p"]: row["n"]
+        for row in r.select(parent_cell_expr(F.col("cell")).alias("p"), "n")
+        .groupBy("p").agg(F.sum("n").alias("n")).collect()
+    }
+    renamed = r.withColumnRenamed("cell", "tile_id")
+    via_renamed = {
+        row["p"]: row["n"]
+        for row in renamed.select(
+            parent_cell_expr(F.col("tile_id")).alias("p"), "n"
+        ).groupBy("p").agg(F.sum("n").alias("n")).collect()
+    }
+    # and a computed expression, not a bare column
+    via_expr = {
+        row["p"]: row["n"]
+        for row in r.select(
+            parent_cell_expr(F.col("cell") + F.lit(0)).alias("p"), "n"
+        ).groupBy("p").agg(F.sum("n").alias("n")).collect()
+    }
+    assert via_cell and via_cell == via_renamed == via_expr
+
+
 def test_tile_pyramid_equals_direct_rasterize(spark, points):
     """Each pyramid level (rolled up 4-children->parent from the level
     above) must equal rasterizing the raw points directly at that res."""

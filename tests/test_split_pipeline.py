@@ -92,6 +92,28 @@ def test_write_extracts_salted_layout(spark, tmp_path):
     assert len(files) > 1
 
 
+def test_lineage_keys_unescaped_for_hierarchical_names(spark, tmp_path):
+    """Hierarchical extract names contain '/', which the partition layout
+    URL-escapes ('extract=europe%2Fgermany'); partition_files keys must be
+    the UNESCAPED name, consistent with per_extract_rows."""
+    df = spark.range(100).selectExpr("id", "'europe/germany' AS extract")
+    m = write_extracts(df, str(tmp_path / "esc"), "t", salt_buckets=2)
+    assert list(m["per_extract_rows"]) == ["europe/germany"]
+    assert list(m["partition_files"]) == ["europe/germany"]
+    assert m["partition_files"]["europe/germany"]  # files listed
+
+
+def test_write_extracts_all_map_columns_has_salt_fallback(spark, tmp_path):
+    """A frame whose only non-partition columns are MapType can't feed
+    xxhash64 — the salt must fall back instead of erroring."""
+    df = spark.sql(
+        "SELECT map('k', CAST(id AS STRING)) AS tags, 'x' AS extract "
+        "FROM range(50)"
+    )
+    m = write_extracts(df, str(tmp_path / "maps"), "t", salt_buckets=2)
+    assert m["rows"] == 50
+
+
 def test_write_extracts_observed_counts_and_bbox(spark, tmp_path):
     """With a catalog: per-extract counts ride the write job (observe) and
     the manifest carries each extract's bbox (reference cut.hpp:99-106)."""
