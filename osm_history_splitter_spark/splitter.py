@@ -26,7 +26,42 @@ from .plans.checkpoint import StageStore
 from .plans.io import write_extracts
 from .sources.config import parse_config
 
-__all__ = ["run_split"]
+__all__ = ["run_split", "pass2_outputs"]
+
+#: marker-table stages checkpointed between softcut pass 1 and pass 2
+MARKER_STAGES = ("node_members", "way_members", "extra_nodes", "relation_members")
+
+
+def pass2_outputs(
+    nodes: DataFrame,
+    ways: DataFrame,
+    relations: DataFrame,
+    store: StageStore,
+) -> dict[str, DataFrame]:
+    """Softcut pass 2: entity tables joined by id against the CHECKPOINTED
+    marker tables (``softcut.hpp:310-416``) — membership by id fans out to
+    every version (history-complete).
+
+    The store writes markers bucketed by id (``StageStore(bucket_by=)``),
+    so each join's marker side arrives pre-partitioned: no Exchange on the
+    marker side, only the entity side shuffles — the distributed analog of
+    the reference's O(1) in-memory bitset probes
+    (``growing_bitset.hpp:48-65``). Asserted on this exact DAG in
+    tests/test_plans.py::test_run_split_pass2_marker_side_is_shuffle_free.
+    """
+    # load_plain, NOT load: distinct() over a union of two bucketed scans
+    # is silently wrong in Spark 4.1 (see StageStore.load_plain docstring)
+    all_node_ids = store.get_or_compute(
+        "all_node_ids",
+        lambda: store.load_plain("node_members")
+        .unionByName(store.load_plain("extra_nodes"))
+        .distinct(),
+    )
+    return {
+        "nodes": nodes.join(all_node_ids, "id"),
+        "ways": ways.join(store.load("way_members"), "id"),
+        "relations": relations.join(store.load("relation_members"), "id"),
+    }
 
 
 def run_split(
@@ -69,42 +104,34 @@ def run_split(
     if mode != "softcut":
         raise ValueError(f"unknown mode {mode!r} (softcut|hardcut)")
 
-    store = StageStore(spark, checkpoint_dir or f"{out_path}/_checkpoints")
-
-    def _compute_members():
-        return softcut_membership(nodes, ways, relations, catalog, persist=True)
+    # markers are bucketed by id so the pass-2 joins read them shuffle-free
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    store = StageStore(
+        spark,
+        checkpoint_dir or f"{out_path}/_checkpoints",
+        bucket_by=("id", n_buckets),
+    )
 
     # pass 1 with per-stage resume: each marker table is a checkpoint
-    if all(
-        store.has(n)
-        for n in ("node_members", "way_members", "extra_nodes", "relation_members")
-    ):
-        node_members = store.load("node_members")
-        way_members = store.load("way_members")
-        extra_nodes = store.load("extra_nodes")
-        relation_members = store.load("relation_members")
-    else:
-        m = _compute_members()
-        node_members = store.get_or_compute("node_members", lambda: m.node_members)
-        way_members = store.get_or_compute("way_members", lambda: m.way_members)
-        extra_nodes = store.get_or_compute("extra_nodes", lambda: m.extra_nodes)
-        relation_members = store.get_or_compute(
-            "relation_members", lambda: m.relation_members
-        )
+    if not all(store.has(n) for n in MARKER_STAGES):
+        m = softcut_membership(nodes, ways, relations, catalog, persist=True)
+        store.get_or_compute("node_members", lambda: m.node_members)
+        store.get_or_compute("way_members", lambda: m.way_members)
+        store.get_or_compute("extra_nodes", lambda: m.extra_nodes)
+        store.get_or_compute("relation_members", lambda: m.relation_members)
 
     # pass 2: membership by id fans out to every version (history-complete)
-    all_node_ids = node_members.unionByName(extra_nodes).distinct()
+    outs = pass2_outputs(nodes, ways, relations, store)
     manifests["nodes"] = write_extracts(
-        nodes.join(all_node_ids, "id"), f"{out_path}/nodes", "softcut_nodes",
+        outs["nodes"], f"{out_path}/nodes", "softcut_nodes",
         sort_cols=["id", "version"], catalog=catalog,
     )
     manifests["ways"] = write_extracts(
-        ways.join(way_members, "id"), f"{out_path}/ways", "softcut_ways",
+        outs["ways"], f"{out_path}/ways", "softcut_ways",
         sort_cols=["id", "version"], catalog=catalog,
     )
     manifests["relations"] = write_extracts(
-        relations.join(relation_members, "id"),
-        f"{out_path}/relations", "softcut_relations",
+        outs["relations"], f"{out_path}/relations", "softcut_relations",
         sort_cols=["id", "version"], catalog=catalog,
     )
     manifests["checkpoints"] = store.manifest()

@@ -35,10 +35,13 @@ def test_run_split_softcut(spark, tmp_path):
     # partition pruning read path
     got = read_extract(spark, f"{out}/nodes", "test")
     assert got.count() == 6
-    # resume markers for all four pass-1 stages
+    # resume markers for all four pass-1 stages + the derived node-id union
     assert set(manifest["checkpoints"]) == {
         "node_members", "way_members", "extra_nodes", "relation_members",
+        "all_node_ids",
     }
+    # markers are written BUCKETED by id (the shuffle-free pass-2 strategy)
+    assert manifest["checkpoints"]["way_members"]["bucket_col"] == "id"
 
 
 def test_run_split_resume_skips_done_stages(spark, tmp_path):
@@ -47,20 +50,23 @@ def test_run_split_resume_skips_done_stages(spark, tmp_path):
         golden_nodes(spark), golden_ways(spark), golden_relations(spark),
         golden_catalog(),
     )
-    run_split(spark, *args, out, mode="softcut")
+    m1 = run_split(spark, *args, out, mode="softcut")
+    assert m1["ways"]["rows"] == 2
     # corrupt a checkpoint's data but keep its marker: a resumed run must
-    # REUSE it (proving it skips recompute) — node_members forced empty
-    store = StageStore(spark, f"{out}/_checkpoints")
-    empty = store.load("node_members").limit(0)
-    empty.write.mode("overwrite").parquet(f"{out}/_checkpoints/node_members2")
-    import shutil
+    # REUSE it (proving it skips recompute) — way_members forced empty, so
+    # a reused checkpoint yields 0 way rows while a recompute would yield 2
+    from pathlib import Path
 
-    shutil.rmtree(f"{out}/_checkpoints/node_members")
-    shutil.move(f"{out}/_checkpoints/node_members2", f"{out}/_checkpoints/node_members")
+    ckpt = f"{out}/_checkpoints"
+    store = StageStore(spark, ckpt, bucket_by=("id", 8))
+    marker = Path(f"{ckpt}/way_members._DONE").read_text()
+    empty = spark.createDataFrame([], store.load("way_members").schema)
+    store.save("way_members", empty)
+    Path(f"{ckpt}/way_members._DONE").write_text(marker)  # original marker back
     m2 = run_split(spark, *args, out, mode="softcut")
-    # node marker table empty -> only extra-node members remain
-    assert m2["checkpoints"]["node_members"]["rows"] == 1  # original marker kept
-    assert m2["nodes"]["rows"] == 6  # extra_nodes checkpoint still supplies ids
+    assert m2["checkpoints"]["way_members"]["rows"] == 1  # original marker kept
+    assert m2["ways"]["rows"] == 0  # corrupted checkpoint REUSED, not recomputed
+    assert m2["nodes"]["rows"] == 6  # all_node_ids checkpoint reused too
 
 
 def test_run_split_hardcut(spark, tmp_path):
