@@ -67,6 +67,15 @@ def run(sf_dir: str, cores: int | None = None) -> dict:
     # tmpfs (generation unmeasured), split measured warm (best of 2)
     split_thr, split_pages = _split_throughput(spark)
 
+    # cap-induced recall loss must be visible, not a silent unknown: the
+    # hot-bucket caps in the LSH paths report what they dropped (counters
+    # observed inside the timed runs above — no extra scan)
+    cap_drops = {
+        k: m
+        for k in ("lsh_pairs", "embedding_neardup")
+        if (m := tq.cap_drop_metrics(k)) is not None
+    }
+
     total = round(sum(times.values()), 3)
     out = {
         "metric": "pages-split throughput + operator suite wall-clock",
@@ -78,6 +87,7 @@ def run(sf_dir: str, cores: int | None = None) -> dict:
         "split_docs_per_sec": split_thr,
         "split_pages": split_pages,
         "rows": rows,
+        "cap_drops": cap_drops,
         "cores": cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
     }
     spark.stop()

@@ -9,7 +9,9 @@ derived doubles < 2^53, exact in IEEE); embedding math is quantized to int
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+import itertools
+
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions.text import (
@@ -28,6 +30,53 @@ from .functions.text import (
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- cap-drop observability ---------------------------------------------------
+#
+# The LSH candidate joins drop hot buckets whole (the scale-safe move), but
+# a production dedup must SEE what it dropped — capped recall must never be
+# a silent unknown. Each capped query attaches an Observation whose counters
+# ride the query's own action (zero extra scans); bench.py surfaces them
+# into BENCH_r{N}.json as "cap_drops".
+
+#: latest cap-drop Observation per query key, readable after an action on
+#: the returned frame via :func:`cap_drop_metrics`
+CAP_DROP_OBS: dict[str, Observation] = {}
+_OBS_SEQ = itertools.count()
+
+
+def _observe_cap_drops(sized: DataFrame, key: str, cap: int) -> DataFrame:
+    """Attach drop counters to a bucket-capped stage. ``sized`` must carry
+    ``bsz`` (the bucket size of each row). ``dropped_buckets`` is exact up
+    to float rounding: every row of a dropped bucket contributes 1/bsz, so
+    each dropped bucket sums to 1.0."""
+    obs = Observation(f"cap_drops_{key}_{next(_OBS_SEQ)}")
+    CAP_DROP_OBS[key] = obs
+    return sized.observe(
+        obs,
+        F.sum((F.col("bsz") > cap).cast("long")).alias("dropped_rows"),
+        F.sum(
+            F.when(F.col("bsz") > cap, 1.0 / F.col("bsz")).otherwise(0.0)
+        ).alias("dropped_buckets_fp"),
+    )
+
+
+def cap_drop_metrics(key: str) -> dict | None:
+    """Counters from the LAST executed query for ``key`` (None if the query
+    wasn't run in this process): rows (doc, band) discarded by the hot-bucket
+    cap, and how many buckets those rows formed."""
+    obs = CAP_DROP_OBS.get(key)
+    if obs is None:
+        return None
+    try:
+        m = obs.get
+    except Exception:  # query never ran an action (0-task plan or unused)
+        return None
+    return {
+        "dropped_rows": int(m["dropped_rows"] or 0),
+        "dropped_buckets": int(round(m["dropped_buckets_fp"] or 0.0)),
+    }
 
 
 # --- exact dedup ------------------------------------------------------------
@@ -264,9 +313,10 @@ def q_lsh_pairs(spark, sf_dir):
         ).alias("b"),
     ).select("doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
     w = Window.partitionBy("band", "bh")
-    bands = bands.withColumn("bsz", F.count("*").over(w)).filter(
-        F.col("bsz") <= LSH_BUCKET_CAP
-    ).drop("bsz")
+    sized = _observe_cap_drops(
+        bands.withColumn("bsz", F.count("*").over(w)), "lsh_pairs", LSH_BUCKET_CAP
+    )
+    bands = sized.filter(F.col("bsz") <= LSH_BUCKET_CAP).drop("bsz")
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -729,9 +779,12 @@ def q_embedding_neardup(spark, sf_dir):
         ).alias("band_no", "band_key"),
     )
     w = Window.partitionBy("band_no", "band_key")
-    capped = bands.withColumn("bsz", F.count("*").over(w)).filter(
-        F.col("bsz") <= NEARDUP_BUCKET_CAP
-    ).drop("bsz")
+    sized = _observe_cap_drops(
+        bands.withColumn("bsz", F.count("*").over(w)),
+        "embedding_neardup",
+        NEARDUP_BUCKET_CAP,
+    )
+    capped = sized.filter(F.col("bsz") <= NEARDUP_BUCKET_CAP).drop("bsz")
 
     a = capped.select(F.col("vid").alias("va"), "band_no", "band_key")
     b = capped.select(F.col("vid").alias("vb"), "band_no", "band_key")

@@ -269,6 +269,36 @@ def test_connected_components_chains_and_islands(spark):
     }
 
 
+def test_lsh_cap_drops_are_observable_on_skewed_corpus(spark, tmp_path):
+    """The hot-bucket cap must REPORT what it drops: a corpus with one
+    degenerate bucket (boilerplate pages minhashing identically) above the
+    cap yields non-zero dropped_rows/dropped_buckets counters riding the
+    query's own action, and the pairs exclude the hot bucket."""
+    from osm_history_splitter_spark import text_queries as tq
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(int(i), boiler, "en", "s", len(boiler)) for i in range(250)]
+    rows += [
+        (1000, "completely unique text about spark bucketing strategies", "en", "s", 55),
+        (1001, "completely unique text about spark bucketing strategies!", "en", "s", 56),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    pairs = tq.q_lsh_pairs(spark, str(tmp_path)).collect()
+    m = tq.cap_drop_metrics("lsh_pairs")
+    assert m is not None
+    # 250 identical docs share both band buckets (cap 200): 2 dropped
+    # buckets, 250 rows dropped per band
+    assert m["dropped_buckets"] == 2, m
+    assert m["dropped_rows"] == 500, m
+    docs_in_pairs = {r["doc_a"] for r in pairs} | {r["doc_b"] for r in pairs}
+    assert not (docs_in_pairs & set(range(250)))  # hot bucket fully dropped
+    assert (1000, 1001) in {(r["doc_a"], r["doc_b"]) for r in pairs}
+
+
 def test_parent_cell_expr_works_on_any_expression(spark, points):
     """parent_cell_expr must derive BOTH axis indices from the passed
     expression — regression for the version that hardcoded a column
