@@ -691,6 +691,151 @@ SELECT qid, CAST(rnk AS BIGINT) AS rnk, cid FROM r WHERE rnk <= {TOP_K}"""
 Q_IVF_TOPK_SQL = _ivf_sql()
 
 
+# --- multi-probe LSH ANN (oracle-certified twin of operators/ann.py:lsh_topk) -
+#
+# Same integer-quantization trick as ivf_topk: seeded hyperplanes rounded to
+# ints, sign bits -> signature bucket, each query probes its own bucket plus
+# the n_probe 1-bit flips of the planes with the SMALLEST |margin| (the
+# likeliest sign flips — standard multi-probe LSH), exact quantized-cosine
+# rerank within candidates only. All arithmetic integer/IEEE-exact, so DuckDB
+# reproduces the probe sets and the ranking bit-for-bit. This certifies the
+# last ANN path (operators/ann.py:lsh_topk is the float/pandas-UDF variant of
+# the same shape).
+
+LSHQ_PLANES = 6
+LSHQ_PROBE = 3
+_LSHQ_SEED = 31
+
+
+def _lshq_planes(dim: int = 64):
+    import numpy as np
+
+    rng = np.random.default_rng(_LSHQ_SEED)
+    return np.round(rng.standard_normal((LSHQ_PLANES, dim)) * _PLANE_QUANT).astype(
+        "int64"
+    )
+
+
+def q_lsh_topk(spark, sf_dir):
+    planes = _lshq_planes()
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("vid"), _quantized("embedding").alias("q")
+    )
+    dots = [
+        F.expr(
+            f"aggregate(zip_with(q, array({','.join(str(v) + 'L' for v in p)}),"
+            " (x, y) -> x * y), 0L, (acc, x) -> acc + x)"
+        ).alias(f"d{j}")
+        for j, p in enumerate(planes)
+    ]
+    sig_expr = None
+    for j in range(LSHQ_PLANES):
+        term = F.shiftleft((F.col(f"d{j}") > 0).cast("long"), j)
+        sig_expr = term if sig_expr is None else sig_expr + term
+    # persisted: signature table feeds the probe build AND the candidate
+    # join (same 16-scan hazard the ivf/near-dup paths hit unpersisted)
+    signed = (
+        e.select("vid", "q", *dots)
+        .withColumn("sig", sig_expr)
+        .persist()
+    )
+    # query probes: own bucket + flips of the LSHQ_PROBE smallest-|margin|
+    # planes (|dot| asc, plane index asc — deterministic tie-break)
+    margins = signed.filter(F.col("vid") < N_QUERIES).select(
+        "vid",
+        "sig",
+        F.posexplode(
+            F.array(*[F.abs(F.col(f"d{j}")) for j in range(LSHQ_PLANES)])
+        ).alias("lpos", "adot"),
+    )
+    flips = (
+        margins.withColumn(
+            "prnk",
+            F.row_number().over(
+                Window.partitionBy("vid").orderBy(
+                    F.col("adot").asc(), F.col("lpos").asc()
+                )
+            ),
+        )
+        .filter(F.col("prnk") <= LSHQ_PROBE)
+        .select(
+            F.col("vid").alias("qid"),
+            F.expr("sig ^ shiftleft(1L, CAST(lpos AS INT))").alias("sig"),
+        )
+    )
+    probes = (
+        signed.filter(F.col("vid") < N_QUERIES)
+        .select(F.col("vid").alias("qid"), "sig")
+        .unionByName(flips)
+        .distinct()
+    )
+    qs = e.filter(F.col("vid") < N_QUERIES).select(
+        F.col("vid").alias("qid"),
+        F.col("q").alias("qv"),
+        _dot("q", "q").alias("qn"),
+    )
+    cand = (
+        signed.join(F.broadcast(probes), "sig")
+        .filter(F.col("vid") != F.col("qid"))
+        .select("qid", F.col("vid").alias("cid"), F.col("q").alias("cv"))
+        .withColumn("cn", _dot("cv", "cv"))
+        .join(F.broadcast(qs), "qid")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid").asc())
+    return (
+        cand.withColumn(
+            "sim",
+            _dot("qv", "cv").cast("double")
+            / F.sqrt(F.col("qn").cast("double") * F.col("cn").cast("double")),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("qid", "rnk", "cid")
+    )
+
+
+def _lshq_sql() -> str:
+    planes = _lshq_planes()
+    dcols = ",\n  ".join(
+        f"CAST(list_dot_product(q, [{','.join(str(v) for v in p)}]::BIGINT[])"
+        f" AS BIGINT) AS d{j}"
+        for j, p in enumerate(planes)
+    )
+    sig_terms = " + ".join(
+        f"(CASE WHEN d{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(LSHQ_PLANES)
+    )
+    adots = ",".join(f"abs(d{j})" for j in range(LSHQ_PLANES))
+    return f"""WITH e AS (
+  SELECT vec_id AS vid, list_transform(embedding, x -> CAST(round(x * {QUANT}) AS BIGINT)) AS q
+  FROM embeddings),
+sig AS (SELECT vid, q, {dcols} FROM e),
+signed AS (SELECT vid, q, CAST({sig_terms} AS BIGINT) AS sig,
+           [{adots}]::BIGINT[] AS adots FROM sig),
+flips AS (SELECT vid AS qid, xor(sig, CAST(1 << (lpos - 1) AS BIGINT)) AS sig FROM (
+  SELECT vid, sig, unnest(generate_series(1, {LSHQ_PLANES})) AS lpos,
+         unnest(adots) AS adot
+  FROM signed WHERE vid < {N_QUERIES})
+  QUALIFY row_number() OVER (PARTITION BY vid ORDER BY adot ASC, lpos ASC) <= {LSHQ_PROBE}),
+probes AS (SELECT DISTINCT * FROM (
+  SELECT vid AS qid, sig FROM signed WHERE vid < {N_QUERIES}
+  UNION ALL SELECT qid, sig FROM flips)),
+qs AS (SELECT vid AS qid, q AS qv, CAST(list_dot_product(q, q) AS BIGINT) AS qn
+       FROM e WHERE vid < {N_QUERIES}),
+cand AS (SELECT p.qid, s.vid AS cid, s.q AS cv,
+         CAST(list_dot_product(s.q, s.q) AS BIGINT) AS cn
+  FROM signed s JOIN probes p ON s.sig = p.sig AND s.vid <> p.qid),
+r AS (SELECT c.qid, c.cid,
+        row_number() OVER (PARTITION BY c.qid ORDER BY
+          CAST(list_dot_product(q.qv, c.cv) AS DOUBLE)
+            / sqrt(CAST(q.qn AS DOUBLE) * CAST(c.cn AS DOUBLE)) DESC,
+          c.cid ASC) AS rnk
+      FROM cand c JOIN qs q ON q.qid = c.qid)
+SELECT DISTINCT qid, CAST(rnk AS BIGINT) AS rnk, cid FROM r WHERE rnk <= {TOP_K}"""
+
+
+Q_LSH_TOPK_SQL = _lshq_sql()
+
+
 #: banded random-hyperplane LSH for the near-dup scale path. Planes are
 #: integer-quantized so the sign bits are bit-identical on both engines
 #: (all dot products stay < 2^53, exact even in DOUBLE arithmetic).
@@ -1102,6 +1247,7 @@ TEXT_QUERIES = {
     "ngram_jaccard": (q_ngram_jaccard, Q_NGRAM_JACCARD_SQL),
     "ann_topk": (q_ann_topk, Q_ANN_TOPK_SQL),
     "ivf_topk": (q_ivf_topk, Q_IVF_TOPK_SQL),
+    "lsh_topk": (q_lsh_topk, Q_LSH_TOPK_SQL),
     "embedding_neardup": (q_embedding_neardup, Q_EMBEDDING_NEARDUP_SQL),
     "multimodal_decode": (q_multimodal_decode, Q_MULTIMODAL_DECODE_SQL),
     "events_asof": (q_events_asof, Q_EVENTS_ASOF_SQL),

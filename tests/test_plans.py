@@ -93,10 +93,11 @@ def test_neardup_and_lsh_have_no_cartesian(spark, testdata_sf):
     from osm_history_splitter_spark.text_queries import (
         q_embedding_neardup,
         q_lsh_pairs,
+        q_lsh_topk,
         q_ngram_jaccard,
     )
 
-    for q in (q_embedding_neardup, q_lsh_pairs, q_ngram_jaccard):
+    for q in (q_embedding_neardup, q_lsh_pairs, q_ngram_jaccard, q_lsh_topk):
         plan = plan_of(q(spark, testdata_sf))
         assert "CartesianProduct" not in plan, q.__name__
         assert "BroadcastNestedLoopJoin" not in plan, q.__name__
