@@ -349,20 +349,33 @@ DECONTAM_BENCH = 10
 DECONTAM_N = 13  # 13-gram overlap, the common contamination heuristic
 
 
-def q_decontaminate(spark, sf_dir):
+#: broadcast the bench shingle set only below this many distinct grams —
+#: a full eval-suite decontamination (thousands of docs × hundreds of
+#: 13-grams, multi-GB) must fall back to a shuffle join instead of OOMing
+#: every executor with an unbounded broadcast
+DECONTAM_BROADCAST_MAX = 2_000_000
+
+
+def q_decontaminate(spark, sf_dir, broadcast_max: int = DECONTAM_BROADCAST_MAX):
     """Test-set decontamination: flag corpus documents sharing any
-    character 13-gram with the (small, broadcast) benchmark set, with the
-    matching-gram count. The benchmark side is tiny by construction, so
-    the join is a broadcast semi-join against the corpus shingle stream —
-    at 100 TB the corpus side is one map-side pass, no corpus shuffle."""
+    character 13-gram with the benchmark set, with the matching-gram
+    count. The bench side is usually tiny → broadcast semi-join, one
+    map-side corpus pass, no corpus shuffle; a bounded probe
+    (limit N+1 count) guards the broadcast and switches to a shuffle
+    equi-join when the bench set is too big to ship to every executor."""
     d = _t(spark, sf_dir, "documents")
     sh = shingles(d, n=DECONTAM_N)
     bench = (
-        sh.filter(F.col("doc_id") < DECONTAM_BENCH).select("s").distinct()
+        sh.filter(F.col("doc_id") < DECONTAM_BENCH)
+        .select("s")
+        .distinct()
+        .persist()  # probed once, joined once — never recomputed
     )
+    n_bench = bench.limit(broadcast_max + 1).count()  # bounded action
+    bench_side = F.broadcast(bench) if n_bench <= broadcast_max else bench
     return (
         sh.filter(F.col("doc_id") >= DECONTAM_BENCH)
-        .join(F.broadcast(bench), "s")
+        .join(bench_side, "s")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_contaminated_grams"))
     )

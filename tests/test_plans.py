@@ -103,6 +103,28 @@ def test_neardup_and_lsh_have_no_cartesian(spark, testdata_sf):
         assert "BroadcastNestedLoopJoin" not in plan, q.__name__
 
 
+def test_decontaminate_broadcast_is_guarded(spark, testdata_sf):
+    """Small bench set → explicit broadcast; bench set above the guard →
+    shuffle equi-join (never an unbounded broadcast of a multi-GB gram
+    set). Same results either way."""
+    from osm_history_splitter_spark.text_queries import q_decontaminate
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        small = q_decontaminate(spark, testdata_sf)  # bench fits: broadcast
+        assert "BroadcastHashJoin" in plan_of(small)
+        big = q_decontaminate(spark, testdata_sf, broadcast_max=0)
+        plan = plan_of(big)
+        assert "BroadcastHashJoin" not in plan, plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        a = sorted((r["doc_id"], r["n_contaminated_grams"]) for r in small.collect())
+        b = sorted((r["doc_id"], r["n_contaminated_grams"]) for r in big.collect())
+        assert a == b and a
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_poly_catalog_refine_is_arrow_batched(spark):
     cat = ExtractCatalog(
         [Extract.poly("p", [[[0.0, 0.0], [5.0, 0.0], [5.0, 5.0], [0.0, 5.0], [0.0, 0.0]]])]
