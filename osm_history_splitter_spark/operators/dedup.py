@@ -11,9 +11,13 @@ label seen, terminating when no label changes.
 Scale notes: dup clusters in web corpora are near-cliques (all members
 share LSH buckets), so the diameter — and the round count — is tiny (1-3).
 Each round shuffles only (doc_id, label) pairs; ``localCheckpoint``
-truncates the growing lineage. For adversarially long chains switch to
-pointer-jumping (label := label of label), which converges in log(diameter)
-rounds with the same per-round plan shape.
+truncates the growing lineage. Each round also POINTER-JUMPS
+(label := label-of-label) after the neighbor-min step, so adversarially
+long chains converge in O(log diameter) rounds instead of O(diameter):
+labels only ever decrease and always name a vertex of the same component,
+so jumping through the label's own label is sound; the fixpoint (labels
+constant along edges, label self-mapped) is the component minimum either
+way.
 """
 
 from __future__ import annotations
@@ -29,9 +33,11 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iterations: int = 30,
+    _stats: dict | None = None,
 ) -> DataFrame:
     """(doc_id, cluster_id): min doc id reachable from each vertex of the
-    pair graph. Only vertices that appear in some pair are returned."""
+    pair graph. Only vertices that appear in some pair are returned.
+    ``_stats``, when given, receives {"rounds": n} for convergence tests."""
     edges = (
         pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("t"))
         .unionByName(
@@ -46,17 +52,31 @@ def connected_components(
         .withColumn("lbl", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
+    rounds = 0
     for _ in range(max_iterations):
+        rounds += 1
         neighbor_min = (
             edges.join(labels, edges["t"] == labels["doc_id"])
             .groupBy(F.col("s").alias("doc_id"))
             .agg(F.min("lbl").alias("nlbl"))
         )
+        stepped = labels.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias(
+                "lbl"
+            ),
+        )
+        # pointer jump: lbl := lbl(lbl) — the label is itself a vertex, so
+        # its (always ≤) label is a valid label for us; halves chain depth
+        # every round → log(diameter) convergence on path graphs
+        lbl_of = stepped.select(
+            F.col("doc_id").alias("lbl"), F.col("lbl").alias("lbl2")
+        )
         new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
+            stepped.join(lbl_of, "lbl", "left")
             .select(
                 "doc_id",
-                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias(
+                F.least(F.col("lbl"), F.coalesce(F.col("lbl2"), F.col("lbl"))).alias(
                     "lbl"
                 ),
             )
@@ -71,6 +91,8 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if _stats is not None:
+        _stats["rounds"] = rounds
     return labels.select("doc_id", F.col("lbl").alias("cluster_id"))
 
 

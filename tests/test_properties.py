@@ -263,6 +263,21 @@ def test_asof_join_no_preceding_right_row_yields_nulls(spark):
     assert len(rows) == 1 and rows[0]["snap_id"] is None
 
 
+def test_connected_components_long_chain_pointer_jumping(spark):
+    """A 10k-vertex path graph — the adversarial case for plain min-label
+    propagation (O(diameter) rounds) — must converge in O(log diameter)
+    rounds via the pointer-jumping step, with the exact min labels."""
+    from osm_history_splitter_spark.operators.dedup import connected_components
+
+    n = 10_000
+    pairs = spark.range(n - 1).selectExpr("id AS doc_a", "id + 1 AS doc_b")
+    stats: dict = {}
+    cc = connected_components(pairs, _stats=stats)
+    assert stats["rounds"] < 15, stats  # log2(10k) ≈ 13.3; 30 would time out
+    got = cc.groupBy("cluster_id").count().collect()
+    assert len(got) == 1 and got[0]["cluster_id"] == 0 and got[0]["count"] == n
+
+
 @pytest.mark.parametrize("seed", [3, 11])
 def test_connected_components_random_vs_union_find(spark, seed):
     from osm_history_splitter_spark.operators.dedup import connected_components
