@@ -77,12 +77,30 @@ def relation_closure(
         if not anc_pairs:
             return direct.select("id", "extract").distinct()
         spark = direct.sparkSession
-        anc = spark.createDataFrame(anc_pairs, "child long, anc long")
-        lifted = (
-            direct.join(F.broadcast(anc), direct["id"] == anc["child"])
-            .select(F.col("anc").alias("id"), "extract")
+        # ONE scan of `direct`: left-join the broadcast child→ancestors map
+        # and explode id+ancestors together. The previous
+        # `direct ∪ (direct ⋈ anc)` shape scanned the (unpersisted, join-
+        # heavy) direct subtree twice per action.
+        anc_map: dict = {}
+        for child, a in anc_pairs:
+            anc_map.setdefault(child, []).append(a)
+        anc = spark.createDataFrame(
+            [(c, ancs) for c, ancs in anc_map.items()],
+            "child long, ancs array<long>",
         )
-        return direct.select("id", "extract").unionByName(lifted).distinct()
+        return (
+            direct.join(F.broadcast(anc), direct["id"] == anc["child"], "left")
+            .select(
+                F.explode(
+                    F.concat(
+                        F.array("id"),
+                        F.coalesce("ancs", F.array().cast("array<long>")),
+                    )
+                ).alias("id"),
+                "extract",
+            )
+            .distinct()
+        )
     # semi-naive: only join the newly-discovered frontier each round
     seen = direct.select("id", "extract").distinct().localCheckpoint(eager=True)
     frontier = seen

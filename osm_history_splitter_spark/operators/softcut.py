@@ -118,12 +118,18 @@ def softcut_membership(
         .distinct()
     )
 
-    # J3 — direct relation hits via typed members (softcut.hpp:242-256)
-    mem = relations.select(
-        "id",
-        F.explode("members").alias("m"),
-    ).select(
-        "id", F.col("m.type").alias("mtype"), F.col("m.ref").alias("ref")
+    # J3 — direct relation hits via typed members (softcut.hpp:242-256).
+    # Persisted: this explode feeds BOTH the direct n/w hits and the rel→rel
+    # edge set, and the closure's bounded edge-collect is a separate action —
+    # without the persist the (expensive, collect_list-grouped) relations
+    # subtree re-runs once per action.
+    mem = _p(
+        relations.select(
+            "id",
+            F.explode("members").alias("m"),
+        ).select(
+            "id", F.col("m.type").alias("mtype"), F.col("m.ref").alias("ref")
+        )
     )
     trackers = (
         node_members.select(F.lit("n").alias("mtype"), F.col("id").alias("ref"), "extract")
