@@ -27,8 +27,12 @@ __all__ = [
     "close_ring",
     "rings_bbox",
     "points_in_rings",
+    "points_in_rings_winding",
     "points_on_boundary",
     "ring_signed_area",
+    "ring_wraps_antimeridian",
+    "ring_winds_globe",
+    "unwrap_ring",
 ]
 
 
@@ -92,6 +96,115 @@ def points_on_boundary(
     return on
 
 
+def ring_wraps_antimeridian(ring: np.ndarray) -> bool:
+    """True iff any (closed-ring) edge jumps more than 180° of longitude —
+    the normalized-coordinate signature of a ring crossing the antimeridian
+    (or winding the globe around a pole)."""
+    r = close_ring(ring)
+    if r.shape[0] < 2:
+        return False
+    return bool(np.abs(np.diff(r[:, 0])).max() > 180.0)
+
+
+def unwrap_ring(ring: np.ndarray) -> np.ndarray:
+    """Rewrite ring longitudes as a continuous sequence (each step takes the
+    ±360-shifted image closest to its predecessor). A ring that merely
+    crosses the antimeridian comes back to its starting longitude; a ring
+    that winds the globe (polar cap) ends ±360 away."""
+    r = close_ring(ring).copy()
+    d = np.diff(r[:, 0])
+    d -= 360.0 * np.round(d / 360.0)
+    r[1:, 0] = r[0, 0] + np.cumsum(d)
+    return r
+
+
+def ring_winds_globe(ring: np.ndarray) -> float:
+    """Total longitude winding of the closed ring: ~±360 for a polar cap,
+    ~0 otherwise. Computed on the unwrapped ring."""
+    r = unwrap_ring(ring)
+    return float(r[-1, 0] - r[0, 0])
+
+
+def _winding_number(
+    lon: np.ndarray, lat: np.ndarray, r: np.ndarray
+) -> np.ndarray:
+    """Vectorized Sunday winding number of each point w.r.t. ONE closed ring
+    (r already closed; loop over edges, vectorize over points)."""
+    wn = np.zeros(lon.shape[0], dtype=np.int64)
+    x1, y1 = r[:-1, 0], r[:-1, 1]
+    x2, y2 = r[1:, 0], r[1:, 1]
+    for i in range(x1.shape[0]):
+        a, b, c, d = x1[i], y1[i], x2[i], y2[i]
+        if b == d:
+            continue
+        isleft = (c - a) * (lat - b) - (d - b) * (lon - a)
+        if d > b:  # upward edge: counts when the point is strictly left
+            wn += ((b <= lat) & (d > lat) & (isleft > 0)).astype(np.int64)
+        else:  # downward edge: counts when the point is strictly right
+            wn -= ((d <= lat) & (b > lat) & (isleft < 0)).astype(np.int64)
+    return wn
+
+
+def points_in_rings_winding(
+    lon: np.ndarray,
+    lat: np.ndarray,
+    rings: list[np.ndarray],
+    boundary_is_inside: bool = False,
+) -> np.ndarray:
+    """Winding-number point-in-multipolygon, safe for rings that cross the
+    antimeridian or enclose a pole (the fallback path the planar even-odd
+    test cannot express; reference semantics otherwise identical —
+    interior-only, boundary ⇒ OUT).
+
+    Per ring: longitudes are unwrapped into a continuous sequence; a ring
+    whose total winding is ±360 encloses a pole and is closed through the
+    pole nearer its mean latitude; each point is tested at its three
+    longitude images (lon, lon±360) so it can land inside the unwrapped
+    ring's span. Within a ring the nonzero-winding rule decides (identical
+    to even-odd for simple rings); across rings parity (XOR) is kept so
+    .poly holes behave exactly as in :func:`points_in_rings`.
+    """
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    inside = np.zeros(lon.shape[0], dtype=bool)
+    onb = np.zeros(lon.shape[0], dtype=bool)
+    for ring in rings:
+        rim = unwrap_ring(close_ring(ring))
+        if rim.shape[0] < 4:
+            continue
+        r = rim
+        at_pole = None
+        wind = r[-1, 0] - r[0, 0]
+        if abs(wind) > 180.0:  # winds the globe → encloses a pole
+            pole = 90.0 if float(np.mean(r[:, 1])) > 0.0 else -90.0
+            # close through the pole for the winding test only — the seam
+            # and polar edges are artifacts, NOT polygon boundary (a point
+            # on the seam longitude is interior, and the pole itself is
+            # interior); the true boundary is the rim alone.
+            r = np.vstack(
+                [
+                    rim,
+                    [[rim[-1, 0], pole]],
+                    [[rim[0, 0], pole]],
+                    [[rim[0, 0], rim[0, 1]]],
+                ]
+            )
+            at_pole = lat == pole
+        ring_in = np.zeros(lon.shape[0], dtype=bool)
+        ring_on = np.zeros(lon.shape[0], dtype=bool)
+        for shift in (-360.0, 0.0, 360.0):
+            x = lon + shift
+            ring_in |= _winding_number(x, lat, r) != 0
+            ring_on |= points_on_boundary(x, lat, [rim])
+        if at_pole is not None:
+            ring_in |= at_pole
+        inside ^= ring_in
+        onb |= ring_on
+    if boundary_is_inside:
+        return inside | onb
+    return inside & ~onb
+
+
 def points_in_rings(
     lon: np.ndarray,
     lat: np.ndarray,
@@ -103,7 +216,16 @@ def points_in_rings(
     Crossing test uses the half-open convention ``(y1 > p) != (y2 > p)`` so
     vertices on the ray are counted exactly once; this is the standard robust
     formulation (cf. W. R. Franklin's PNPOLY, public domain).
+
+    Rings that cross the antimeridian or enclose a pole (any closed-ring
+    edge jumping >180° of longitude) route to the winding-number fallback
+    :func:`points_in_rings_winding` — planar ray casting on normalized
+    coordinates is wrong for them.
     """
+    if any(ring_wraps_antimeridian(r) for r in rings):
+        return points_in_rings_winding(
+            lon, lat, rings, boundary_is_inside=boundary_is_inside
+        )
     lon = np.asarray(lon, dtype=np.float64)
     lat = np.asarray(lat, dtype=np.float64)
     inside = np.zeros(lon.shape[0], dtype=bool)

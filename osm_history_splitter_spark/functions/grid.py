@@ -110,27 +110,48 @@ def cover_rings(
     boundary marking can only add exact-PIP work, never wrong answers.
     """
     rings = [close_ring(r) for r in rings]
-    from .geometry import rings_bbox
+    from .geometry import ring_winds_globe, ring_wraps_antimeridian, rings_bbox
 
     minlon, minlat, maxlon, maxlat = rings_bbox(rings)
+    # a ring crossing the antimeridian makes the naive bbox meaningless
+    # (span covers the wrong side): widen to the full longitude range, and
+    # for a globe-winding (polar-cap) ring extend latitude to the enclosed
+    # pole — conservative (extra cells only refine), never wrong.
+    for r in rings:
+        if ring_wraps_antimeridian(r):
+            minlon, maxlon = -180.0, 180.0
+            if abs(ring_winds_globe(r)) > 180.0:
+                if float(np.mean(r[:, 1])) > 0.0:
+                    maxlat = 90.0
+                else:
+                    minlat = -90.0
     w = cell_width(res)
     xs, ys = _cells_for_span(minlon, minlat, maxlon, maxlat, res)
     nx, ny = len(xs), len(ys)
     # 0 = untouched, 1 = boundary
     touched = np.zeros((nx, ny), dtype=bool)
     x_off, y_off = xs[0], ys[0]
+    def _touch_span(lon_lo, lon_hi, lat_lo, lat_hi):
+        gx0 = max(int(np.floor((lon_lo + 180.0) / w)) - x_off, 0)
+        gx1 = min(int(np.floor((lon_hi + 180.0) / w)) - x_off, nx - 1)
+        gy0 = max(int(np.floor((lat_lo + 90.0) / w)) - y_off, 0)
+        gy1 = min(int(np.floor((lat_hi + 90.0) / w)) - y_off, ny - 1)
+        if gx0 <= gx1 and gy0 <= gy1:
+            touched[gx0 : gx1 + 1, gy0 : gy1 + 1] = True
+
     for r in rings:
-        ex0 = np.floor((np.minimum(r[:-1, 0], r[1:, 0]) + 180.0) / w).astype(int)
-        ex1 = np.floor((np.maximum(r[:-1, 0], r[1:, 0]) + 180.0) / w).astype(int)
-        ey0 = np.floor((np.minimum(r[:-1, 1], r[1:, 1]) + 90.0) / w).astype(int)
-        ey1 = np.floor((np.maximum(r[:-1, 1], r[1:, 1]) + 90.0) / w).astype(int)
-        for i in range(len(ex0)):
-            gx0 = max(ex0[i] - x_off, 0)
-            gx1 = min(ex1[i] - x_off, nx - 1)
-            gy0 = max(ey0[i] - y_off, 0)
-            gy1 = min(ey1[i] - y_off, ny - 1)
-            if gx0 <= gx1 and gy0 <= gy1:
-                touched[gx0 : gx1 + 1, gy0 : gy1 + 1] = True
+        for i in range(r.shape[0] - 1):
+            a, b = r[i, 0], r[i, 1]
+            c, d = r[i + 1, 0], r[i + 1, 1]
+            lat_lo, lat_hi = min(b, d), max(b, d)
+            if abs(c - a) > 180.0:
+                # edge crosses the antimeridian: its true footprint is the
+                # two spans touching ±180, NOT min(a,c)..max(a,c) (which is
+                # the wrong, middle side of the globe)
+                _touch_span(max(a, c), 180.0, lat_lo, lat_hi)
+                _touch_span(-180.0, min(a, c), lat_lo, lat_hi)
+            else:
+                _touch_span(min(a, c), max(a, c), lat_lo, lat_hi)
 
     gx, gy = np.meshgrid(np.arange(nx), np.arange(ny), indexing="ij")
     gx, gy = gx.ravel(), gy.ravel()
