@@ -1243,6 +1243,134 @@ def _simhash_sql() -> str:
 Q_SIMHASH_SQL = _simhash_sql()
 
 
+# --- repetition filter / snapshot dedup / term extraction ---------------------
+
+
+def q_repetition_quality(spark, sf_dir):
+    """Gopher-style repetition filter (Rae et al. 2021, app. A1.1): the
+    fraction of duplicated words and the dominance of the single most
+    frequent word flag low-quality repetitive documents. Integer columns
+    plus an integer cross-multiply for the flag (no float thresholds) keep
+    the oracle hash exact.
+
+    Scale shape: two map-side-combinable aggregations — (doc_id, word)
+    counts, then per-doc rollup; the word shuffle is the corpus tokenized
+    once, the same cost class as minhash_sig."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    wc = words.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    agg = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_count"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_words",
+        "n_distinct",
+        "top_count",
+        (
+            # duplicate-word fraction > 0.3, or top word > 0.2 of the doc
+            ((F.col("n_words") - F.col("n_distinct")) * 10 > F.col("n_words") * 3)
+            | (F.col("top_count") * 10 > F.col("n_words") * 2)
+        ).alias("repetitive"),
+    )
+
+
+Q_REPETITION_QUALITY_SQL = """WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), wc AS (
+  SELECT doc_id, w, count(*) AS c FROM words WHERE w <> '' GROUP BY doc_id, w
+)
+SELECT doc_id,
+  CAST(sum(c) AS BIGINT) AS n_words,
+  CAST(count(*) AS BIGINT) AS n_distinct,
+  CAST(max(c) AS BIGINT) AS top_count,
+  ((sum(c) - count(*)) * 10 > sum(c) * 3 OR max(c) * 10 > sum(c) * 2)
+    AS repetitive
+FROM wc GROUP BY doc_id"""
+
+
+def q_latest_snapshot(spark, sf_dir):
+    """URL-level snapshot dedup: a Common-Crawl corpus carries multiple
+    WARC snapshots per url; training pipelines keep exactly the newest and
+    verify the text bytes rode through unmodified (md5). One shuffle (the
+    url window); AQE skew-split handles hot urls."""
+    from .sources.pages import synth_pages
+
+    pages = synth_pages(spark, sf_dir)
+    w = Window.partitionBy("url").orderBy(
+        F.col("warc_ts").desc(), F.col("ver").desc()
+    )
+    return (
+        pages.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select(
+            "url", "ver", F.md5(F.col("text").cast("binary")).alias("text_md5")
+        )
+    )
+
+
+def _latest_snapshot_sql() -> str:
+    from .sources.pages import PAGES_SQL
+
+    return f"""WITH pages AS ({PAGES_SQL}),
+r AS (SELECT url, ver, md5(text) AS text_md5,
+  row_number() OVER (PARTITION BY url ORDER BY ver DESC) AS rn FROM pages)
+SELECT url, ver, text_md5 FROM r WHERE rn = 1"""
+
+
+Q_LATEST_SNAPSHOT_SQL = _latest_snapshot_sql()
+
+
+def q_tfidf_topk(spark, sf_dir):
+    """Per-document top-3 informative terms: rank by term frequency desc,
+    then document frequency asc (rarer across the corpus = more
+    informative), then term asc — the TF-IDF ordering expressed with
+    integer keys only, so ties are fully broken and the oracle hash is
+    exact.
+
+    Scale shape: tf and df are both map-side-combinable aggregations; the
+    tf⋈df equi-join on the term shuffles by term (AQE converts to
+    broadcast when the vocabulary is small); the per-doc window shuffles by
+    doc_id. No UDF, no floats."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("w").agg(F.count("*").alias("df"))
+    scored = tf.join(df, "w")
+    win = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("w").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(win).cast("long"))
+        .filter("rk <= 3")
+        .select("doc_id", "w", "tf", "df", "rk")
+    )
+
+
+Q_TFIDF_TOPK_SQL = """WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), tf AS (
+  SELECT doc_id, w, count(*) AS tf FROM words WHERE w <> '' GROUP BY doc_id, w
+), dfreq AS (
+  SELECT w, count(*) AS df FROM tf GROUP BY w
+), r AS (
+  SELECT tf.doc_id, tf.w, tf.tf, dfreq.df,
+    row_number() OVER (
+      PARTITION BY tf.doc_id ORDER BY tf.tf DESC, dfreq.df ASC, tf.w ASC
+    ) AS rk
+  FROM tf JOIN dfreq USING (w)
+)
+SELECT doc_id, w, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+  CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= 3"""
+
+
 TEXT_QUERIES = {
     "regex_tokens": (q_regex_tokens, Q_REGEX_TOKENS_SQL),
     "simhash": (q_simhash, Q_SIMHASH_SQL),
@@ -1266,4 +1394,7 @@ TEXT_QUERIES = {
     "events_asof": (q_events_asof, Q_EVENTS_ASOF_SQL),
     "events_hourly": (q_events_hourly, Q_EVENTS_HOURLY_SQL),
     "sessionize": (q_sessionize, Q_SESSIONIZE_SQL),
+    "repetition_quality": (q_repetition_quality, Q_REPETITION_QUALITY_SQL),
+    "latest_snapshot": (q_latest_snapshot, Q_LATEST_SNAPSHOT_SQL),
+    "tfidf_topk": (q_tfidf_topk, Q_TFIDF_TOPK_SQL),
 }
