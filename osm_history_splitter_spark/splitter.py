@@ -26,7 +26,7 @@ from .plans.checkpoint import StageStore
 from .plans.io import write_extracts
 from .sources.config import parse_config
 
-__all__ = ["run_split", "pass2_outputs"]
+__all__ = ["run_split", "pass2_outputs", "prepare_bucketed_world"]
 
 #: marker-table stages checkpointed between softcut pass 1 and pass 2
 MARKER_STAGES = ("node_members", "way_members", "extra_nodes", "relation_members")
@@ -64,6 +64,38 @@ def pass2_outputs(
     }
 
 
+def prepare_bucketed_world(
+    spark: SparkSession,
+    nodes: DataFrame,
+    ways: DataFrame,
+    relations: DataFrame,
+    world_path: str,
+    n_buckets: int | None = None,
+) -> dict[str, DataFrame]:
+    """One-time corpus preparation for a FULLY shuffle-free softcut pass 2.
+
+    Writes the three entity tables as bucketed+sorted-by-id external tables
+    (the same Murmur3 bucketing the marker checkpoints use) and returns the
+    bucketed frames. Feed these to ``run_split``/``pass2_outputs`` with a
+    matching bucket count and every pass-2 join co-locates both sides:
+    ZERO Exchange in the join plans (asserted in
+    tests/test_plans.py::test_bucketed_world_pass2_is_fully_shuffle_free).
+
+    At planet scale this is one full-corpus shuffle, amortized over every
+    subsequent split run against the same world — the batch analog of the
+    reference holding its whole input as seekable local files
+    (``splitter.cpp:25-43``). Idempotent: stage markers skip finished
+    tables, so a killed preparation resumes where it stopped.
+    """
+    n = n_buckets or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    store = StageStore(spark, world_path, bucket_by=("id", n))
+    return {
+        "nodes": store.get_or_compute("nodes", lambda: nodes),
+        "ways": store.get_or_compute("ways", lambda: ways),
+        "relations": store.get_or_compute("relations", lambda: relations),
+    }
+
+
 def run_split(
     spark: SparkSession,
     nodes: DataFrame,
@@ -73,6 +105,7 @@ def run_split(
     out_path: str,
     mode: str = "softcut",
     checkpoint_dir: str | None = None,
+    n_buckets: int | None = None,
 ) -> dict:
     """Full split job; returns the combined lineage manifest.
 
@@ -104,8 +137,12 @@ def run_split(
     if mode != "softcut":
         raise ValueError(f"unknown mode {mode!r} (softcut|hardcut)")
 
-    # markers are bucketed by id so the pass-2 joins read them shuffle-free
-    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # markers are bucketed by id so the pass-2 joins read them shuffle-free;
+    # pass n_buckets matching a prepare_bucketed_world() corpus to make the
+    # joins FULLY shuffle-free (both sides co-located)
+    n_buckets = n_buckets or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
     store = StageStore(
         spark,
         checkpoint_dir or f"{out_path}/_checkpoints",
@@ -145,6 +182,15 @@ def main():
     ap.add_argument("--output", required=True)
     ap.add_argument("--mode", default="softcut", choices=["softcut", "hardcut"])
     ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument(
+        "--n-buckets", type=int, default=None,
+        help="id-bucket count for marker checkpoints (match the bucketed world)",
+    )
+    ap.add_argument(
+        "--bucketed-world", default=None, metavar="DIR",
+        help="prepare (or reuse) an id-bucketed copy of the entity tables at "
+        "DIR and run the split from it — fully shuffle-free pass-2 joins",
+    )
     args = ap.parse_args()
 
     from .session import get_spark
@@ -154,9 +200,16 @@ def main():
     nodes = spark.read.parquet(f"{args.input}/nodes")
     ways = spark.read.parquet(f"{args.input}/ways")
     relations = spark.read.parquet(f"{args.input}/relations")
+    if args.bucketed_world:
+        world = prepare_bucketed_world(
+            spark, nodes, ways, relations, args.bucketed_world,
+            n_buckets=args.n_buckets,
+        )
+        nodes, ways, relations = world["nodes"], world["ways"], world["relations"]
     manifest = run_split(
         spark, nodes, ways, relations, catalog, args.output,
         mode=args.mode, checkpoint_dir=args.checkpoint_dir,
+        n_buckets=args.n_buckets,
     )
     import json
 

@@ -277,3 +277,74 @@ def test_bucketed_pass2_join_is_shuffle_free(spark, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {nt}")
         spark.sql(f"DROP TABLE IF EXISTS {mt}")
+
+
+def test_bucketed_world_pass2_is_fully_shuffle_free(spark, tmp_path):
+    """prepare_bucketed_world + bucketed marker checkpoints: when BOTH
+    sides of the pass-2 joins share the id-bucketing, the join plans carry
+    ZERO Exchange — the full 100-TB strategy, not just the marker half."""
+    import datetime as dt
+
+    from osm_history_splitter_spark.model import (
+        NODE_SCHEMA,
+        RELATION_SCHEMA,
+        WAY_SCHEMA,
+    )
+    from osm_history_splitter_spark.plans.checkpoint import StageStore
+    from osm_history_splitter_spark.splitter import (
+        pass2_outputs,
+        prepare_bucketed_world,
+        run_split,
+    )
+
+    ts = dt.datetime(2020, 1, 1)
+    nodes = spark.createDataFrame(
+        [
+            (int(i), 1, True, ts, 0, 0, "u",
+             float(i % 90) - 45.0, float(i % 180) - 90.0, {})
+            for i in range(2000)
+        ],
+        schema=NODE_SCHEMA,
+    )
+    ways = spark.createDataFrame(
+        [(10_000 + w, 1, True, ts, 0, 0, "u", [int(3 * w), int(3 * w + 1)], {})
+         for w in range(300)],
+        schema=WAY_SCHEMA,
+    )
+    rels = spark.createDataFrame(
+        [(50_000 + r, 1, True, ts, 0, 0, "u", [("w", 10_000 + r, "m")], {})
+         for r in range(30)],
+        schema=RELATION_SCHEMA,
+    )
+    cat = ExtractCatalog([Extract.bbox("mid", -60.0, -30.0, 60.0, 30.0)])
+    out = str(tmp_path / "p2full")
+    world = prepare_bucketed_world(
+        spark, nodes, ways, rels, str(tmp_path / "world"), n_buckets=8
+    )
+    run_split(
+        spark, world["nodes"], world["ways"], world["relations"], cat, out,
+        mode="softcut", n_buckets=8,
+    )
+
+    store = StageStore(spark, f"{out}/_checkpoints", bucket_by=("id", 8))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        outs = pass2_outputs(
+            world["nodes"], world["ways"], world["relations"], store
+        )
+        for name, df in outs.items():
+            plan = plan_of(df)
+            assert "SortMergeJoin" in plan, (name, plan)
+            assert "SelectedBucketsCount" in plan, (name, plan)
+            assert plan.count("Exchange") == 0, (name, plan)
+        # and the result is the same split the plain-parquet path produces
+        plain = pass2_outputs(nodes, ways, rels, store)
+        for name in outs:
+            a = sorted((r["id"], r["version"], r["extract"])
+                       for r in outs[name].select("id", "version", "extract").collect())
+            b = sorted((r["id"], r["version"], r["extract"])
+                       for r in plain[name].select("id", "version", "extract").collect())
+            assert a == b and a, name
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
