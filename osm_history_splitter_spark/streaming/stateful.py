@@ -27,7 +27,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-__all__ = ["hourly_rollup_stream", "sessionize_stream", "SESSION_GAP_SEC"]
+__all__ = [
+    "hourly_rollup_stream",
+    "sessionize_stream",
+    "dedup_stream",
+    "SESSION_GAP_SEC",
+]
 
 SESSION_GAP_SEC = 1800
 
@@ -133,6 +138,31 @@ def _make_session_fn(evict_ms: int):
             )
 
     return _session_fn
+
+
+def dedup_stream(
+    df: DataFrame,
+    keys: tuple[str, ...] | list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: keep the FIRST arrival of each key, dropping
+    later duplicates that land within the watermark
+    (``dropDuplicatesWithinWatermark`` — the ingest-time twin of
+    ``text_queries.q_dedup_exact``'s hash-groupBy).
+
+    State scale: one state entry per distinct key seen within the
+    watermark horizon, evicted as the watermark advances — bounded by the
+    key arrival rate × watermark, NOT by corpus size. That bound is the
+    honest contract: a duplicate arriving later than the watermark is NOT
+    dropped (full-corpus dedup is the batch job's business; this operator
+    keeps an ingest pipeline from double-writing bursts and replays).
+    """
+    return (
+        df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(list(keys))
+    )
 
 
 def sessionize_stream(events: DataFrame, evict: bool = False) -> DataFrame:

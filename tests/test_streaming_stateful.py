@@ -116,3 +116,40 @@ def test_softcut_emit_stream_matches_batch_pass2(spark, tmp_path):
         for r in arrivals.join(markers, "id").collect()
     }
     assert got == want and len(got) == 3
+
+
+def test_dedup_stream_matches_batch(spark, tmp_path):
+    """Streaming exact dedup drained over a backlog with planted duplicate
+    texts keeps exactly one row per distinct content hash — the same key
+    set as the batch hash-groupBy (q_dedup_exact)."""
+    from osm_history_splitter_spark.streaming.stateful import dedup_stream
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    # plant duplicates: every doc appears again with a shifted id, same text
+    dup = docs.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    backlog = docs.unionByName(dup).withColumn(
+        "ts", F.to_timestamp(F.lit("2024-01-01 00:00:00")) + F.make_interval(secs=F.col("doc_id") % 600)
+    ).withColumn("text_md5", F.md5(F.col("text").cast("binary")))
+    src = str(tmp_path / "docs_src")
+    backlog.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(backlog.schema).parquet(src)
+
+    deduped = dedup_stream(stream, ["text_md5"], ts_col="ts", watermark="1 hour")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_d"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = spark.sql("SELECT text_md5 FROM dedup_sink").collect()
+    got_keys = [r["text_md5"] for r in got]
+    want_keys = {
+        r["text_md5"]
+        for r in backlog.select("text_md5").distinct().collect()
+    }
+    assert len(got_keys) == len(set(got_keys)), "sink emitted a duplicate key"
+    assert set(got_keys) == want_keys
