@@ -182,9 +182,12 @@ FROM r WHERE rnk <= 3"""
 
 
 def q_hash_sample(spark, sf_dir):
-    """Deterministic content-hash sampling with per-language rates (en 50%,
+    """Deterministic id-keyed hash sampling with per-language rates (en 50%,
     de 25%, others 10%) — reproducible train/eval splits need a hash, not
-    rand(). The md5-hex prefix is a uniform 16-bit integer on both engines.
+    rand(). Keyed on ``doc_id`` (not content) ON PURPOSE: every revision of
+    a document lands in the same split, so near-identical versions can never
+    straddle a train/eval boundary. The md5-hex prefix is a uniform 16-bit
+    integer on both engines.
     """
     d = _t(spark, sf_dir, "documents")
     bucket = F.conv(
@@ -1371,6 +1374,112 @@ SELECT doc_id, w, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
 FROM r WHERE rk <= 3"""
 
 
+def q_chunk_dedup(spark, sf_dir):
+    """Chunk-level (CCNet/RefinedWeb line-dedup style) exact dedup: split
+    every document into consecutive 10-word chunks, keep each distinct
+    chunk only at its globally-first occurrence (ordered by doc_id, then
+    position), and reassemble the surviving chunks in document order —
+    plus kept/dropped counts so the removal rate is observable, not
+    silent.
+
+    Scale shape: posexplode to narrow (doc_id, pos, chunk) rows; ONE
+    window shuffle partitioned by the chunk string (evenly distributed —
+    it's content), then ONE groupBy shuffle on doc_id for reassembly.
+    collect_list skips the null non-survivors, array_sort on the
+    (pos, chunk) struct restores document order without a sort-within-
+    partitions. No UDF. The generalization of the reference's id-bitset
+    "first writer wins" semantics (``growing_bitset.hpp:25-47``) from
+    object ids to content chunks."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(10)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda g: F.array_join(F.slice(words, g * 10 + 1, 10), " "),
+    )
+    ex = d.select("doc_id", F.posexplode(chunks).alias("pos", "chunk"))
+    w = Window.partitionBy("chunk").orderBy("doc_id", "pos")
+    marked = ex.withColumn("rn", F.row_number().over(w))
+    return marked.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("rn") == 1, F.struct("pos", "chunk")
+                        )
+                    )
+                ),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("kept_chunks"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("dropped_chunks"),
+    )
+
+
+Q_CHUNK_DEDUP_SQL = """WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), c AS (
+  SELECT doc_id, g AS pos,
+         array_to_string(ws[g*10+1 : g*10+10], ' ') AS chunk
+  FROM w, LATERAL (
+    SELECT unnest(range(CAST(ceil(len(ws) / 10.0) AS BIGINT))) AS g)
+), r AS (
+  SELECT doc_id, pos, chunk,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+  FROM c
+)
+SELECT doc_id,
+  COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY pos),
+           '') AS clean_text,
+  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks,
+  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dropped_chunks
+FROM r GROUP BY 1"""
+
+
+def q_interval_counts(spark, sf_dir):
+    """Interval (range) join via time bucketing (operators/interval.py):
+    every 'error' event gets the number of 'click' events within ±60 s
+    and the distance to the nearest one (µs; -1 when none). The Spark
+    side is the bucketed equi-join (no non-equi join node); the oracle is
+    DuckDB's native inequality join — two independent formulations."""
+    from .operators.interval import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    j = interval_join(
+        errors, clicks, "ts", "click_ts",
+        tol_us=60_000_000, how="left", left_id="event_id",
+    )
+    return j.groupBy("event_id").agg(
+        F.count("click_id").alias("n_clicks"),
+        F.coalesce(F.min(F.abs(F.col("__dt_us"))), F.lit(-1))
+        .cast("long")
+        .alias("min_abs_dt_us"),
+    )
+
+
+Q_INTERVAL_COUNTS_SQL = """WITH err AS (
+  SELECT event_id, epoch_us(ts) AS tus FROM events WHERE event_type = 'error'
+), clk AS (
+  SELECT epoch_us(ts) AS cus FROM events WHERE event_type = 'click'
+)
+SELECT e.event_id,
+  CAST(count(c.cus) AS BIGINT) AS n_clicks,
+  CAST(COALESCE(min(abs(c.cus - e.tus)), -1) AS BIGINT) AS min_abs_dt_us
+FROM err e LEFT JOIN clk c ON abs(c.cus - e.tus) <= 60000000
+GROUP BY 1"""
+
+
 TEXT_QUERIES = {
     "regex_tokens": (q_regex_tokens, Q_REGEX_TOKENS_SQL),
     "simhash": (q_simhash, Q_SIMHASH_SQL),
@@ -1397,4 +1506,6 @@ TEXT_QUERIES = {
     "repetition_quality": (q_repetition_quality, Q_REPETITION_QUALITY_SQL),
     "latest_snapshot": (q_latest_snapshot, Q_LATEST_SNAPSHOT_SQL),
     "tfidf_topk": (q_tfidf_topk, Q_TFIDF_TOPK_SQL),
+    "chunk_dedup": (q_chunk_dedup, Q_CHUNK_DEDUP_SQL),
+    "interval_counts": (q_interval_counts, Q_INTERVAL_COUNTS_SQL),
 }
