@@ -36,6 +36,8 @@ BENCH_QUERIES = [
     "events_asof",
     "embedding_neardup",
     "sessionize",
+    "chunk_dedup",
+    "interval_counts",
 ]
 
 
