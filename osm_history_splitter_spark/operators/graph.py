@@ -1,0 +1,83 @@
+"""Link-graph centrality (PageRank) — iterative graph computation on the
+web-page link graph.
+
+The web-pipeline use: crawl prioritization and quality weighting over
+page→page links, the analog of the reference's relation→relation member
+graph (``softcut.hpp:240-260``) with "reachability" generalized to a
+weighted fixpoint. The closure operator (``operators/closure.py``) answers
+*which* vertices connect; this answers *how central* each one is.
+
+Scale shape per iteration:
+1. contributions: edges ⋈ ranks on ``src`` — ONE shuffle by src (AQE
+   broadcasts the rank side when tiny); out-degree is joined from a
+   precomputed (and reused) aggregate;
+2. ``groupBy(dst).sum`` — ONE map-side-combinable shuffle by dst;
+3. re-attach to the full vertex set with a left join so sink-only
+   vertices keep the base rank.
+
+Iterations chain lazily; ``checkpoint_every`` truncates the growing
+lineage with ``localCheckpoint`` the same way the connected-components
+loop does (``operators/dedup.py``). Skew: a mega-hub dst key (a page
+everyone links to) concentrates one reducer — pre-aggregate per
+partition handles it (sum is combinable); a mega-hub SRC fans out
+map-side only, no shuffle amplification.
+
+Determinism contract: all arithmetic is 64-bit integer on an integer
+scale (``scale``), with truncating division (Spark ``div`` == DuckDB
+``//`` for non-negative operands) — so a fixed iteration count is
+bit-reproducible across engines and the oracle can unroll the loop in
+SQL. Dangling-vertex mass is dropped (not redistributed) by both
+formulations — the simplified PageRank variant; document if you need
+the stochastic-matrix one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank"]
+
+
+def pagerank(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    num_iter: int = 3,
+    damping_pct: int = 85,
+    scale: int = 10**9,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Integer-scaled PageRank over ``edges(src: long, dst: long)``.
+
+    Returns ``(id: long, pr: long)`` where ``pr`` is on ``scale`` (initial
+    rank = ``scale``). ``vertices`` (``id``) defaults to all endpoint ids;
+    pass the full corpus vertex set so link-less pages keep the base rank.
+    """
+    if vertices is None:
+        vertices = (
+            edges.select(F.col("src").alias("id"))
+            .unionByName(edges.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+    verts = vertices.select("id").persist()
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("od")).persist()
+    base = scale * (100 - damping_pct) // 100
+
+    pr = verts.withColumn("pr", F.lit(scale).cast("long"))
+    for it in range(num_iter):
+        contrib = (
+            edges.join(pr, edges["src"] == pr["id"])
+            .join(outdeg, "src")
+            .select(F.col("dst").alias("id"), F.expr("pr div od").alias("c"))
+        )
+        sums = contrib.groupBy("id").agg(F.sum("c").alias("s"))
+        pr = verts.join(sums, "id", "left").select(
+            "id",
+            (
+                F.lit(base)
+                + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
+            ).cast("long").alias("pr"),
+        )
+        if (it + 1) % checkpoint_every == 0 and it + 1 < num_iter:
+            pr = pr.localCheckpoint(eager=False)
+    return pr

@@ -1480,6 +1480,62 @@ FROM err e LEFT JOIN clk c ON abs(c.cus - e.tus) <= 60000000
 GROUP BY 1"""
 
 
+def q_pagerank(spark, sf_dir):
+    """Link-graph centrality (operators/graph.py): 3 PageRank iterations
+    over a deterministic synthetic link graph (each page links to three
+    arithmetically-derived pages — no external data, reproducible in
+    SQL). Integer-scaled truncating arithmetic makes the fixed-iteration
+    result bit-identical across engines; the oracle unrolls the loop in
+    chained CTEs."""
+    from .operators.graph import pagerank
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()  # scalar graph size for the edge formulas
+    parts = [
+        d.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * a + b) % n).alias("dst"),
+        )
+        for a, b in ((7, 1), (13, 2), (29, 3))
+    ]
+    e = parts[0]
+    for p in parts[1:]:
+        e = e.unionByName(p)
+    edges = e.filter(F.col("src") != F.col("dst")).distinct()
+    verts = d.select(F.col("doc_id").alias("id"))
+    pr = pagerank(edges, vertices=verts, num_iter=3)
+    return pr.select(
+        F.col("id").alias("doc_id"), F.col("pr").cast("long").alias("pr")
+    )
+
+
+Q_PAGERANK_SQL = """WITH n AS (SELECT count(*) AS n FROM documents),
+e0 AS (
+  SELECT doc_id AS src, (doc_id * 7 + 1) % n.n AS dst FROM documents, n
+  UNION SELECT doc_id, (doc_id * 13 + 2) % n.n FROM documents, n
+  UNION SELECT doc_id, (doc_id * 29 + 3) % n.n FROM documents, n),
+edges AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+verts AS (SELECT doc_id AS id FROM documents),
+outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY 1),
+p0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS pr FROM verts),
+c1 AS (SELECT e.dst AS id, SUM(p.pr // o.od) AS s
+       FROM edges e JOIN p0 p ON p.id = e.src JOIN outdeg o ON o.src = e.src
+       GROUP BY 1),
+p1 AS (SELECT v.id, 150000000 + (85 * COALESCE(c.s, 0)) // 100 AS pr
+       FROM verts v LEFT JOIN c1 c ON c.id = v.id),
+c2 AS (SELECT e.dst AS id, SUM(p.pr // o.od) AS s
+       FROM edges e JOIN p1 p ON p.id = e.src JOIN outdeg o ON o.src = e.src
+       GROUP BY 1),
+p2 AS (SELECT v.id, 150000000 + (85 * COALESCE(c.s, 0)) // 100 AS pr
+       FROM verts v LEFT JOIN c2 c ON c.id = v.id),
+c3 AS (SELECT e.dst AS id, SUM(p.pr // o.od) AS s
+       FROM edges e JOIN p2 p ON p.id = e.src JOIN outdeg o ON o.src = e.src
+       GROUP BY 1),
+p3 AS (SELECT v.id, 150000000 + (85 * COALESCE(c.s, 0)) // 100 AS pr
+       FROM verts v LEFT JOIN c3 c ON c.id = v.id)
+SELECT id AS doc_id, CAST(pr AS BIGINT) AS pr FROM p3"""
+
+
 TEXT_QUERIES = {
     "regex_tokens": (q_regex_tokens, Q_REGEX_TOKENS_SQL),
     "simhash": (q_simhash, Q_SIMHASH_SQL),
@@ -1508,4 +1564,5 @@ TEXT_QUERIES = {
     "tfidf_topk": (q_tfidf_topk, Q_TFIDF_TOPK_SQL),
     "chunk_dedup": (q_chunk_dedup, Q_CHUNK_DEDUP_SQL),
     "interval_counts": (q_interval_counts, Q_INTERVAL_COUNTS_SQL),
+    "pagerank": (q_pagerank, Q_PAGERANK_SQL),
 }
