@@ -31,6 +31,7 @@ __all__ = [
     "hourly_rollup_stream",
     "sessionize_stream",
     "dedup_stream",
+    "interval_join_stream",
     "SESSION_GAP_SEC",
 ]
 
@@ -163,6 +164,43 @@ def dedup_stream(
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(list(keys))
     )
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    tol_sec: int,
+    on: list[str] | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of ``operators/interval.py:interval_join`` (inner):
+    a native watermarked stream-stream join with a time-range condition —
+    Spark bounds both join states by ``watermark + tol`` and evicts as
+    event time advances, so state scales with arrival rate, not stream
+    length.
+
+    Column contract mirrors the batch operator: the two inputs must have
+    disjoint column names. ``on`` adds equality keys on top of the range
+    condition — each entry is a ``(left_col, right_col)`` pair; with
+    equality keys Spark hash-partitions both stream states by the key, so
+    the range probe never scans the whole state.
+    """
+    l = left.withColumn(
+        left_ts, F.col(left_ts).cast("timestamp")
+    ).withWatermark(left_ts, watermark)
+    r = right.withColumn(
+        right_ts, F.col(right_ts).cast("timestamp")
+    ).withWatermark(right_ts, watermark)
+    iv = F.expr(f"INTERVAL {int(tol_sec)} SECOND")
+    cond = (F.col(right_ts) >= F.col(left_ts) - iv) & (
+        F.col(right_ts) <= F.col(left_ts) + iv
+    )
+    for pair in on or []:
+        lc, rc = pair if isinstance(pair, (tuple, list)) else (pair, pair)
+        cond = cond & (F.col(lc) == F.col(rc))
+    return l.join(r, cond, "inner")
 
 
 def sessionize_stream(events: DataFrame, evict: bool = False) -> DataFrame:

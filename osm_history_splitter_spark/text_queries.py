@@ -565,7 +565,7 @@ def q_ann_topk(spark, sf_dir):
 
 
 Q_ANN_TOPK_SQL = f"""WITH e AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(round(x * {QUANT}) AS BIGINT)) AS q
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS q
   FROM embeddings),
 n AS (SELECT vec_id, q, CAST(list_dot_product(q, q) AS BIGINT) AS n2 FROM e),
 sims AS (
@@ -681,7 +681,7 @@ def _ivf_sql() -> str:
     )
     ds = ",".join(f"dc{j}" for j in range(IVF_LISTS))
     return f"""WITH e AS (
-  SELECT vec_id AS vid, list_transform(embedding, x -> CAST(round(x * {QUANT}) AS BIGINT)) AS q
+  SELECT vec_id AS vid, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS q
   FROM embeddings),
 sig AS (SELECT vid, q, {dcols} FROM e),
 inv AS (SELECT vid, q, [{ds}] AS ds,
@@ -822,7 +822,7 @@ def _lshq_sql() -> str:
     )
     adots = ",".join(f"abs(d{j})" for j in range(LSHQ_PLANES))
     return f"""WITH e AS (
-  SELECT vec_id AS vid, list_transform(embedding, x -> CAST(round(x * {QUANT}) AS BIGINT)) AS q
+  SELECT vec_id AS vid, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS q
   FROM embeddings),
 sig AS (SELECT vid, q, {dcols} FROM e),
 signed AS (SELECT vid, q, CAST({sig_terms} AS BIGINT) AS sig,
@@ -996,7 +996,7 @@ def _neardup_sql() -> str:
     band_nos = ",".join(str(b) for b in range(NEARDUP_BANDS))
     bk_list = ",".join(f"bk{b}" for b in range(NEARDUP_BANDS))
     return f"""WITH base AS (
-  SELECT vec_id AS vid, list_transform(embedding, x -> CAST(round(x * {QUANT}) AS BIGINT)) AS q
+  SELECT vec_id AS vid, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS q
   FROM embeddings),
 plant AS (
   SELECT vid + {NEARDUP_OFFSET} AS vid,
@@ -1536,6 +1536,92 @@ p3 AS (SELECT v.id, 150000000 + (85 * COALESCE(c.s, 0)) // 100 AS pr
 SELECT id AS doc_id, CAST(pr AS BIGINT) AS pr FROM p3"""
 
 
+def q_kmeans(spark, sf_dir):
+    """Deterministic k-means (operators/kmeans.py): 2 Lloyd iterations,
+    k=8, integer-quantized vectors, truncated-floor centroid means,
+    ties to the lowest cluster id — every step bit-reproducible, so the
+    DuckDB oracle replays the full iteration chain in CTEs."""
+    from .operators.kmeans import kmeans
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("vid"), _quantized("embedding").alias("q")
+    )
+    out, _cents = kmeans(e, k=8, num_iter=2)
+    return out.select(
+        F.col("vid").alias("vec_id"),
+        F.col("cluster").cast("int").alias("cluster"),
+        "dist2",
+    )
+
+
+Q_KMEANS_SQL = f"""WITH e AS (
+  SELECT vec_id AS vid,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS q
+  FROM embeddings),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vid) - 1 AS cl, q AS c
+  FROM e ORDER BY vid LIMIT 8),
+d1 AS (
+  SELECT e.vid, c0.cl,
+         CAST(list_sum(list_transform(range(1, 65),
+              d -> (e.q[d] - c0.c[d]) * (e.q[d] - c0.c[d]))) AS BIGINT)
+           AS dist2
+  FROM e, c0),
+a1 AS (
+  SELECT vid, cl, dist2,
+         row_number() OVER (PARTITION BY vid ORDER BY dist2, cl) AS rn
+  FROM d1),
+s1 AS (
+  SELECT a.cl, dd.d,
+         CAST(floor(SUM(e.q[dd.d]) / COUNT(*)) AS BIGINT) AS c
+  FROM a1 a JOIN e ON e.vid = a.vid,
+       LATERAL (SELECT unnest(range(1, 65)) AS d) dd
+  WHERE a.rn = 1
+  GROUP BY 1, 2),
+c1 AS (
+  SELECT c0.cl,
+         CASE WHEN count(s1.c) = 0 THEN c0.c
+              ELSE list(s1.c ORDER BY s1.d) END AS c
+  FROM c0 LEFT JOIN s1 ON s1.cl = c0.cl
+  GROUP BY c0.cl, c0.c),
+d2 AS (
+  SELECT e.vid, c1.cl,
+         CAST(list_sum(list_transform(range(1, 65),
+              d -> (e.q[d] - c1.c[d]) * (e.q[d] - c1.c[d]))) AS BIGINT)
+           AS dist2
+  FROM e, c1),
+a2 AS (
+  SELECT vid, cl, dist2,
+         row_number() OVER (PARTITION BY vid ORDER BY dist2, cl) AS rn
+  FROM d2),
+s2 AS (
+  SELECT a.cl, dd.d,
+         CAST(floor(SUM(e.q[dd.d]) / COUNT(*)) AS BIGINT) AS c
+  FROM a2 a JOIN e ON e.vid = a.vid,
+       LATERAL (SELECT unnest(range(1, 65)) AS d) dd
+  WHERE a.rn = 1
+  GROUP BY 1, 2),
+c2 AS (
+  SELECT c1.cl,
+         CASE WHEN count(s2.c) = 0 THEN c1.c
+              ELSE list(s2.c ORDER BY s2.d) END AS c
+  FROM c1 LEFT JOIN s2 ON s2.cl = c1.cl
+  GROUP BY c1.cl, c1.c),
+d3 AS (
+  SELECT e.vid, c2.cl,
+         CAST(list_sum(list_transform(range(1, 65),
+              d -> (e.q[d] - c2.c[d]) * (e.q[d] - c2.c[d]))) AS BIGINT)
+           AS dist2
+  FROM e, c2),
+a3 AS (
+  SELECT vid, cl, dist2,
+         row_number() OVER (PARTITION BY vid ORDER BY dist2, cl) AS rn
+  FROM d3)
+SELECT vid AS vec_id, CAST(cl AS INT) AS cluster, dist2
+FROM a3 WHERE rn = 1"""
+
+
 TEXT_QUERIES = {
     "regex_tokens": (q_regex_tokens, Q_REGEX_TOKENS_SQL),
     "simhash": (q_simhash, Q_SIMHASH_SQL),
@@ -1565,4 +1651,5 @@ TEXT_QUERIES = {
     "chunk_dedup": (q_chunk_dedup, Q_CHUNK_DEDUP_SQL),
     "interval_counts": (q_interval_counts, Q_INTERVAL_COUNTS_SQL),
     "pagerank": (q_pagerank, Q_PAGERANK_SQL),
+    "kmeans": (q_kmeans, Q_KMEANS_SQL),
 }

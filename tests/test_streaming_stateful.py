@@ -153,3 +153,51 @@ def test_dedup_stream_matches_batch(spark, tmp_path):
     }
     assert len(got_keys) == len(set(got_keys)), "sink emitted a duplicate key"
     assert set(got_keys) == want_keys
+
+
+def test_interval_join_stream_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream time-range join drained over the events
+    backlog == the batch bucketed interval_join: same (error, click) pair
+    set within ±60 s."""
+    from osm_history_splitter_spark.operators.interval import interval_join
+    from osm_history_splitter_spark.streaming.stateful import (
+        interval_join_stream,
+    )
+
+    batch, stream = _event_stream(spark, tmp_path, subset=True)
+    errors_b = batch.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), F.col("ts").alias("err_ts")
+    )
+    clicks_b = batch.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    want = {
+        (r["err_id"], r["click_id"])
+        for r in interval_join(
+            errors_b, clicks_b, "err_ts", "click_ts", 60_000_000
+        ).collect()
+    }
+
+    errors_s = stream.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), F.col("ts").alias("err_ts")
+    )
+    clicks_s = stream.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    joined = interval_join_stream(
+        errors_s, clicks_s, "err_ts", "click_ts", 60
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ij_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_ij"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["err_id"], r["click_id"])
+        for r in spark.sql("SELECT err_id, click_id FROM ij_sink").collect()
+    }
+    assert got == want and got
