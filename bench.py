@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "sessionize",
     "chunk_dedup",
     "interval_counts",
+    "corpus_clean",
 ]
 
 

@@ -182,25 +182,40 @@ def interval_join_stream(
     length.
 
     Column contract mirrors the batch operator: the two inputs must have
-    disjoint column names. ``on`` adds equality keys on top of the range
-    condition — each entry is a ``(left_col, right_col)`` pair; with
-    equality keys Spark hash-partitions both stream states by the key, so
-    the range probe never scans the whole state.
+    disjoint column names. ``on`` adds equality keys — each entry is a
+    ``(left_col, right_col)`` pair.
+
+    Spark REQUIRES an equality predicate in stream-stream joins (a pure
+    range condition is rejected at planning), and the state store is
+    hash-partitioned by the equality keys — so this reuses the batch
+    operator's time-bucket trick as that key: the right stream carries
+    its tol-width bucket, the left stream explodes into the ±1 candidate
+    buckets, and the exact range condition refines. Each pair matches in
+    exactly one bucket (the right row has one), so no streaming dedup is
+    needed.
     """
+    tol_us = int(tol_sec) * 1_000_000
     l = left.withColumn(
         left_ts, F.col(left_ts).cast("timestamp")
     ).withWatermark(left_ts, watermark)
     r = right.withColumn(
         right_ts, F.col(right_ts).cast("timestamp")
     ).withWatermark(right_ts, watermark)
+    lb = F.floor(F.unix_micros(F.col(left_ts)) / F.lit(tol_us))
+    l = l.withColumn("__lbkt", F.explode(F.array(lb - 1, lb, lb + 1)))
+    r = r.withColumn(
+        "__rbkt", F.floor(F.unix_micros(F.col(right_ts)) / F.lit(tol_us))
+    )
     iv = F.expr(f"INTERVAL {int(tol_sec)} SECOND")
-    cond = (F.col(right_ts) >= F.col(left_ts) - iv) & (
-        F.col(right_ts) <= F.col(left_ts) + iv
+    cond = (
+        (F.col("__lbkt") == F.col("__rbkt"))
+        & (F.col(right_ts) >= F.col(left_ts) - iv)
+        & (F.col(right_ts) <= F.col(left_ts) + iv)
     )
     for pair in on or []:
         lc, rc = pair if isinstance(pair, (tuple, list)) else (pair, pair)
         cond = cond & (F.col(lc) == F.col(rc))
-    return l.join(r, cond, "inner")
+    return l.join(r, cond, "inner").drop("__lbkt", "__rbkt")
 
 
 def sessionize_stream(events: DataFrame, evict: bool = False) -> DataFrame:

@@ -1622,6 +1622,88 @@ SELECT vid AS vec_id, CAST(cl AS INT) AS cluster, dist2
 FROM a3 WHERE rn = 1"""
 
 
+#: corpus_clean quality cutoff (the sf-corpus median sits near 330)
+CLEAN_MIN_QUALITY = 300
+
+
+def q_corpus_clean(spark, sf_dir):
+    """END-TO-END training-corpus cleaning funnel — the composition the
+    individual operators exist for: quality gate ∧ exact-dedup keeper ∧
+    near-dup-cluster canonical ∧ decontaminated, one boolean flag per
+    stage plus the final ``kept`` verdict per corpus document (benchmark
+    docs, doc_id < DECONTAM_BENCH, are the eval set and excluded).
+
+    Every stage is itself an oracle-certified query; this checks their
+    COMPOSITION end-to-end (flags are per-stage, so a hash mismatch
+    pinpoints the diverging stage). Scale shape: four narrow (doc_id)
+    marker frames left-joined onto the corpus spine — each marker is the
+    output of an already-scale-audited pipeline, the joins are on an
+    evenly-distributed long key, and AQE broadcasts the tiny ones."""
+    spine = (
+        q_quality_score(spark, sf_dir)
+        .filter(F.col("doc_id") >= DECONTAM_BENCH)
+        .select("doc_id", "quality_score")
+    )
+    lang = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    keepers = q_dedup_exact(spark, sf_dir).select(
+        F.col("keep_id").alias("doc_id"), F.lit(True).alias("__exact")
+    )
+    noncanon = (
+        q_dedup_clusters(spark, sf_dir)
+        .filter(~F.col("is_canonical"))
+        .select("doc_id", F.lit(True).alias("__dup"))
+    )
+    contaminated = q_decontaminate(spark, sf_dir).select(
+        "doc_id", F.lit(True).alias("__dirty")
+    )
+    out = (
+        spine.join(lang, "doc_id")
+        .join(keepers, "doc_id", "left")
+        .join(noncanon, "doc_id", "left")
+        .join(contaminated, "doc_id", "left")
+    )
+    passed_q = F.col("quality_score") >= CLEAN_MIN_QUALITY
+    exact_k = F.coalesce(F.col("__exact"), F.lit(False))
+    near_k = ~F.coalesce(F.col("__dup"), F.lit(False))
+    clean = ~F.coalesce(F.col("__dirty"), F.lit(False))
+    return out.select(
+        "doc_id",
+        "lang",
+        "quality_score",
+        passed_q.alias("passed_quality"),
+        exact_k.alias("exact_keeper"),
+        near_k.alias("neardup_keeper"),
+        clean.alias("decontaminated"),
+        (passed_q & exact_k & near_k & clean).alias("kept"),
+    )
+
+
+Q_CORPUS_CLEAN_SQL = f"""WITH q AS ({{QUALITY}}),
+keepers AS (SELECT keep_id AS doc_id FROM ({{EXACT}})),
+noncanon AS (SELECT doc_id FROM ({{CLUSTERS}}) WHERE NOT is_canonical),
+dirty AS (SELECT doc_id FROM ({{DECON}}))
+SELECT d.doc_id, d.lang, q.quality_score,
+  (q.quality_score >= {CLEAN_MIN_QUALITY}) AS passed_quality,
+  (k.doc_id IS NOT NULL) AS exact_keeper,
+  (n.doc_id IS NULL) AS neardup_keeper,
+  (x.doc_id IS NULL) AS decontaminated,
+  ((q.quality_score >= {CLEAN_MIN_QUALITY}) AND k.doc_id IS NOT NULL
+    AND n.doc_id IS NULL AND x.doc_id IS NULL) AS kept
+FROM documents d
+JOIN q ON q.doc_id = d.doc_id
+LEFT JOIN keepers k ON k.doc_id = d.doc_id
+LEFT JOIN noncanon n ON n.doc_id = d.doc_id
+LEFT JOIN dirty x ON x.doc_id = d.doc_id
+WHERE d.doc_id >= {DECONTAM_BENCH}"""
+
+Q_CORPUS_CLEAN_SQL = Q_CORPUS_CLEAN_SQL.format(
+    QUALITY=Q_QUALITY_SCORE_SQL,
+    EXACT=Q_DEDUP_EXACT_SQL,
+    CLUSTERS=Q_DEDUP_CLUSTERS_SQL,
+    DECON=Q_DECONTAMINATE_SQL,
+)
+
+
 TEXT_QUERIES = {
     "regex_tokens": (q_regex_tokens, Q_REGEX_TOKENS_SQL),
     "simhash": (q_simhash, Q_SIMHASH_SQL),
@@ -1652,4 +1734,5 @@ TEXT_QUERIES = {
     "interval_counts": (q_interval_counts, Q_INTERVAL_COUNTS_SQL),
     "pagerank": (q_pagerank, Q_PAGERANK_SQL),
     "kmeans": (q_kmeans, Q_KMEANS_SQL),
+    "corpus_clean": (q_corpus_clean, Q_CORPUS_CLEAN_SQL),
 }

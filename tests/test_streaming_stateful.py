@@ -158,7 +158,8 @@ def test_dedup_stream_matches_batch(spark, tmp_path):
 def test_interval_join_stream_matches_batch(spark, tmp_path):
     """Watermarked stream-stream time-range join drained over the events
     backlog == the batch bucketed interval_join: same (error, click) pair
-    set within ±60 s."""
+    set within ±600 s (the widest window that stays non-vacuous on the
+    sparse sf0.001 user subset)."""
     from osm_history_splitter_spark.operators.interval import interval_join
     from osm_history_splitter_spark.streaming.stateful import (
         interval_join_stream,
@@ -174,7 +175,7 @@ def test_interval_join_stream_matches_batch(spark, tmp_path):
     want = {
         (r["err_id"], r["click_id"])
         for r in interval_join(
-            errors_b, clicks_b, "err_ts", "click_ts", 60_000_000
+            errors_b, clicks_b, "err_ts", "click_ts", 600_000_000
         ).collect()
     }
 
@@ -185,7 +186,7 @@ def test_interval_join_stream_matches_batch(spark, tmp_path):
         F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
     )
     joined = interval_join_stream(
-        errors_s, clicks_s, "err_ts", "click_ts", 60
+        errors_s, clicks_s, "err_ts", "click_ts", 600
     )
     q = (
         joined.writeStream.format("memory")
