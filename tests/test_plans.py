@@ -348,3 +348,13 @@ def test_bucketed_world_pass2_is_fully_shuffle_free(spark, tmp_path):
             assert a == b and a, name
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_corpus_clean_plan_shape(spark):
+    """The cleaning funnel must stay a tree of hash joins on doc_id —
+    no cartesian/nested-loop nodes anywhere in the composed plan."""
+    from osm_history_splitter_spark.text_queries import q_corpus_clean
+
+    plan = plan_of(q_corpus_clean(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
