@@ -74,6 +74,60 @@ def decode_assets(df: DataFrame) -> DataFrame:
     return df.mapInPandas(op, schema=DECODED_FIELDS)
 
 
+def resize_and_featurize(
+    df: DataFrame, max_side: int = 128, feat_dim: int = 8
+) -> DataFrame:
+    """Resize planning + feature extraction in one Arrow pass (the brief's
+    remaining two multimodal ops). Target dims preserve aspect ratio with
+    pure integer arithmetic — ``t = side * max_side // max(w, h)`` — so
+    the contract is engine-exact; the feature vector is the STUBBED
+    extractor's output (first ``feat_dim`` bytes of the content sha as
+    ints — a real model swaps in at the marked line, same schema:
+    ``array<bigint>`` is exactly how the embeddings table stores real
+    vectors).
+
+    One mapInPandas over the asset batch: the payload is read once for
+    decode + features and never leaves the executor."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, kind, payload in zip(
+                pdf["asset_id"], pdf["kind"], pdf["payload"]
+            ):
+                m = _fake_decode(payload, kind)
+                w, h = m["width"], m["height"]
+                s = max(w, h)
+                digest = hashlib.sha256(payload or b"").digest()
+                rows.append(
+                    {
+                        "asset_id": aid,
+                        "width": w,
+                        "height": h,
+                        "target_w": w * max_side // s,
+                        "target_h": h * max_side // s,
+                        # STUB feature extractor — replace with the real
+                        # model forward pass; schema stays array<bigint>
+                        "feat": [int(b) for b in digest[:feat_dim]],
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "width", "height",
+                    "target_w", "target_h", "feat",
+                ],
+            )
+
+    return df.mapInPandas(
+        op,
+        schema=(
+            "asset_id long, width int, height int, "
+            "target_w int, target_h int, feat array<bigint>"
+        ),
+    )
+
+
 def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame sampling plan for video assets: one output row per sampled
     frame index (the decode of the actual frame bytes is the stubbed step).

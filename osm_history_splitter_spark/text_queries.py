@@ -1068,6 +1068,45 @@ SELECT asset_id, kind,
 FROM a"""
 
 
+def q_multimodal_features(spark, sf_dir):
+    """Resize planning + stub feature extraction over binary assets in one
+    Arrow mapInPandas pass (functions/multimodal.py:resize_and_featurize).
+    Integer aspect-ratio arithmetic and sha-derived features are replayed
+    exactly in DuckDB — certifying the explode-free one-in-one-out
+    mapInPandas contract with a nested array output column."""
+    from .functions.multimodal import resize_and_featurize
+
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id") % 3
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.when(k == 0, "image").when(k == 1, "video").otherwise("audio").alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+        F.lit(None).cast("map<string,string>").alias("meta"),
+    )
+    return resize_and_featurize(assets)
+
+
+Q_MULTIMODAL_FEATURES_SQL = f"""WITH a AS (
+  SELECT doc_id AS asset_id,
+    CASE WHEN doc_id % 3 = 0 THEN 'image'
+         WHEN doc_id % 3 = 1 THEN 'video' ELSE 'audio' END AS kind,
+    sha256(text) AS sha
+  FROM documents),
+dims AS (
+  SELECT asset_id, sha,
+    CAST(64 + {_hexbyte('sha', 0)} % 192 AS INTEGER) AS width,
+    CAST(64 + {_hexbyte('sha', 1)} % 192 AS INTEGER) AS height
+  FROM a)
+SELECT asset_id, width, height,
+  CAST(width * 128 // greatest(width, height) AS INTEGER) AS target_w,
+  CAST(height * 128 // greatest(width, height) AS INTEGER) AS target_h,
+  list_transform(range(0, 8),
+    i -> CAST(('0x' || substr(sha, 2 * i + 1, 2))::UINTEGER AS BIGINT))
+    AS feat
+FROM dims"""
+
+
 # --- as-of join ---------------------------------------------------------------
 
 
@@ -1735,4 +1774,5 @@ TEXT_QUERIES = {
     "pagerank": (q_pagerank, Q_PAGERANK_SQL),
     "kmeans": (q_kmeans, Q_KMEANS_SQL),
     "corpus_clean": (q_corpus_clean, Q_CORPUS_CLEAN_SQL),
+    "multimodal_features": (q_multimodal_features, Q_MULTIMODAL_FEATURES_SQL),
 }
