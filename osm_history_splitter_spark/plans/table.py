@@ -1,0 +1,127 @@
+"""Minimal Iceberg-style versioned table: snapshot manifests over parquet.
+
+The engine's outputs (split extracts, cleaned corpora) need the table
+properties the north star names — atomic commits, time travel, safe
+resume — without assuming an Iceberg runtime in the container. This is
+the standard manifest-pointer design reduced to its core:
+
+- data files live under ``<path>/data/c<id>/`` (one dir per commit
+  attempt, never rewritten; ids are independent of versions so a crashed
+  attempt never blocks the retry);
+- a snapshot manifest ``<path>/_manifests/v<N>.json`` lists the FULL
+  file set visible at version N (snapshot isolation: readers of version
+  N never see later files);
+- the manifest is written to a temp name and atomically renamed — a
+  crash mid-commit leaves orphan data files that no manifest references,
+  so readers are never exposed to partial writes (resume = just commit
+  again);
+- ``read(version=k)`` time-travels by reading exactly manifest k's file
+  list.
+
+At scale the manifest holds file paths + sizes only (KBs per thousand
+files); listing never touches the data. Real Iceberg adds column stats
+and partition pruning on top of the same pointer structure — this layer
+keeps the engine's commit/lineage semantics honest until one is wired
+in. Reference analog: the reference's writers finalize files at stream
+end (``cut.hpp:99-117``); here finalization is the manifest flip.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["VersionedTable"]
+
+
+class VersionedTable:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = Path(path)
+        (self.path / "_manifests").mkdir(parents=True, exist_ok=True)
+
+    # -- commit protocol ---------------------------------------------------
+
+    def versions(self) -> list[int]:
+        return sorted(
+            int(p.stem[1:]) for p in (self.path / "_manifests").glob("v*.json")
+        )
+
+    def _manifest(self, version: int) -> dict:
+        return json.loads(
+            (self.path / "_manifests" / f"v{version}.json").read_text()
+        )
+
+    def commit(
+        self, df: DataFrame, mode: str = "append", merge_key: str | None = None
+    ) -> int:
+        """Atomically commit ``df`` as the next version. Modes:
+
+        - ``append``: new snapshot = previous files + the new commit's;
+        - ``overwrite``: new snapshot = the new commit's files only;
+        - ``merge``: upsert by ``merge_key`` — previous rows whose key
+          appears in ``df`` are replaced (previous data is read, anti-
+          joined, and rewritten into the new commit dir; file-level
+          rewrite, the simple strategy — real engines add delete files).
+        """
+        vs = self.versions()
+        nxt = (vs[-1] + 1) if vs else 1
+        # commit-dir ids are decoupled from manifest versions: a crashed
+        # commit leaves an orphan dir, and the RETRY must take a fresh
+        # dir rather than collide with it (resume = just commit again)
+        data_root = self.path / "data"
+        used = [
+            int(p.name[1:])
+            for p in data_root.glob("c*")
+            if p.name[1:].isdigit()
+        ]
+        cdir = data_root / f"c{(max(used) + 1) if used else 1}"
+        if mode == "merge":
+            if not merge_key:
+                raise ValueError("merge mode requires merge_key")
+            if vs:
+                prev = self.read()
+                keep = prev.join(
+                    df.select(merge_key).distinct(), merge_key, "left_anti"
+                )
+                df = keep.unionByName(df)
+            mode_files = "self"
+        elif mode in ("append", "overwrite"):
+            mode_files = mode
+        else:
+            raise ValueError(f"mode must be append|overwrite|merge: {mode!r}")
+
+        df.write.mode("errorifexists").parquet(str(cdir))
+        files = sorted(
+            str(f) for f in cdir.glob("*.parquet") if f.stat().st_size > 0
+        )
+        if mode_files == "append" and vs:
+            files = self._manifest(vs[-1])["files"] + files
+        manifest = {
+            "version": nxt,
+            "parent": vs[-1] if vs else None,
+            "mode": mode,
+            "files": files,
+            "bytes": sum(os.path.getsize(f) for f in files),
+            "committed_at": time.time(),
+        }
+        tmp = self.path / "_manifests" / f".v{nxt}.json.tmp"
+        tmp.write_text(json.dumps(manifest, indent=1))
+        os.rename(tmp, self.path / "_manifests" / f"v{nxt}.json")  # atomic
+        return nxt
+
+    # -- reads -------------------------------------------------------------
+
+    def read(self, version: int | None = None) -> DataFrame:
+        vs = self.versions()
+        if not vs:
+            raise FileNotFoundError(f"no committed version at {self.path}")
+        v = version if version is not None else vs[-1]
+        if v not in vs:
+            raise FileNotFoundError(f"version {v} not in {vs}")
+        files = self._manifest(v)["files"]
+        return self.spark.read.parquet(*files)

@@ -1,0 +1,64 @@
+"""VersionedTable: snapshot isolation, time travel, merge upsert, crash
+safety (orphan data files are invisible without a manifest)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm_history_splitter_spark.plans.table import VersionedTable
+
+
+def _df(spark, lo, hi, tag):
+    return spark.range(lo, hi).select(
+        F.col("id"), F.lit(tag).alias("tag")
+    )
+
+
+def test_append_and_time_travel(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    v1 = t.commit(_df(spark, 0, 5, "a"))
+    v2 = t.commit(_df(spark, 5, 8, "b"))
+    assert (v1, v2) == (1, 2) and t.versions() == [1, 2]
+    assert t.read().count() == 8
+    assert t.read(version=1).count() == 5
+    assert {r["tag"] for r in t.read(version=1).collect()} == {"a"}
+
+
+def test_overwrite_snapshot(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_df(spark, 0, 5, "a"))
+    t.commit(_df(spark, 0, 2, "b"), mode="overwrite")
+    assert t.read().count() == 2
+    assert t.read(version=1).count() == 5  # old snapshot intact
+
+
+def test_merge_upserts_by_key(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_df(spark, 0, 6, "old"))
+    t.commit(_df(spark, 4, 9, "new"), mode="merge", merge_key="id")
+    got = {r["id"]: r["tag"] for r in t.read().collect()}
+    assert len(got) == 9
+    assert all(got[i] == "old" for i in range(4))
+    assert all(got[i] == "new" for i in range(4, 9))
+    with pytest.raises(ValueError, match="merge_key"):
+        t.commit(_df(spark, 0, 1, "x"), mode="merge")
+
+
+def test_crashed_commit_is_invisible(spark, tmp_path):
+    """Data files written without a manifest flip (crash between data
+    write and manifest rename) must not appear to readers."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_df(spark, 0, 5, "a"))
+    # simulate a crash: data lands for commit 2, manifest never flips
+    _df(spark, 100, 200, "ghost").write.parquet(
+        str(tmp_path / "t" / "data" / "c2")
+    )
+    assert t.versions() == [1]
+    assert t.read().count() == 5
+    # resume: the retry takes a FRESH commit dir (c3), version 2 commits
+    # cleanly, and the ghost files stay unreferenced forever
+    v = t.commit(_df(spark, 5, 6, "b"))
+    assert v == 2
+    assert t.read().count() == 6
+    assert not any("c2" in f for f in t._manifest(2)["files"])
