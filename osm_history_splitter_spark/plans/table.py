@@ -57,16 +57,20 @@ class VersionedTable:
         )
 
     def commit(
-        self, df: DataFrame, mode: str = "append", merge_key: str | None = None
+        self,
+        df: DataFrame,
+        mode: str = "append",
+        merge_key: str | list[str] | None = None,
     ) -> int:
         """Atomically commit ``df`` as the next version. Modes:
 
         - ``append``: new snapshot = previous files + the new commit's;
         - ``overwrite``: new snapshot = the new commit's files only;
-        - ``merge``: upsert by ``merge_key`` — previous rows whose key
-          appears in ``df`` are replaced (previous data is read, anti-
-          joined, and rewritten into the new commit dir; file-level
-          rewrite, the simple strategy — real engines add delete files).
+        - ``merge``: upsert by ``merge_key`` (a column or list of
+          columns) — previous rows whose key appears in ``df`` are
+          replaced (previous data is read, anti-joined, and rewritten
+          into the new commit dir; file-level rewrite, the simple
+          strategy — real engines add delete files).
         """
         vs = self.versions()
         nxt = (vs[-1] + 1) if vs else 1
@@ -83,10 +87,11 @@ class VersionedTable:
         if mode == "merge":
             if not merge_key:
                 raise ValueError("merge mode requires merge_key")
+            keys = [merge_key] if isinstance(merge_key, str) else list(merge_key)
             if vs:
                 prev = self.read()
                 keep = prev.join(
-                    df.select(merge_key).distinct(), merge_key, "left_anti"
+                    df.select(*keys).distinct(), keys, "left_anti"
                 )
                 df = keep.unionByName(df)
             mode_files = "self"

@@ -62,3 +62,46 @@ def test_crashed_commit_is_invisible(spark, tmp_path):
     assert v == 2
     assert t.read().count() == 6
     assert not any("c2" in f for f in t._manifest(2)["files"])
+
+
+def test_publish_split_output_with_composite_merge(spark, tmp_path):
+    """Integration: publish a softcut node split to a versioned table,
+    then re-split after a world update and MERGE by the split's natural
+    composite key (id, version, extract) — the changed rows replace
+    their predecessors, history stays time-travelable."""
+    import datetime as dt
+
+    from osm_history_splitter_spark.model import (
+        NODE_SCHEMA,
+        RELATION_SCHEMA,
+        WAY_SCHEMA,
+    )
+    from osm_history_splitter_spark.operators.softcut import softcut
+    from osm_history_splitter_spark.plans.catalog import Extract, ExtractCatalog
+
+    ts = dt.datetime(2020, 1, 1)
+
+    def world(tagval):
+        nodes = spark.createDataFrame(
+            [(i, 1, True, ts, 0, 0, tagval, 0.5, 0.5, {}) for i in range(20)],
+            schema=NODE_SCHEMA,
+        )
+        ways = spark.createDataFrame([], schema=WAY_SCHEMA)
+        rels = spark.createDataFrame([], schema=RELATION_SCHEMA)
+        return nodes, ways, rels
+
+    cat = ExtractCatalog([Extract.bbox("t", -1.0, -1.0, 1.0, 1.0)])
+    t = VersionedTable(spark, str(tmp_path / "published"))
+
+    n1, w1, r1 = world("u1")
+    t.commit(softcut(n1, w1, r1, cat).nodes)
+    n2, w2, r2 = world("u2")
+    t.commit(
+        softcut(n2, w2, r2, cat).nodes,
+        mode="merge",
+        merge_key=["id", "version", "extract"],
+    )
+    latest = t.read()
+    assert latest.count() == 20
+    assert {r["user"] for r in latest.collect()} == {"u2"}
+    assert {r["user"] for r in t.read(version=1).collect()} == {"u1"}
