@@ -39,6 +39,8 @@ BENCH_QUERIES = [
     "chunk_dedup",
     "interval_counts",
     "corpus_clean",
+    "pagerank",
+    "kmeans",
 ]
 
 

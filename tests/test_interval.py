@@ -141,3 +141,44 @@ def test_chunk_dedup_reconstructs_unique_corpus(spark, tmp_path):
     assert out[1]["clean_text"] == docs[1][1] and out[1]["dropped_chunks"] == 0
     assert out[2]["dropped_chunks"] == 1 and out[2]["kept_chunks"] == 1
     assert out[2]["clean_text"] == " ".join(f"z{j}" for j in range(5))
+
+
+def test_chunk_dedup_matches_python_reference_on_random_corpus(spark, tmp_path):
+    """Seeded random corpus over a 6-word vocabulary (forcing heavy chunk
+    collisions) vs an independent pure-Python implementation of the
+    globally-first-occurrence semantics."""
+    import random
+
+    from osm_history_splitter_spark.text_queries import q_chunk_dedup
+
+    rng = random.Random(42)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    docs = {
+        did: " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 35)))
+        for did in range(40)
+    }
+
+    # pure-Python reference
+    first = set()
+    want = {}
+    for did in sorted(docs):
+        words = docs[did].split(" ")
+        kept, dropped = [], 0
+        for g in range(0, len(words), 10):
+            chunk = " ".join(words[g : g + 10])
+            if chunk in first:
+                dropped += 1
+            else:
+                first.add(chunk)
+                kept.append(chunk)
+        want[did] = (" ".join(kept), len(kept), dropped)
+
+    spark.createDataFrame(
+        [(d, t, "en", "s", len(t)) for d, t in docs.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: (r["clean_text"], r["kept_chunks"], r["dropped_chunks"])
+        for r in q_chunk_dedup(spark, str(tmp_path)).collect()
+    }
+    assert got == want
