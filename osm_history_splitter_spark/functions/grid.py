@@ -66,6 +66,77 @@ def cell_id_sql(lon_sql: str, lat_sql: str, res: int) -> str:
     )
 
 
+#: (shift, mask) ladder spreading a 32-bit int so its bits occupy even
+#: positions — the classic Morton magic numbers; ONE table drives the
+#: Catalyst expression, the SQL twin, and the numpy reference, so the
+#: three can't drift
+_MORTON_SPREAD = (
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+)
+
+
+def _spread_expr(col: Column) -> Column:
+    for shift, mask in _MORTON_SPREAD:
+        col = (col.bitwiseOR(F.shiftleft(col, shift))).bitwiseAND(F.lit(mask))
+    return col
+
+
+def _spread_sql(sql: str) -> str:
+    for shift, mask in _MORTON_SPREAD:
+        sql = f"(({sql} | ({sql} << {shift})) & {mask})"
+    return sql
+
+
+def zorder_expr(lon: Column, lat: Column, res: int) -> Column:
+    """Z-order (Morton) key: bit-interleave of the cell coordinates at
+    ``res`` — points close on the curve are close in geography, so sorting
+    or range-partitioning a write by this key clusters each extract's /
+    bbox's rows into few files and min/max file stats prune scans (the
+    layout optimization table formats call OPTIMIZE ZORDER). Pure Catalyst
+    bit arithmetic, whole-stage-codegen friendly.
+
+    Usage at write time::
+
+        df.repartitionByRange(n, z).sortWithinPartitions(z).write...
+    """
+    if res > 15:
+        # the spread ladder interleaves 16-bit coords; lon spans 2^(res+1)
+        # cells, so res 15 (≈ 5.5 km cells) is the max exact resolution
+        raise ValueError(f"zorder supports res <= 15, got {res}")
+    w = cell_width(res)
+    ix = F.floor((lon + F.lit(180.0)) / F.lit(w)).cast("long")
+    iy = F.floor((lat + F.lit(90.0)) / F.lit(w)).cast("long")
+    return (
+        _spread_expr(ix).bitwiseOR(F.shiftleft(_spread_expr(iy), 1))
+    ).cast("long")
+
+
+def zorder_sql(lon_sql: str, lat_sql: str, res: int) -> str:
+    """The identical Z-order key as a SQL fragment (DuckDB oracle)."""
+    w = cell_width(res)
+    ix = f"CAST(floor(({lon_sql} + 180.0) / {w!r}) AS BIGINT)"
+    iy = f"CAST(floor(({lat_sql} + 90.0) / {w!r}) AS BIGINT)"
+    return f"({_spread_sql(ix)} | ({_spread_sql(iy)} << 1))"
+
+
+def zorder_np(lon: np.ndarray, lat: np.ndarray, res: int) -> np.ndarray:
+    """numpy reference (tests + driver-side tooling)."""
+    w = cell_width(res)
+    ix = np.floor((lon + 180.0) / w).astype(np.int64)
+    iy = np.floor((lat + 90.0) / w).astype(np.int64)
+
+    def spread(v):
+        for shift, mask in _MORTON_SPREAD:
+            v = (v | (v << shift)) & mask
+        return v
+
+    return spread(ix) | (spread(iy) << 1)
+
+
 def cell_ids_np(lon: np.ndarray, lat: np.ndarray, res: int) -> np.ndarray:
     w = cell_width(res)
     ix = np.floor((np.asarray(lon, np.float64) + 180.0) / w).astype(np.int64)

@@ -527,6 +527,26 @@ SELECT extract, count(*) AS n_cells, CAST(SUM(n) AS BIGINT) AS n_points,
 FROM m GROUP BY extract"""
 
 
+def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key at res 12 (~9 km cells): the write-
+    layout optimization — repartitionByRange + sortWithinPartitions on
+    this key clusters spatially-near rows into few files so min/max file
+    stats prune bbox scans. Pure Catalyst bit arithmetic
+    (functions/grid.py:zorder_expr; one mask table drives the Spark expr,
+    the SQL twin and the numpy reference)."""
+    pts = part_nodes(spark, sf_dir)
+    return pts.select(
+        "id",
+        grid.zorder_expr(F.col("lon"), F.col("lat"), 12).alias("z"),
+    )
+
+
+Q_ZORDER_SQL = (
+    f"WITH pts AS ({PTS_SQL}) SELECT id, "
+    f"CAST({grid.zorder_sql('lon', 'lat', 12)} AS BIGINT) AS z FROM pts"
+)
+
+
 SPATIAL_QUERIES = {
     "node_membership": (q_node_membership, Q_NODE_MEMBERSHIP_SQL),
     "rasterize": (q_rasterize, Q_RASTERIZE_SQL),
@@ -542,4 +562,5 @@ SPATIAL_QUERIES = {
     "knn_centroid": (q_knn_centroid, Q_KNN_CENTROID_SQL),
     "pages_split": (q_pages_split, Q_PAGES_SPLIT_SQL),
     "pages_passthrough": (q_pages_passthrough, Q_PAGES_PASSTHROUGH_SQL),
+    "zorder": (q_zorder, Q_ZORDER_SQL),
 }

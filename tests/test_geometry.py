@@ -170,3 +170,47 @@ def test_overlapping_outers_divergence_pinned():
         warnings.simplefilter("always")
         parse_poly_text(hole)
     assert not [x for x in w2 if "overlap" in str(x.message)]
+
+
+def test_zorder_interleave_matches_python_reference():
+    """Morton key == bit-interleave computed the slow way, for random
+    coords across the full globe."""
+    import numpy as np
+
+    from osm_history_splitter_spark.functions import grid
+
+    rng = np.random.default_rng(3)
+    lon = rng.uniform(-180, 180, 500)
+    lat = rng.uniform(-90, 90, 500)
+    res = 12
+    w = grid.cell_width(res)
+    got = grid.zorder_np(lon, lat, res)
+    for j in range(500):
+        ix = int(np.floor((lon[j] + 180.0) / w))
+        iy = int(np.floor((lat[j] + 90.0) / w))
+        z = 0
+        for b in range(17):
+            z |= ((ix >> b) & 1) << (2 * b)
+            z |= ((iy >> b) & 1) << (2 * b + 1)
+        assert got[j] == z
+
+
+def test_zorder_locality_beats_row_order():
+    """Sorting by the Z key must cluster geography: the mean great-ellipse
+    distance between CONSECUTIVE points in z-order is far below the mean
+    distance in id order (the property that makes file-level min/max
+    pruning work)."""
+    import numpy as np
+
+    from osm_history_splitter_spark.functions import grid
+
+    rng = np.random.default_rng(9)
+    lon = rng.uniform(-180, 180, 4000)
+    lat = rng.uniform(-90, 90, 4000)
+    z = grid.zorder_np(lon, lat, 12)
+    order = np.argsort(z, kind="stable")
+
+    def mean_step(lo, la):
+        return float(np.hypot(np.diff(lo), np.diff(la)).mean())
+
+    assert mean_step(lon[order], lat[order]) < 0.2 * mean_step(lon, lat)
