@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "corpus_clean",
     "pagerank",
     "kmeans",
+    "zorder",
 ]
 
 
