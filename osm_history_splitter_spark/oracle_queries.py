@@ -527,6 +527,43 @@ SELECT extract, count(*) AS n_cells, CAST(SUM(n) AS BIGINT) AS n_points,
 FROM m GROUP BY extract"""
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl primitive: per url, did each WARC snapshot change
+    against its predecessor? One window (lag of the content hash over
+    (url) ordered by ver) — the diff an incremental pipeline uses to skip
+    re-processing unchanged pages. ``is_new`` marks a url's first
+    snapshot; ``changed`` is false for byte-identical re-crawls.
+
+    Scale shape: one shuffle on url (evenly distributed — it's a key with
+    ≤ VERSIONS_PER_URL rows each), hash computed map-side, no join."""
+    from pyspark.sql import Window
+
+    from .sources.pages import synth_pages
+
+    pages = synth_pages(spark, sf_dir)
+    w = Window.partitionBy("url").orderBy("ver")
+    h = F.md5(F.col("text").cast("binary"))
+    prev = F.lag(h).over(w)
+    return pages.select(
+        "url",
+        "ver",
+        prev.isNull().alias("is_new"),
+        F.coalesce(h != prev, F.lit(True)).alias("changed"),
+    )
+
+
+def _snapshot_diff_sql() -> str:
+    from .sources.pages import PAGES_SQL
+
+    return f"""WITH pages AS ({PAGES_SQL}),
+h AS (SELECT url, ver, md5(text) AS th FROM pages)
+SELECT url, CAST(ver AS BIGINT) AS ver,
+  (lag(th) OVER (PARTITION BY url ORDER BY ver) IS NULL) AS is_new,
+  COALESCE(th <> lag(th) OVER (PARTITION BY url ORDER BY ver), TRUE)
+    AS changed
+FROM h"""
+
+
 def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) clustering key at res 12 (~9 km cells): the write-
     layout optimization — repartitionByRange + sortWithinPartitions on
@@ -563,4 +600,5 @@ SPATIAL_QUERIES = {
     "pages_split": (q_pages_split, Q_PAGES_SPLIT_SQL),
     "pages_passthrough": (q_pages_passthrough, Q_PAGES_PASSTHROUGH_SQL),
     "zorder": (q_zorder, Q_ZORDER_SQL),
+    "snapshot_diff": (q_snapshot_diff, _snapshot_diff_sql()),
 }
