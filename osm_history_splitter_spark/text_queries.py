@@ -428,8 +428,16 @@ FROM reach GROUP BY doc"""
 #: more documents than this are too common to seed pairs (an equi-join on
 #: " th"/"the" is quasi-quadratic at web scale). Exact Jaccard is still
 #: computed over the FULL shingle sets — the cutoff bounds only which pairs
-#: become candidates, the similarity values are unchanged.
-NGRAM_DF_CAP = 25
+#: become candidates, the similarity values are unchanged. The cap is
+#: RELATIVE — max(floor, pct% of the corpus) — because an absolute cap
+#: silently zeroes recall as the corpus outgrows it (observed: 183 pairs
+#: at 500 docs, 0 pairs at 5000 docs with a fixed cap of 25).
+NGRAM_DF_CAP = 25    # floor (equals 5% at the 500-doc oracle gate)
+NGRAM_DF_PCT = 5     # scale-following component
+
+
+def _ngram_df_cap(n_docs: int) -> int:
+    return max(NGRAM_DF_CAP, n_docs * NGRAM_DF_PCT // 100)
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -438,15 +446,16 @@ def q_ngram_jaccard(spark, sf_dir):
     then exact Jaccard over full shingle sets for those pairs only;
     integer-quantized similarity (x1000)."""
     d = _t(spark, sf_dir, "documents")
+    cap = _ngram_df_cap(d.count())  # scalar metadata action
     sh = shingles(d)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("nsh"))
     src = d.select("doc_id", "source")
     # candidate phase — rare shingles only (map-side-combinable df agg,
-    # then a bounded equi-join: each rare shingle touches <= DF_CAP docs)
+    # then a bounded equi-join: each rare shingle touches <= cap docs)
     rare_s = (
         sh.groupBy("s")
         .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= NGRAM_DF_CAP)
+        .filter(F.col("df") <= cap)
         .select("s")
     )
     rare = sh.join(rare_s, "s").join(src, "doc_id")
@@ -490,7 +499,8 @@ Q_NGRAM_JACCARD_SQL = f"""WITH sh AS ({shingles_sql()}),
 sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
 src AS (SELECT doc_id, source FROM documents),
 rare_s AS (SELECT s FROM (SELECT s, count(*) AS df FROM sh GROUP BY s)
-           WHERE df <= {NGRAM_DF_CAP}),
+           WHERE df <= (SELECT greatest({NGRAM_DF_CAP},
+                        count(*) * {NGRAM_DF_PCT} // 100) FROM documents)),
 rare AS (SELECT sh.doc_id, sh.s, src.source
          FROM sh JOIN rare_s USING (s) JOIN src ON src.doc_id = sh.doc_id),
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
