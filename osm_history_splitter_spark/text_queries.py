@@ -1753,6 +1753,49 @@ Q_CORPUS_CLEAN_SQL = Q_CORPUS_CLEAN_SQL.format(
 )
 
 
+#: context length for sequence packing (tokens per training example)
+PACK_BUDGET = 512
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing (the GPT-style pretraining data
+    layout): documents are laid end-to-end per language in doc_id order
+    and cut into PACK_BUDGET-token bins; each doc gets the bin holding
+    its first token and its offset there. One cumulative-sum window per
+    language — deterministic, so DuckDB replays it exactly.
+
+    Scale note: the window partitions by lang, so one language =
+    one sort partition; production packing subdivides the partition key
+    to (lang, hash_bucket) — same plan, bounded partitions — at the cost
+    of bin fragmentation at bucket boundaries."""
+    d = _t(spark, sf_dir, "documents")
+    ntok = F.size(F.split(F.col("text"), " ")).cast("long")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    start = F.sum(ntok).over(w) - ntok
+    return d.select(
+        "lang",
+        "doc_id",
+        ntok.alias("n_tokens"),
+        F.floor(start / F.lit(PACK_BUDGET)).cast("long").alias("bin_id"),
+        (start % F.lit(PACK_BUDGET)).cast("long").alias("bin_offset"),
+    )
+
+
+Q_PACK_SEQUENCES_SQL = f"""WITH t AS (
+  SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+         SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+           OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+  FROM documents)
+SELECT lang, doc_id, ntok AS n_tokens,
+  CAST((cum - ntok) // {PACK_BUDGET} AS BIGINT) AS bin_id,
+  CAST((cum - ntok) % {PACK_BUDGET} AS BIGINT) AS bin_offset
+FROM t"""
+
+
 TEXT_QUERIES = {
     "regex_tokens": (q_regex_tokens, Q_REGEX_TOKENS_SQL),
     "simhash": (q_simhash, Q_SIMHASH_SQL),
@@ -1783,6 +1826,7 @@ TEXT_QUERIES = {
     "interval_counts": (q_interval_counts, Q_INTERVAL_COUNTS_SQL),
     "pagerank": (q_pagerank, Q_PAGERANK_SQL),
     "kmeans": (q_kmeans, Q_KMEANS_SQL),
+    "pack_sequences": (q_pack_sequences, Q_PACK_SEQUENCES_SQL),
     "corpus_clean": (q_corpus_clean, Q_CORPUS_CLEAN_SQL),
     "multimodal_features": (q_multimodal_features, Q_MULTIMODAL_FEATURES_SQL),
 }
