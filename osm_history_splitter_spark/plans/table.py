@@ -35,7 +35,12 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["VersionedTable"]
+__all__ = ["VersionedTable", "ConcurrentCommitError"]
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer claimed this version first (optimistic concurrency:
+    re-read the table and retry the commit on top of the new head)."""
 
 
 class VersionedTable:
@@ -100,6 +105,18 @@ class VersionedTable:
         else:
             raise ValueError(f"mode must be append|overwrite|merge: {mode!r}")
 
+        # optimistic concurrency: claim the version number with an O_EXCL
+        # create BEFORE doing any work — the loser of a race fails here
+        # with nothing written, instead of silently renaming over the
+        # winner's manifest at the end
+        claim = self.path / "_manifests" / f"v{nxt}.json.claim"
+        try:
+            os.close(os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"version {nxt} already claimed at {self.path}"
+            ) from None
+
         df.write.mode("errorifexists").parquet(str(cdir))
         files = sorted(
             str(f) for f in cdir.glob("*.parquet") if f.stat().st_size > 0
@@ -117,7 +134,22 @@ class VersionedTable:
         tmp = self.path / "_manifests" / f".v{nxt}.json.tmp"
         tmp.write_text(json.dumps(manifest, indent=1))
         os.rename(tmp, self.path / "_manifests" / f"v{nxt}.json")  # atomic
+        claim.unlink(missing_ok=True)
         return nxt
+
+    def recover(self, version: int) -> bool:
+        """Release a stale claim left by a committer that crashed between
+        claiming ``version`` and flipping its manifest. Returns True if a
+        claim was removed. Deliberately explicit (an operator/driver
+        decision, like Iceberg's orphan cleanup): the claim file alone
+        cannot distinguish a crashed writer from an in-flight one."""
+        if (self.path / "_manifests" / f"v{version}.json").exists():
+            return False  # committed — nothing to recover
+        claim = self.path / "_manifests" / f"v{version}.json.claim"
+        if claim.exists():
+            claim.unlink()
+            return True
+        return False
 
     # -- reads -------------------------------------------------------------
 

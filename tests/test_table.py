@@ -105,3 +105,26 @@ def test_publish_split_output_with_composite_merge(spark, tmp_path):
     assert latest.count() == 20
     assert {r["user"] for r in latest.collect()} == {"u2"}
     assert {r["user"] for r in t.read(version=1).collect()} == {"u1"}
+
+
+def test_concurrent_commit_loses_cleanly(spark, tmp_path):
+    """Two writers racing for the same version: the second claim fails
+    BEFORE writing anything; recover() releases a stale claim only while
+    its manifest is missing."""
+    import os
+
+    from osm_history_splitter_spark.plans.table import ConcurrentCommitError
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_df(spark, 0, 3, "a"))
+    # writer A claims version 2 (simulated: claim file exists, no manifest)
+    claim = tmp_path / "t" / "_manifests" / "v2.json.claim"
+    os.close(os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+    with pytest.raises(ConcurrentCommitError):
+        t.commit(_df(spark, 3, 4, "b"))
+    assert t.versions() == [1]  # loser wrote nothing visible
+    # A crashed: operator recovers the claim, retry commits
+    assert t.recover(2) is True
+    assert t.commit(_df(spark, 3, 4, "b")) == 2
+    assert t.recover(2) is False  # committed version: nothing to recover
+    assert t.read().count() == 4
