@@ -54,7 +54,7 @@ def run(sf_dir: str, cores: int | None = None) -> dict:
     max kept in ``queries_hi`` so the spread stays visible."""
     a = _run_once(sf_dir, cores)
     b = _run_once(sf_dir, cores)
-    lo, hi = (a, b) if a["value"] <= b["value"] else (b, a)
+    lo = a if a["value"] <= b["value"] else b
     out = dict(lo)
     out["queries"] = {
         k: min(a["queries"][k], b["queries"][k]) for k in a["queries"]

@@ -176,7 +176,14 @@ def points_in_rings_winding(
         at_pole = None
         wind = r[-1, 0] - r[0, 0]
         if abs(wind) > 180.0:  # winds the globe → encloses a pole
-            pole = 90.0 if float(np.mean(r[:, 1])) > 0.0 else -90.0
+            # which pole is enclosed is NOT derivable from the rim's
+            # position (a cap and its complement share the same rim):
+            # the interior-on-the-LEFT orientation convention decides —
+            # eastward winding (+360) encloses the north pole, westward
+            # the south. A rim at lat -60 travelling east is "the world
+            # minus Antarctica", not the Antarctic cap (a mean-latitude
+            # heuristic would invert every point of that polygon).
+            pole = 90.0 if wind > 0.0 else -90.0
             # close through the pole for the winding test only — the seam
             # and polar edges are artifacts, NOT polygon boundary (a point
             # on the seam longitude is interior, and the pole itself is

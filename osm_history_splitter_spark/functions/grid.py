@@ -79,6 +79,15 @@ _MORTON_SPREAD = (
 )
 
 
+def _check_zorder_res(res: int) -> None:
+    """Shared guard for ALL three zorder twins (expr / SQL / numpy): the
+    spread ladder interleaves 16-bit coords; lon spans 2^(res+1) cells, so
+    res 15 (≈ 5.5 km cells) is the max exact resolution. Without the
+    guard the twins would silently alias high bits — and drift."""
+    if res > 15:
+        raise ValueError(f"zorder supports res <= 15, got {res}")
+
+
 def _spread_expr(col: Column) -> Column:
     for shift, mask in _MORTON_SPREAD:
         col = (col.bitwiseOR(F.shiftleft(col, shift))).bitwiseAND(F.lit(mask))
@@ -103,10 +112,7 @@ def zorder_expr(lon: Column, lat: Column, res: int) -> Column:
 
         df.repartitionByRange(n, z).sortWithinPartitions(z).write...
     """
-    if res > 15:
-        # the spread ladder interleaves 16-bit coords; lon spans 2^(res+1)
-        # cells, so res 15 (≈ 5.5 km cells) is the max exact resolution
-        raise ValueError(f"zorder supports res <= 15, got {res}")
+    _check_zorder_res(res)
     w = cell_width(res)
     ix = F.floor((lon + F.lit(180.0)) / F.lit(w)).cast("long")
     iy = F.floor((lat + F.lit(90.0)) / F.lit(w)).cast("long")
@@ -117,6 +123,7 @@ def zorder_expr(lon: Column, lat: Column, res: int) -> Column:
 
 def zorder_sql(lon_sql: str, lat_sql: str, res: int) -> str:
     """The identical Z-order key as a SQL fragment (DuckDB oracle)."""
+    _check_zorder_res(res)
     w = cell_width(res)
     ix = f"CAST(floor(({lon_sql} + 180.0) / {w!r}) AS BIGINT)"
     iy = f"CAST(floor(({lat_sql} + 90.0) / {w!r}) AS BIGINT)"
@@ -125,6 +132,7 @@ def zorder_sql(lon_sql: str, lat_sql: str, res: int) -> str:
 
 def zorder_np(lon: np.ndarray, lat: np.ndarray, res: int) -> np.ndarray:
     """numpy reference (tests + driver-side tooling)."""
+    _check_zorder_res(res)
     w = cell_width(res)
     ix = np.floor((lon + 180.0) / w).astype(np.int64)
     iy = np.floor((lat + 90.0) / w).astype(np.int64)
@@ -191,8 +199,11 @@ def cover_rings(
     for r in rings:
         if ring_wraps_antimeridian(r):
             minlon, maxlon = -180.0, 180.0
-            if abs(ring_winds_globe(r)) > 180.0:
-                if float(np.mean(r[:, 1])) > 0.0:
+            wind = ring_winds_globe(r)
+            if abs(wind) > 180.0:
+                # same interior-on-the-left rule as the winding PIP
+                # (geometry.py): eastward rim → north pole enclosed
+                if wind > 0.0:
                     maxlat = 90.0
                 else:
                     minlat = -90.0

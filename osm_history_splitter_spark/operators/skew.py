@@ -43,6 +43,10 @@ def salted_join(
     bucket; that residual skew is bounded by the duplicate multiplicity,
     which exact dedup upstream removes.
     """
+    if how not in ("inner", "left"):
+        # right/full would surface unmatched RIGHT rows once per salt
+        # replica — silently wrong multiplicity
+        raise ValueError(f"how must be inner|left, got {how!r}")
     keys = [on] if isinstance(on, str) else list(on)
     if salt < 2:
         return left.join(right, keys, how)

@@ -133,8 +133,15 @@ class VersionedTable:
         }
         tmp = self.path / "_manifests" / f".v{nxt}.json.tmp"
         tmp.write_text(json.dumps(manifest, indent=1))
-        os.rename(tmp, self.path / "_manifests" / f"v{nxt}.json")  # atomic
-        claim.unlink(missing_ok=True)
+        final = self.path / "_manifests" / f"v{nxt}.json"
+        if final.exists():  # unreachable while claims persist; last defense
+            raise ConcurrentCommitError(f"{final} already committed")
+        os.rename(tmp, final)  # atomic flip
+        # the claim is NEVER unlinked on success: it is the permanent
+        # record that this version number was taken. Releasing it would
+        # let a writer holding a stale versions() snapshot re-claim the
+        # number and rename over the committed manifest (silent lineage
+        # loss). recover() only removes claims whose manifest is missing.
         return nxt
 
     def recover(self, version: int) -> bool:

@@ -194,7 +194,9 @@ def interval_join_stream(
     exactly one bucket (the right row has one), so no streaming dedup is
     needed.
     """
-    tol_us = int(tol_sec) * 1_000_000
+    # bucket width floored to 1µs: tol_sec=0 (exact-timestamp match) must
+    # not divide by zero — mirrors the batch operator's guard
+    tol_us = max(int(tol_sec) * 1_000_000, 1)
     l = left.withColumn(
         left_ts, F.col(left_ts).cast("timestamp")
     ).withWatermark(left_ts, watermark)

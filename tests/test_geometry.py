@@ -214,3 +214,18 @@ def test_zorder_locality_beats_row_order():
         return float(np.hypot(np.diff(lo), np.diff(la)).mean())
 
     assert mean_step(lon[order], lat[order]) < 0.2 * mean_step(lon, lat)
+
+
+def test_zorder_res_guard_on_all_three_twins():
+    import numpy as np
+    import pytest
+    from pyspark.sql import functions as F
+
+    from osm_history_splitter_spark.functions import grid
+
+    with pytest.raises(ValueError, match="res <= 15"):
+        grid.zorder_np(np.array([0.0]), np.array([0.0]), 16)
+    with pytest.raises(ValueError, match="res <= 15"):
+        grid.zorder_sql("lon", "lat", 16)
+    with pytest.raises(ValueError, match="res <= 15"):
+        grid.zorder_expr(F.lit(0.0), F.lit(0.0), 16)

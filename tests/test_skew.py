@@ -73,3 +73,11 @@ def test_salted_join_plan_is_hash_join(spark):
     left, right = _skewed(spark)
     plan = plan_of(salted_join(left, right, "k", salt=8))
     assert "Cartesian" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    left, right = _skewed(spark)
+    import pytest
+
+    with pytest.raises(ValueError, match="inner|left"):
+        salted_join(left, right, "k", how="full")

@@ -128,3 +128,23 @@ def test_concurrent_commit_loses_cleanly(spark, tmp_path):
     assert t.commit(_df(spark, 3, 4, "b")) == 2
     assert t.recover(2) is False  # committed version: nothing to recover
     assert t.read().count() == 4
+
+
+def test_stale_snapshot_writer_cannot_overwrite_committed_version(
+    spark, tmp_path, monkeypatch
+):
+    """Claims persist after a successful commit, so a writer that read
+    versions() before the winner committed still fails at the claim —
+    it can never rename over the committed manifest."""
+    from osm_history_splitter_spark.plans.table import ConcurrentCommitError
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_df(spark, 0, 3, "a"))
+    t.commit(_df(spark, 3, 5, "b"))  # v2 committed; its claim persists
+    assert (tmp_path / "t" / "_manifests" / "v2.json.claim").exists()
+    # writer with a stale snapshot: sees only [1], targets v2 again
+    monkeypatch.setattr(t, "versions", lambda: [1])
+    with pytest.raises(ConcurrentCommitError):
+        t.commit(_df(spark, 99, 100, "stale"))
+    monkeypatch.undo()
+    assert {r["tag"] for r in t.read().collect()} == {"a", "b"}

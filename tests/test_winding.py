@@ -200,3 +200,28 @@ def test_assign_extracts_antimeridian(spark):
         for r in assign_extracts(pts, cat).select("id", "extract").collect()
     }
     assert got == {(1, "dateline"), (2, "dateline"), (5, "ncap")}
+
+
+def test_world_minus_antarctica_orientation():
+    """A rim at lat -60 travelling EAST encloses the NORTH pole under the
+    interior-on-the-left convention ('the world minus Antarctica'); a
+    mean-rim-latitude heuristic would invert every membership. The same
+    rim travelling WEST is the Antarctic cap."""
+    import numpy as np
+
+    from osm_history_splitter_spark.functions.geometry import (
+        points_in_rings_winding,
+    )
+
+    east = np.array(
+        [[0, -60], [60, -60], [120, -60], [180, -60],
+         [-120, -60], [-60, -60], [0, -60]], dtype=float,
+    )
+    west = east[::-1].copy()
+    lon = np.array([10.0, 10.0, 10.0, 0.0, 0.0])
+    lat = np.array([40.0, -75.0, -60.0, 90.0, -90.0])
+    got_e = points_in_rings_winding(lon, lat, [east])
+    #            mid-north  deep-south  rim    Npole  Spole
+    assert got_e.tolist() == [True, False, False, True, False]
+    got_w = points_in_rings_winding(lon, lat, [west])
+    assert got_w.tolist() == [False, True, False, False, True]
