@@ -213,3 +213,46 @@ def test_distributed_ingest_splits_within_one_file(spark, tmp_path):
         assert one["tags"] == {"a": "b19999"} and one["lat"] == -71.5
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_ranged_ingest_matches_delimiter_reader(spark, tmp_path):
+    """Byte-range reader == delimiter reader == fixture loader, with a
+    split size tiny enough (128 B) that every range boundary lands inside
+    elements — exercising overscan completion and start-byte ownership —
+    and a multi-byte UTF-8 user name so byte/char offset confusion would
+    misassign ownership."""
+    from osm_history_splitter_spark.sources.ingest import (
+        ingest_osm_xml,
+        read_osm_elements_ranged,
+    )
+
+    # golden reference file, many tiny ranges
+    p = f"{REF}/test/version-two-node-after.osh"
+    for tag in ("node", "way", "relation"):
+        ranged = read_osm_elements_ranged(spark, p, tag, split_bytes=128)
+        delim = ingest_osm_xml(spark, p)[
+            ("node", "way", "relation").index(tag)
+        ]
+        assert _rows(ranged) == _rows(delim), tag
+
+    # synthetic file with multi-byte users + '>' in attributes
+    q = tmp_path / "mb.osh"
+    q.write_text(
+        '<?xml version="1.0" encoding="UTF-8"?>\n<osm>\n'
+        + "".join(
+            f'  <node id="{i}" lat="{i}.5" lon="{i}.25" version="1" '
+            f'user="üser_{i}_名前">'
+            f'<tag k="note" v="a>b_{i}"/></node>\n'
+            for i in range(40)
+        )
+        + '  <way id="99" version="1"><nd ref="1"/><nd ref="2"/></way>\n'
+        + "</osm>\n",
+        encoding="utf-8",
+    )
+    got = read_osm_elements_ranged(spark, str(q), "node", split_bytes=100)
+    rows = {r["id"]: r for r in got.collect()}
+    assert len(rows) == 40
+    assert rows[7]["user"] == "üser_7_名前"
+    assert rows[7]["tags"]["note"] == "a>b_7"
+    ways = read_osm_elements_ranged(spark, str(q), "way", split_bytes=100)
+    assert [r["refs"] for r in ways.collect()] == [[1, 2]]
