@@ -52,6 +52,12 @@ def pagerank(
     Returns ``(id: long, pr: long)`` where ``pr`` is on ``scale`` (initial
     rank = ``scale``). ``vertices`` (``id``) defaults to all endpoint ids;
     pass the full corpus vertex set so link-less pages keep the base rank.
+
+    Cache lifetime: ``verts``/``outdeg`` stay persisted after return —
+    the result DataFrame references them, so the caller's first action
+    reuses the cache instead of rebuilding the degree table. Long-lived
+    sessions invoking many graphs should ``spark.catalog.clearCache()``
+    between jobs (same contract as the splitter's marker tables).
     """
     if vertices is None:
         vertices = (

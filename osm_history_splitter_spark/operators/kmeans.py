@@ -56,7 +56,12 @@ def kmeans(
     e: DataFrame, k: int = 8, num_iter: int = 2
 ) -> tuple[DataFrame, dict[int, list[int]]]:
     """Cluster ``e(vid: long, q: array<long>)``; returns (assignments,
-    final centroids). Assignments carry ``vid, cluster, dist2``."""
+    final centroids). Assignments carry ``vid, cluster, dist2``.
+
+    Cache lifetime: ``e`` stays persisted after return (the returned
+    assignment references it; the caller's action reuses the cache).
+    Long-lived sessions should ``spark.catalog.clearCache()`` between
+    unrelated jobs."""
     # init: the k lowest-vid quantized vectors — tiny bounded driver
     # collect (k rows), the same role as the IVF centroid literals
     cents: dict[int, list[int]] = {
