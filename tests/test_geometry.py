@@ -229,3 +229,59 @@ def test_zorder_res_guard_on_all_three_twins():
         grid.zorder_sql("lon", "lat", 16)
     with pytest.raises(ValueError, match="res <= 15"):
         grid.zorder_expr(F.lit(0.0), F.lit(0.0), 16)
+
+
+def test_zorder_write_layout_narrows_per_file_extents(spark, tmp_path):
+    """The write-layout claim, proven at the FILE level: range-partition +
+    sort by the Z key, and each parquet file's (lon, lat) bounding box
+    covers a small fraction of the globe — so min/max file stats can
+    prune a bbox scan. Row-order layout spreads every file across the
+    whole globe."""
+    import glob as globmod
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from osm_history_splitter_spark.functions import grid
+
+    pts = spark.range(20000).select(
+        F.col("id"),
+        (((F.col("id") * 7919) % 36000) / 100.0 - 180.0).alias("lon"),
+        (((F.col("id") * 104729) % 18000) / 100.0 - 90.0).alias("lat"),
+    )
+    z = grid.zorder_expr(F.col("lon"), F.col("lat"), 12).alias("z")
+
+    def mean_file_area(path):
+        areas = []
+        for f in globmod.glob(f"{path}/*.parquet"):
+            md = pq.read_metadata(f)
+            lo = {"lon": 1e9, "lat": 1e9}
+            hi = {"lon": -1e9, "lat": -1e9}
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    name = col.path_in_schema
+                    if name in lo and col.statistics is not None:
+                        lo[name] = min(lo[name], col.statistics.min)
+                        hi[name] = max(hi[name], col.statistics.max)
+            areas.append(
+                (hi["lon"] - lo["lon"]) * (hi["lat"] - lo["lat"])
+            )
+        return sum(areas) / len(areas)
+
+    plain = str(tmp_path / "plain")
+    pts.repartition(8).write.parquet(plain)
+    zsorted = str(tmp_path / "zsorted")
+    (
+        pts.withColumn("zk", z)
+        .repartitionByRange(8, "zk")
+        .sortWithinPartitions("zk")
+        .drop("zk")
+        .write.parquet(zsorted)
+    )
+    globe = 360.0 * 180.0
+    pa, za = mean_file_area(plain), mean_file_area(zsorted)
+    assert pa > 0.5 * globe  # row order: every file spans the world
+    # z-order: per-file extent is a small fraction of the globe (the
+    # curve's bbox overhead keeps it above the ideal 1/8th)
+    assert za < 0.25 * globe and za < 0.4 * pa
