@@ -216,7 +216,7 @@ def test_zorder_locality_beats_row_order():
     assert mean_step(lon[order], lat[order]) < 0.2 * mean_step(lon, lat)
 
 
-def test_zorder_res_guard_on_all_three_twins():
+def test_zorder_res_guard_on_all_three_twins(spark):
     import numpy as np
     import pytest
     from pyspark.sql import functions as F
