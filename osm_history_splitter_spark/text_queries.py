@@ -1796,6 +1796,41 @@ SELECT lang, doc_id, ntok AS n_tokens,
 FROM t"""
 
 
+#: exact per-stratum sample size (fixed-size eval sets per language)
+STRAT_K = 20
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Exact stratified sampling: precisely STRAT_K documents per
+    language, chosen by content-independent hash order (md5 of the
+    doc id) — the fixed-size eval-set construction primitive.
+    ``q_hash_sample`` gives *rate*-based splits (size varies with the
+    corpus); this gives *count*-based ones (size fixed per stratum,
+    deterministic under re-runs and insert order).
+
+    Scale shape: one window shuffle partitioned by lang with a rank
+    cutoff — Spark pushes the k-filter into the sort as
+    WindowGroupLimit, so each partition keeps only k rows in memory."""
+    d = _t(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")).cast("binary"))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        d.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= STRAT_K)
+        .select("lang", "doc_id", "rk")
+    )
+
+
+Q_STRATIFIED_SAMPLE_SQL = f"""WITH r AS (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents)
+SELECT lang, doc_id, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= {STRAT_K}"""
+
+
 TEXT_QUERIES = {
     "regex_tokens": (q_regex_tokens, Q_REGEX_TOKENS_SQL),
     "simhash": (q_simhash, Q_SIMHASH_SQL),
@@ -1827,6 +1862,7 @@ TEXT_QUERIES = {
     "pagerank": (q_pagerank, Q_PAGERANK_SQL),
     "kmeans": (q_kmeans, Q_KMEANS_SQL),
     "pack_sequences": (q_pack_sequences, Q_PACK_SEQUENCES_SQL),
+    "stratified_sample": (q_stratified_sample, Q_STRATIFIED_SAMPLE_SQL),
     "corpus_clean": (q_corpus_clean, Q_CORPUS_CLEAN_SQL),
     "multimodal_features": (q_multimodal_features, Q_MULTIMODAL_FEATURES_SQL),
 }
