@@ -114,8 +114,15 @@ def zorder_expr(lon: Column, lat: Column, res: int) -> Column:
     """
     _check_zorder_res(res)
     w = cell_width(res)
-    ix = F.floor((lon + F.lit(180.0)) / F.lit(w)).cast("long")
-    iy = F.floor((lat + F.lit(90.0)) / F.lit(w)).cast("long")
+    # clamp the exact domain edge (lon=180, lat=90 land one cell past the
+    # last index and would alias into the Morton high-word block)
+    mx, my = (1 << (res + 1)) - 1, (1 << res) - 1
+    ix = F.least(
+        F.floor((lon + F.lit(180.0)) / F.lit(w)).cast("long"), F.lit(mx)
+    )
+    iy = F.least(
+        F.floor((lat + F.lit(90.0)) / F.lit(w)).cast("long"), F.lit(my)
+    )
     return (
         _spread_expr(ix).bitwiseOR(F.shiftleft(_spread_expr(iy), 1))
     ).cast("long")
@@ -125,8 +132,9 @@ def zorder_sql(lon_sql: str, lat_sql: str, res: int) -> str:
     """The identical Z-order key as a SQL fragment (DuckDB oracle)."""
     _check_zorder_res(res)
     w = cell_width(res)
-    ix = f"CAST(floor(({lon_sql} + 180.0) / {w!r}) AS BIGINT)"
-    iy = f"CAST(floor(({lat_sql} + 90.0) / {w!r}) AS BIGINT)"
+    mx, my = (1 << (res + 1)) - 1, (1 << res) - 1
+    ix = f"least(CAST(floor(({lon_sql} + 180.0) / {w!r}) AS BIGINT), {mx})"
+    iy = f"least(CAST(floor(({lat_sql} + 90.0) / {w!r}) AS BIGINT), {my})"
     return f"({_spread_sql(ix)} | ({_spread_sql(iy)} << 1))"
 
 
@@ -134,8 +142,12 @@ def zorder_np(lon: np.ndarray, lat: np.ndarray, res: int) -> np.ndarray:
     """numpy reference (tests + driver-side tooling)."""
     _check_zorder_res(res)
     w = cell_width(res)
-    ix = np.floor((lon + 180.0) / w).astype(np.int64)
-    iy = np.floor((lat + 90.0) / w).astype(np.int64)
+    ix = np.minimum(
+        np.floor((lon + 180.0) / w).astype(np.int64), (1 << (res + 1)) - 1
+    )
+    iy = np.minimum(
+        np.floor((lat + 90.0) / w).astype(np.int64), (1 << res) - 1
+    )
 
     def spread(v):
         for shift, mask in _MORTON_SPREAD:

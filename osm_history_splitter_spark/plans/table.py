@@ -13,8 +13,12 @@ the standard manifest-pointer design reduced to its core:
   N never see later files);
 - the manifest is written to a temp name and atomically renamed — a
   crash mid-commit leaves orphan data files that no manifest references,
-  so readers are never exposed to partial writes (resume = just commit
-  again);
+  so readers are never exposed to partial writes. A FAILED attempt (an
+  exception before the flip) auto-releases its version claim, so the
+  retry is just ``commit()`` again; a hard PROCESS crash between claim
+  and flip leaves the claim behind, and the operator must call
+  ``recover(version)`` before retrying (the claim file alone cannot
+  distinguish a dead writer from an in-flight one);
 - ``read(version=k)`` time-travels by reading exactly manifest k's file
   list.
 
@@ -117,26 +121,37 @@ class VersionedTable:
                 f"version {nxt} already claimed at {self.path}"
             ) from None
 
-        df.write.mode("errorifexists").parquet(str(cdir))
-        files = sorted(
-            str(f) for f in cdir.glob("*.parquet") if f.stat().st_size > 0
-        )
-        if mode_files == "append" and vs:
-            files = self._manifest(vs[-1])["files"] + files
-        manifest = {
-            "version": nxt,
-            "parent": vs[-1] if vs else None,
-            "mode": mode,
-            "files": files,
-            "bytes": sum(os.path.getsize(f) for f in files),
-            "committed_at": time.time(),
-        }
-        tmp = self.path / "_manifests" / f".v{nxt}.json.tmp"
-        tmp.write_text(json.dumps(manifest, indent=1))
         final = self.path / "_manifests" / f"v{nxt}.json"
-        if final.exists():  # unreachable while claims persist; last defense
-            raise ConcurrentCommitError(f"{final} already committed")
-        os.rename(tmp, final)  # atomic flip
+        try:
+            df.write.mode("errorifexists").parquet(str(cdir))
+            files = sorted(
+                str(f) for f in cdir.glob("*.parquet") if f.stat().st_size > 0
+            )
+            if mode_files == "append" and vs:
+                files = self._manifest(vs[-1])["files"] + files
+            manifest = {
+                "version": nxt,
+                "parent": vs[-1] if vs else None,
+                "mode": mode,
+                "files": files,
+                "bytes": sum(os.path.getsize(f) for f in files),
+                "committed_at": time.time(),
+            }
+            tmp = self.path / "_manifests" / f".v{nxt}.json.tmp"
+            tmp.write_text(json.dumps(manifest, indent=1))
+            if final.exists():  # unreachable while claims persist
+                raise ConcurrentCommitError(f"{final} already committed")
+            os.rename(tmp, final)  # atomic flip
+        except BaseException:
+            # this ATTEMPT failed before the manifest flip (a transient
+            # Spark write error, for instance): release our own claim so
+            # the caller's retry is not wedged behind it. The orphan data
+            # dir stays — unreferenced by any manifest, invisible to
+            # readers. Only a hard crash (process death between claim and
+            # flip) still needs an explicit recover(version).
+            if not final.exists():
+                claim.unlink(missing_ok=True)
+            raise
         # the claim is NEVER unlinked on success: it is the permanent
         # record that this version number was taken. Releasing it would
         # let a writer holding a stale versions() snapshot re-claim the

@@ -1083,7 +1083,11 @@ def q_multimodal_features(spark, sf_dir):
     Arrow mapInPandas pass (functions/multimodal.py:resize_and_featurize).
     Integer aspect-ratio arithmetic and sha-derived features are replayed
     exactly in DuckDB — certifying the explode-free one-in-one-out
-    mapInPandas contract with a nested array output column."""
+    mapInPandas contract. The ``feat array<bigint>`` column is serialized
+    to a comma-joined string for the certification harness (the driver's
+    canonicalizer sorts rows with pandas and cannot hash list cells); the
+    full vector content is still certified byte-for-byte through the CSV
+    form."""
     from .functions.multimodal import resize_and_featurize
 
     d = _t(spark, sf_dir, "documents")
@@ -1094,7 +1098,15 @@ def q_multimodal_features(spark, sf_dir):
         F.col("text").cast("binary").alias("payload"),
         F.lit(None).cast("map<string,string>").alias("meta"),
     )
-    return resize_and_featurize(assets)
+    out = resize_and_featurize(assets)
+    return out.select(
+        "asset_id",
+        "width",
+        "height",
+        "target_w",
+        "target_h",
+        F.concat_ws(",", F.col("feat").cast("array<string>")).alias("feat_csv"),
+    )
 
 
 Q_MULTIMODAL_FEATURES_SQL = f"""WITH a AS (
@@ -1111,9 +1123,9 @@ dims AS (
 SELECT asset_id, width, height,
   CAST(width * 128 // greatest(width, height) AS INTEGER) AS target_w,
   CAST(height * 128 // greatest(width, height) AS INTEGER) AS target_h,
-  list_transform(range(0, 8),
-    i -> CAST(('0x' || substr(sha, 2 * i + 1, 2))::UINTEGER AS BIGINT))
-    AS feat
+  array_to_string(list_transform(range(0, 8),
+    i -> CAST(('0x' || substr(sha, 2 * i + 1, 2))::UINTEGER AS BIGINT)), ',')
+    AS feat_csv
 FROM dims"""
 
 
@@ -1349,13 +1361,16 @@ def q_latest_snapshot(spark, sf_dir):
     """URL-level snapshot dedup: a Common-Crawl corpus carries multiple
     WARC snapshots per url; training pipelines keep exactly the newest and
     verify the text bytes rode through unmodified (md5). One shuffle (the
-    url window); AQE skew-split handles hot urls."""
+    url window); AQE skew-split handles hot urls.
+
+    ``ver`` is the AUTHORITATIVE version key for both twins — ``warc_ts``
+    is a display timestamp derived from it in ``synth_pages`` and is kept
+    out of the ordering so the Spark and DuckDB formulations cannot
+    diverge on corpora whose timestamps are independent of version."""
     from .sources.pages import synth_pages
 
     pages = synth_pages(spark, sf_dir)
-    w = Window.partitionBy("url").orderBy(
-        F.col("warc_ts").desc(), F.col("ver").desc()
-    )
+    w = Window.partitionBy("url").orderBy(F.col("ver").desc())
     return (
         pages.withColumn("rn", F.row_number().over(w))
         .filter("rn = 1")

@@ -61,7 +61,11 @@ def test_crashed_commit_is_invisible(spark, tmp_path):
     v = t.commit(_df(spark, 5, 6, "b"))
     assert v == 2
     assert t.read().count() == 6
-    assert not any("c2" in f for f in t._manifest(2)["files"])
+    # path-COMPONENT check: part filenames contain random hex, so a
+    # substring match on "c2" would flake when a legit c3 file draws it
+    from pathlib import Path as _P
+
+    assert all(_P(f).parent.name != "c2" for f in t._manifest(2)["files"])
 
 
 def test_publish_split_output_with_composite_merge(spark, tmp_path):
@@ -148,3 +152,20 @@ def test_stale_snapshot_writer_cannot_overwrite_committed_version(
         t.commit(_df(spark, 99, 100, "stale"))
     monkeypatch.undo()
     assert {r["tag"] for r in t.read().collect()} == {"a", "b"}
+
+
+def test_failed_commit_attempt_releases_its_claim(spark, tmp_path):
+    """A commit whose WRITE fails (transient Spark error) must release
+    its version claim so the caller's retry is not wedged behind it —
+    only a hard process crash leaves a claim for recover()."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_df(spark, 0, 3, "a"))
+    bad = spark.range(1).select(
+        F.assert_true(F.col("id") > 10).alias("boom"), F.lit("x").alias("tag")
+    )
+    with pytest.raises(Exception):
+        t.commit(bad)
+    # claim for v2 released; an immediate retry commits cleanly as v2
+    assert not (tmp_path / "t" / "_manifests" / "v2.json.claim").exists()
+    assert t.commit(_df(spark, 3, 5, "b")) == 2
+    assert t.read().count() == 5
