@@ -184,7 +184,7 @@ def _split_throughput(spark, replicate: int = 512) -> tuple[float, int]:
 
         job()  # warm: JIT + codegen + footers
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             job()
             best = min(best, time.perf_counter() - t0)
