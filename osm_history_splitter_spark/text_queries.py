@@ -1811,6 +1811,83 @@ SELECT lang, doc_id, ntok AS n_tokens,
 FROM t"""
 
 
+#: sub-partitions per language for scale-safe packing (production: sized
+#: so one bucket ≈ one executor-core's worth of rows)
+PACK_BUCKETS = 8
+
+
+def _pack_bucket_expr():
+    """Deterministic hash bucket of doc_id, identical in both engines:
+    first 4 hex chars of md5('pack:<doc_id>') mod PACK_BUCKETS."""
+    h = F.md5(
+        F.concat(F.lit("pack:"), F.col("doc_id").cast("string")).cast("binary")
+    )
+    return (
+        F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % PACK_BUCKETS
+    )
+
+
+def q_pack_sequences_bucketed(spark, sf_dir):
+    """Scale-safe sequence packing: the (lang, hash_bucket) subdivision
+    q_pack_sequences' docstring promises. Each language is split into
+    PACK_BUCKETS deterministic hash buckets; the concat-and-chunk layout
+    is EXACT within each bucket (cumulative sum in doc_id order, cut
+    into PACK_BUDGET-token bins), and ``pack_key`` makes bins globally
+    unique (bucket-major). The cost vs the single-window variant is at
+    most one fragmented bin per bucket — the standard trade for bounded
+    sort partitions.
+
+    Scale shape: the window partitions by (lang, bucket), so the largest
+    sort partition is ~1/PACK_BUCKETS of the hottest language — raise
+    PACK_BUCKETS with corpus size and the plan is unchanged. No
+    single-task sort at 100 TB."""
+    d = _t(spark, sf_dir, "documents")
+    ntok = F.size(F.split(F.col("text"), " ")).cast("long")
+    bucket = _pack_bucket_expr()
+    w = (
+        Window.partitionBy("lang", "bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    bin_id = F.floor(start / F.lit(PACK_BUDGET)).cast("long")
+    return (
+        d.select(
+            "lang",
+            "doc_id",
+            bucket.alias("bucket"),
+            ntok.alias("n_tokens"),
+        )
+        .select(
+            "lang",
+            "bucket",
+            "doc_id",
+            "n_tokens",
+            bin_id.alias("bin_id"),
+            (start % F.lit(PACK_BUDGET)).cast("long").alias("bin_offset"),
+            (F.col("bucket") * F.lit(1 << 40) + bin_id).alias("pack_key"),
+        )
+    )
+
+
+Q_PACK_SEQUENCES_BUCKETED_SQL = f"""WITH b AS (
+  SELECT lang, doc_id,
+    CAST(('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 4))
+      ::UINTEGER % {PACK_BUCKETS} AS BIGINT) AS bucket,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+  FROM documents),
+t AS (
+  SELECT lang, bucket, doc_id, ntok,
+    SUM(ntok) OVER (PARTITION BY lang, bucket ORDER BY doc_id) AS cum
+  FROM b)
+SELECT lang, bucket, doc_id, ntok AS n_tokens,
+  CAST((cum - ntok) // {PACK_BUDGET} AS BIGINT) AS bin_id,
+  CAST((cum - ntok) % {PACK_BUDGET} AS BIGINT) AS bin_offset,
+  CAST(bucket * {1 << 40} + (cum - ntok) // {PACK_BUDGET} AS BIGINT)
+    AS pack_key
+FROM t"""
+
+
 #: exact per-stratum sample size (fixed-size eval sets per language)
 STRAT_K = 20
 
@@ -1877,6 +1954,10 @@ TEXT_QUERIES = {
     "pagerank": (q_pagerank, Q_PAGERANK_SQL),
     "kmeans": (q_kmeans, Q_KMEANS_SQL),
     "pack_sequences": (q_pack_sequences, Q_PACK_SEQUENCES_SQL),
+    "pack_sequences_bucketed": (
+        q_pack_sequences_bucketed,
+        Q_PACK_SEQUENCES_BUCKETED_SQL,
+    ),
     "stratified_sample": (q_stratified_sample, Q_STRATIFIED_SAMPLE_SQL),
     "corpus_clean": (q_corpus_clean, Q_CORPUS_CLEAN_SQL),
     "multimodal_features": (q_multimodal_features, Q_MULTIMODAL_FEATURES_SQL),

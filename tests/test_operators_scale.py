@@ -344,3 +344,43 @@ def test_tile_pyramid_equals_direct_rasterize(spark, points):
         }
         want = {r["cell"]: r["n"] for r in rasterize(points, res=res).collect()}
         assert got == want, res
+
+
+def test_pack_sequences_bucketed_bounds_partitions_and_packs_exactly(spark):
+    """The (lang, bucket) subdivision must (a) pack every doc exactly
+    once, (b) produce exact concat-and-chunk layout WITHIN each bucket
+    (offsets advance by n_tokens mod the budget, bins are dense), and
+    (c) actually subdivide: no (lang, bucket) group holds a whole
+    language once the language outgrows one bucket."""
+    from osm_history_splitter_spark import text_queries as tq
+
+    sf = "/root/testdata/sf0.01"
+    out = tq.q_pack_sequences_bucketed(spark, sf)
+    rows = out.collect()
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    assert len(rows) == n_docs
+    assert len({r["doc_id"] for r in rows}) == n_docs
+
+    # exact layout within every (lang, bucket): replay the cumsum
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for r in rows:
+        groups[(r["lang"], r["bucket"])].append(r)
+    assert len(groups) > len({r["lang"] for r in rows})  # subdivided
+    for (lang, bucket), g in groups.items():
+        g.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in g:
+            assert r["bin_id"] == cum // tq.PACK_BUDGET
+            assert r["bin_offset"] == cum % tq.PACK_BUDGET
+            assert r["pack_key"] == bucket * (1 << 40) + r["bin_id"]
+            cum += r["n_tokens"]
+        # bound check: the hottest group stays well under the whole corpus
+        assert len(g) < n_docs / 2
+
+    # plan: the window partitions by BOTH keys (bounded sort partitions)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(lang" not in plan.lower().replace(
+        " ", ""
+    ) or "bucket" in plan.lower()
