@@ -1,0 +1,308 @@
+"""Reference-format extract sinks: ``.osm`` / ``.osh`` XML (plus ``.gz`` /
+``.bz2``), selected by output-file extension exactly like the reference
+(``cut.hpp:73-74`` hands the filename to Osmium's output factory; the
+format list is ``README.md:80``). PBF is NOT implemented (no protobuf
+toolchain in this container) and raises with a clear message.
+
+Spark-first design — the serialization is distributed, the tail is a
+stream-concat:
+
+1. every element row is rendered to its XML string by PURE CATALYST
+   expressions (concat / regexp-escape / transform over tags, refs,
+   members) — whole-stage codegen, no Python in the row path;
+2. the frame is ``repartitionByRange(extract, type_rank, id, version)``
+   + ``sortWithinPartitions`` and written with the text sink,
+   ``partitionBy(extract)``: part-file NAMES carry the task index, so
+   the lexicographic file order inside each extract dir IS the global
+   element order (O1/O2 — nodes, then ways, then relations, each by
+   id, version — the reference's pass order);
+3. the driver streams header + fragments + footer into the final file.
+   For ``.gz``/``.bz2`` the fragments are written ALREADY COMPRESSED by
+   the executors (text-sink codec) and concatenated as raw bytes —
+   multi-member gzip / multi-stream bz2 are valid files, so the driver
+   never recompresses; its cost is byte copying only. A single XML file
+   is inherently one stream — the same tail the single-threaded
+   reference pays for its entire run, here paid only at the very end.
+
+Timestamps are rendered in the Spark session time zone with a ``Z``
+suffix, matching the fixture loader's naive parse (``sources/osm_xml._ts``)
+— a UTC session (the default here) round-trips exactly.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["write_extracts_osm", "parse_format", "element_xml_exprs"]
+
+_GENERATOR = "osm-history-splitter-spark"
+
+#: entity emit order within a file (reference pass order, SURVEY O1)
+_TYPE_RANK = {"node": 0, "way": 1, "relation": 2}
+
+
+def parse_format(filename: str) -> tuple[bool, str | None]:
+    """``(history, compression)`` from the output extension — the
+    reference's format-by-extension rule. Raises on ``.pbf``."""
+    name = filename.lower()
+    compression = None
+    if name.endswith(".gz"):
+        compression, name = "gzip", name[: -len(".gz")]
+    elif name.endswith(".bz2"):
+        compression, name = "bzip2", name[: -len(".bz2")]
+    if name.endswith(".pbf"):
+        raise NotImplementedError(
+            "PBF output is not supported in this environment (no OSM "
+            "protobuf toolchain); use .osm/.osh[.gz|.bz2]"
+        )
+    if name.endswith(".osh"):
+        return True, compression
+    if name.endswith(".osm"):
+        return False, compression
+    raise ValueError(f"unknown OSM output extension: {filename!r}")
+
+
+def _esc(col: Column) -> Column:
+    """XML attribute-value escape (amp first; newlines/tabs as charrefs so
+    multi-line tag values survive the line-oriented text sink)."""
+    c = F.regexp_replace(col, "&", "&amp;")
+    c = F.regexp_replace(c, "<", "&lt;")
+    c = F.regexp_replace(c, ">", "&gt;")
+    c = F.regexp_replace(c, '"', "&quot;")
+    c = F.regexp_replace(c, "\n", "&#10;")
+    c = F.regexp_replace(c, "\r", "&#13;")
+    return F.regexp_replace(c, "\t", "&#9;")
+
+
+def _attr(name: str, col: Column) -> Column:
+    """`` name="value"`` or empty when the value is null (uid/user/
+    changeset are optional in OSM XML)."""
+    return F.coalesce(
+        F.concat(F.lit(f' {name}="'), _esc(col.cast("string")), F.lit('"')),
+        F.lit(""),
+    )
+
+
+def _common_attrs(history: bool) -> Column:
+    """id/version[/visible]/timestamp/uid/user/changeset — attribute set
+    and order shared by all three element kinds. ``visible`` is a
+    history-format attribute (.osh); .osm files are single-version by
+    the S10 compat rule and omit it."""
+    parts = [
+        _attr("id", F.col("id")),
+        _attr("version", F.col("version")),
+    ]
+    if history:
+        parts.append(
+            _attr(
+                "visible",
+                F.when(F.col("visible"), "true").otherwise("false"),
+            )
+        )
+    parts += [
+        _attr(
+            "timestamp",
+            F.concat(F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"), F.lit("Z")),
+        ),
+        _attr("uid", F.col("uid")),
+        _attr("user", F.col("user")),
+        _attr("changeset", F.col("changeset")),
+    ]
+    return F.concat(*parts)
+
+
+def _tag_lines() -> Column:
+    """Child ``<tag k v/>`` lines from the tags map (sorted by key for
+    deterministic output), as one string with leading newlines."""
+    entries = F.array_sort(F.map_entries(F.col("tags")))
+    line = lambda e: F.concat(  # noqa: E731
+        F.lit('\n\t\t<tag k="'),
+        _esc(e.getField("key")),
+        F.lit('" v="'),
+        _esc(e.getField("value")),
+        F.lit('"/>'),
+    )
+    # null/missing tags → no child lines (coalesce, not typed empty map)
+    return F.coalesce(F.concat_ws("", F.transform(entries, line)), F.lit(""))
+
+
+def _wrap(open_tag: Column, children: Column, name: str) -> Column:
+    """Self-close when there are no children, else open/children/close."""
+    return F.when(
+        children == "",
+        F.concat(open_tag, F.lit("/>")),
+    ).otherwise(
+        F.concat(open_tag, F.lit(">"), children, F.lit(f"\n\t</{name}>"))
+    )
+
+
+def element_xml_exprs(history: bool) -> dict[str, Column]:
+    """One Catalyst Column per entity kind rendering a row to its XML
+    element (tab-indented like the reference's osmium XML output)."""
+    # nodes: deleted versions carry no lat/lon (OSM history convention)
+    pos = F.when(
+        F.col("lat").isNotNull() & F.col("lon").isNotNull(),
+        F.concat(_attr("lat", F.col("lat")), _attr("lon", F.col("lon"))),
+    ).otherwise(F.lit(""))
+    node_open = F.concat(F.lit("\t<node"), _common_attrs(history), pos)
+    node = _wrap(node_open, _tag_lines(), "node")
+
+    nd = lambda r: F.concat(  # noqa: E731
+        F.lit('\n\t\t<nd ref="'), r.cast("string"), F.lit('"/>')
+    )
+    way_children = F.concat(
+        F.coalesce(F.concat_ws("", F.transform(F.col("refs"), nd)), F.lit("")),
+        _tag_lines(),
+    )
+    way = _wrap(F.concat(F.lit("\t<way"), _common_attrs(history)), way_children, "way")
+
+    mtype = lambda m: (  # noqa: E731
+        F.when(m.getField("type") == "n", "node")
+        .when(m.getField("type") == "w", "way")
+        .otherwise("relation")
+    )
+    member = lambda m: F.concat(  # noqa: E731
+        F.lit('\n\t\t<member type="'),
+        mtype(m),
+        F.lit('" ref="'),
+        m.getField("ref").cast("string"),
+        F.lit('" role="'),
+        _esc(F.coalesce(m.getField("role"), F.lit(""))),
+        F.lit('"/>'),
+    )
+    rel_children = F.concat(
+        F.coalesce(
+            F.concat_ws("", F.transform(F.col("members"), member)), F.lit("")
+        ),
+        _tag_lines(),
+    )
+    relation = _wrap(
+        F.concat(F.lit("\t<relation"), _common_attrs(history)),
+        rel_children,
+        "relation",
+    )
+    return {"node": node, "way": way, "relation": relation}
+
+
+def _header(bounds: tuple | None) -> str:
+    h = (
+        "<?xml version='1.0' encoding='UTF-8'?>\n"
+        f'<osm version="0.6" generator="{_GENERATOR}">'
+    )
+    if bounds is not None:
+        minlon, minlat, maxlon, maxlat = bounds
+        h += (
+            f'\n\t<bounds minlon="{minlon}" minlat="{minlat}"'
+            f' maxlon="{maxlon}" maxlat="{maxlat}"/>'
+        )
+    return h
+
+
+def _compress_bytes(data: bytes, compression: str | None) -> bytes:
+    if compression == "gzip":
+        import gzip
+
+        return gzip.compress(data)
+    if compression == "bzip2":
+        import bz2
+
+        return bz2.compress(data)
+    return data
+
+
+def _concat_fragments(
+    frag_dir: Path, out_file: Path, header: str, compression: str | None
+) -> None:
+    """Stream header + ordered part files + footer into the final file.
+    Compressed fragments are concatenated as raw bytes (multi-member
+    gzip / multi-stream bz2) — no recompression, bounded driver memory."""
+    suffix = {"gzip": ".gz", "bzip2": ".bz2"}.get(compression, "")
+    parts = sorted(frag_dir.glob(f"part-*{suffix}"))
+    out_file.parent.mkdir(parents=True, exist_ok=True)
+    with open(out_file, "wb") as out:
+        out.write(_compress_bytes((header + "\n").encode(), compression))
+        for p in parts:
+            with open(p, "rb") as f:
+                while chunk := f.read(1 << 20):
+                    out.write(chunk)
+        out.write(_compress_bytes(b"</osm>\n", compression))
+
+
+def write_extracts_osm(
+    nodes: DataFrame,
+    ways: DataFrame,
+    relations: DataFrame,
+    catalog,
+    out_dir: str,
+    filenames: dict[str, str] | None = None,
+    partitions: int | None = None,
+) -> dict[str, str]:
+    """Emit each extract as ONE reference-format OSM XML file.
+
+    Inputs are split results: entity frames carrying an ``extract``
+    column (``hardcut``/``softcut`` output). ``filenames`` maps extract
+    name → output file name (extension selects format, reference
+    ``cut.hpp:73-74``); default ``<name>.osh``. Returns
+    ``{extract: absolute file path}``.
+
+    One Spark job serializes ALL extracts and entity kinds: union the
+    three frames with a type rank, range-partition by (extract, rank,
+    id, version), sort within partitions, text-write partitioned by
+    extract — then a driver-side stream-concat per extract (see module
+    docstring for why this is the scalable shape)."""
+    spark = nodes.sparkSession
+    filenames = filenames or {e.name: f"{e.name}.osh" for e in catalog}
+    fmts = {name: parse_format(fn) for name, fn in filenames.items()}
+    histories = {h for h, _ in fmts.values()}
+    if len(histories) > 1:
+        # one serialization pass renders either history or plain
+        # attributes; mixed catalogs would need two passes
+        raise ValueError("all extracts must share .osm or .osh format")
+    history = histories.pop() if histories else True
+    compressions = {c for _, c in fmts.values()}
+    if len(compressions) > 1:
+        raise ValueError("all extracts must share one compression")
+    compression = compressions.pop() if compressions else None
+
+    exprs = element_xml_exprs(history)
+    pieces = []
+    for kind, df in (("node", nodes), ("way", ways), ("relation", relations)):
+        pieces.append(
+            df.select(
+                F.col("extract"),
+                F.lit(_TYPE_RANK[kind]).alias("type_rank"),
+                F.col("id"),
+                F.col("version"),
+                exprs[kind].alias("value"),
+            )
+        )
+    allrows = pieces[0].unionByName(pieces[1]).unionByName(pieces[2])
+
+    n = partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    frag_root = Path(out_dir) / "_xml_fragments"
+    writer = (
+        allrows.repartitionByRange(n, "extract", "type_rank", "id", "version")
+        .sortWithinPartitions("extract", "type_rank", "id", "version")
+        .select("extract", "value")
+        .write.mode("overwrite")
+        .partitionBy("extract")
+    )
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.text(str(frag_root))
+
+    out_paths: dict[str, str] = {}
+    for e in catalog:
+        frag_dir = frag_root / f"extract={e.name}"
+        out_file = Path(out_dir) / filenames[e.name]
+        bounds = (e.minlon, e.minlat, e.maxlon, e.maxlat)
+        _concat_fragments(frag_dir, out_file, _header(bounds), compression)
+        out_paths[e.name] = str(out_file)
+    # fragments are an implementation detail of the sink, not output
+    import shutil
+
+    shutil.rmtree(frag_root, ignore_errors=True)
+    return out_paths

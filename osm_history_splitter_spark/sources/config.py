@@ -60,3 +60,20 @@ def parse_config_text(text: str, base_dir: str | Path = ".") -> ExtractCatalog:
 def parse_config(path: str | Path) -> ExtractCatalog:
     p = Path(path)
     return parse_config_text(p.read_text(), base_dir=p.parent)
+
+
+def parse_config_dests(path: str | Path) -> dict[str, str]:
+    """Extract name → configured output file name (the ``dest`` field the
+    catalog strips) — feeds the reference-format XML sink so the emitted
+    file keeps the config's extension-selected format
+    (``cut.hpp:73-74``). Leading directories are dropped: the engine's
+    output root is the job's ``--output``, not the config's cwd."""
+    dests = {}
+    for raw in Path(path).read_text().splitlines():
+        line = raw.strip()
+        if not line or line.startswith("#"):
+            continue
+        parts = line.split()
+        if len(parts) == 3:
+            dests[_extract_name(parts[0])] = Path(parts[0]).name
+    return dests

@@ -51,9 +51,15 @@ def parse_osm_xml(path: str | Path):
             t.get("k"): t.get("v") for t in el.findall("tag")
         }
         if el.tag == "node":
+            # deleted versions carry no position in OSM history files
+            lat, lon = el.get("lat"), el.get("lon")
             nodes.append(
                 _meta(el)
-                + (float(el.get("lat")), float(el.get("lon")), tags)
+                + (
+                    float(lat) if lat is not None else None,
+                    float(lon) if lon is not None else None,
+                    tags,
+                )
             )
         elif el.tag == "way":
             refs = [int(nd.get("ref")) for nd in el.findall("nd")]

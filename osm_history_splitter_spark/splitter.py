@@ -96,6 +96,39 @@ def prepare_bucketed_world(
     }
 
 
+def _emit_osm(outs: dict, catalog, out_path: str, osm_filenames) -> dict:
+    """Reference-format `.osm/.osh[.gz|.bz2]` emission (S8 parity) from
+    the split outputs — one XML file per extract under
+    ``<out_path>/osm/`` (plans/osm_writer.py)."""
+    from .plans.osm_writer import write_extracts_osm
+
+    return write_extracts_osm(
+        outs["nodes"], outs["ways"], outs["relations"],
+        catalog, f"{out_path}/osm",
+        filenames=osm_filenames if isinstance(osm_filenames, dict) else None,
+    )
+
+
+def _publish(spark, outs: dict, publish_dir: str) -> dict:
+    """Commit each entity output to a VersionedTable (plans/table.py):
+    first split = initial commit, re-splits MERGE by the natural
+    composite key (id, version, extract) — changed rows replace their
+    predecessors and earlier splits stay time-travelable."""
+    from .plans.table import VersionedTable
+
+    versions = {}
+    for entity in ("nodes", "ways", "relations"):
+        t = VersionedTable(spark, f"{publish_dir}/{entity}")
+        if t.versions():
+            versions[entity] = t.commit(
+                outs[entity], mode="merge",
+                merge_key=["id", "version", "extract"],
+            )
+        else:
+            versions[entity] = t.commit(outs[entity])
+    return versions
+
+
 def run_split(
     spark: SparkSession,
     nodes: DataFrame,
@@ -106,11 +139,19 @@ def run_split(
     mode: str = "softcut",
     checkpoint_dir: str | None = None,
     n_buckets: int | None = None,
+    osm_filenames: dict[str, str] | bool | None = None,
+    publish_table: str | None = None,
 ) -> dict:
     """Full split job; returns the combined lineage manifest.
 
     softcut runs as two phases with the four marker tables checkpointed
     between them (the resume point); hardcut is single-phase.
+
+    ``osm_filenames``: truthy → ALSO emit reference-format XML per
+    extract (a dict maps extract name → file name, extension selecting
+    format; ``True`` uses ``<name>.osh``). ``publish_table``: commit the
+    outputs to VersionedTables under this dir (re-splits merge by
+    (id, version, extract)).
     """
     from .model import validate_history_compat
 
@@ -132,6 +173,15 @@ def run_split(
             res.relations, f"{out_path}/relations", "hardcut_relations",
             sort_cols=["id", "version"], catalog=catalog,
         )
+        outs = {
+            "nodes": res.nodes, "ways": res.ways, "relations": res.relations
+        }
+        if osm_filenames:
+            manifests["osm_files"] = _emit_osm(
+                outs, catalog, out_path, osm_filenames
+            )
+        if publish_table:
+            manifests["published"] = _publish(spark, outs, publish_table)
         return manifests
 
     if mode != "softcut":
@@ -172,6 +222,12 @@ def run_split(
         sort_cols=["id", "version"], catalog=catalog,
     )
     manifests["checkpoints"] = store.manifest()
+    if osm_filenames:
+        manifests["osm_files"] = _emit_osm(
+            outs, catalog, out_path, osm_filenames
+        )
+    if publish_table:
+        manifests["published"] = _publish(spark, outs, publish_table)
     return manifests
 
 
@@ -191,6 +247,17 @@ def main():
         help="prepare (or reuse) an id-bucketed copy of the entity tables at "
         "DIR and run the split from it — fully shuffle-free pass-2 joins",
     )
+    ap.add_argument(
+        "--emit-osm", action="store_true",
+        help="also write reference-format .osm/.osh[.gz|.bz2] files per "
+        "extract (format from the config's dest extension) under "
+        "<output>/osm/",
+    )
+    ap.add_argument(
+        "--publish-table", default=None, metavar="DIR",
+        help="commit outputs to VersionedTables under DIR; re-splits merge "
+        "by (id, version, extract) and stay time-travelable",
+    )
     args = ap.parse_args()
 
     from .session import get_spark
@@ -206,10 +273,17 @@ def main():
             n_buckets=args.n_buckets,
         )
         nodes, ways, relations = world["nodes"], world["ways"], world["relations"]
+    osm_filenames = None
+    if args.emit_osm:
+        from .sources.config import parse_config_dests
+
+        osm_filenames = parse_config_dests(args.config)
     manifest = run_split(
         spark, nodes, ways, relations, catalog, args.output,
         mode=args.mode, checkpoint_dir=args.checkpoint_dir,
         n_buckets=args.n_buckets,
+        osm_filenames=osm_filenames,
+        publish_table=args.publish_table,
     )
     import json
 

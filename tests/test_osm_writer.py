@@ -1,0 +1,195 @@
+"""Reference-format `.osm/.osh` XML sink (S8 parity): golden split of the
+reference's own fixture, roundtrip through our own parser, compression
+variants, escaping, and format-by-extension selection."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm_history_splitter_spark.operators.hardcut import hardcut
+from osm_history_splitter_spark.operators.softcut import softcut
+from osm_history_splitter_spark.plans.osm_writer import (
+    parse_format,
+    write_extracts_osm,
+)
+from osm_history_splitter_spark.sources.config import parse_config
+from osm_history_splitter_spark.sources.osm_xml import (
+    load_osm_dataframes,
+    parse_osm_xml,
+)
+
+from .fixtures import golden_catalog
+
+REF = "/root/reference"
+FIXTURE = f"{REF}/test/version-two-node-after.osh"
+
+#: element sets the fixture's own tag text encodes (FIXTURES.md §6)
+SOFT_NODES = {(1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2)}
+SOFT_WAYS = {(10, 1), (10, 2)}
+
+
+def test_parse_format_by_extension():
+    assert parse_format("a.osh") == (True, None)
+    assert parse_format("a.osm") == (False, None)
+    assert parse_format("a.osh.gz") == (True, "gzip")
+    assert parse_format("a.osm.bz2") == (False, "bzip2")
+    with pytest.raises(NotImplementedError, match="PBF"):
+        parse_format("a.osh.pbf")
+    with pytest.raises(ValueError):
+        parse_format("a.parquet")
+
+
+def test_golden_softcut_emits_reference_fixture_expectations(spark, tmp_path):
+    """Split the reference's own fixture through softcut and emit `.osh`:
+    the emitted element set must match the expectations the fixture's tag
+    text encodes, and every emitted row must carry the source's exact
+    attribute values (verified by re-parsing with our fixture parser)."""
+    nodes, ways, rels = load_osm_dataframes(spark, FIXTURE)
+    cat = parse_config(f"{REF}/test/test.config")
+    res = softcut(nodes, ways, rels, cat)
+    paths = write_extracts_osm(
+        res.nodes, res.ways, res.relations, cat, str(tmp_path)
+    )
+    assert set(paths) == {"test"}
+    out_n, out_w, out_r = parse_osm_xml(paths["test"])
+    assert {(r[0], r[1]) for r in out_n} == SOFT_NODES
+    assert {(r[0], r[1]) for r in out_w} == SOFT_WAYS
+    assert out_r == []
+    # attribute fidelity: emitted rows == source rows for the kept set
+    src_n, src_w, _ = parse_osm_xml(FIXTURE)
+    assert sorted(out_n) == sorted(
+        r for r in src_n if (r[0], r[1]) in SOFT_NODES
+    )
+    assert sorted(out_w) == sorted(
+        r for r in src_w if (r[0], r[1]) in SOFT_WAYS
+    )
+    # O1/O2: nodes before ways, each in (id, version) order
+    text = open(paths["test"]).read()
+    assert text.index("<node") < text.index("<way")
+    assert [(r[0], r[1]) for r in out_n] == sorted((r[0], r[1]) for r in out_n)
+
+
+def test_golden_hardcut_drops_out_of_bbox_versions(spark, tmp_path):
+    nodes, ways, rels = load_osm_dataframes(spark, FIXTURE)
+    cat = parse_config(f"{REF}/test/test.config")
+    res = hardcut(nodes, ways, rels, cat)
+    paths = write_extracts_osm(
+        res.nodes, res.ways, res.relations, cat, str(tmp_path)
+    )
+    out_n, out_w, _ = parse_osm_xml(paths["test"])
+    assert {(r[0], r[1]) for r in out_n} == {(3, 1)}
+    assert out_w == []
+
+
+def test_gzip_fragments_concatenate_to_valid_file(spark, tmp_path):
+    """Executor-compressed fragments + driver byte-concat must yield a
+    valid multi-member gzip whose decompressed XML parses identically."""
+    nodes, ways, rels = load_osm_dataframes(spark, FIXTURE)
+    cat = parse_config(f"{REF}/test/test.config")
+    res = softcut(nodes, ways, rels, cat)
+    paths = write_extracts_osm(
+        res.nodes, res.ways, res.relations, cat, str(tmp_path),
+        filenames={"test": "test.osh.gz"},
+    )
+    raw = gzip.decompress(open(paths["test"], "rb").read())
+    plain = tmp_path / "plain.osh"
+    plain.write_bytes(raw)
+    out_n, out_w, _ = parse_osm_xml(plain)
+    assert {(r[0], r[1]) for r in out_n} == SOFT_NODES
+    assert {(r[0], r[1]) for r in out_w} == SOFT_WAYS
+
+
+def test_escaping_and_deleted_node_form(spark, tmp_path):
+    """Tag values with XML metacharacters and newlines survive a
+    roundtrip; deleted versions carry visible=false and no lat/lon."""
+    import datetime as dt
+
+    from osm_history_splitter_spark.model import (
+        NODE_SCHEMA,
+        RELATION_SCHEMA,
+        WAY_SCHEMA,
+    )
+
+    ts = dt.datetime(2020, 1, 1)
+    evil = 'a<b&c>"d\ne\tf'
+    nodes = spark.createDataFrame(
+        [
+            (1, 1, True, ts, 7, 70, 'o"hara&sons', 0.5, 0.5, {"k<1": evil}),
+            (1, 2, False, ts, 7, 71, "x", None, None, {}),
+        ],
+        schema=NODE_SCHEMA,
+    ).withColumn("extract", F.lit("t"))
+    ways = (
+        spark.createDataFrame([], schema=WAY_SCHEMA)
+        .withColumn("extract", F.lit("t"))
+    )
+    rels = (
+        spark.createDataFrame([], schema=RELATION_SCHEMA)
+        .withColumn("extract", F.lit("t"))
+    )
+    from osm_history_splitter_spark.plans.catalog import Extract, ExtractCatalog
+
+    cat = ExtractCatalog([Extract.bbox("t", -1.0, -1.0, 1.0, 1.0)])
+    paths = write_extracts_osm(nodes, ways, rels, cat, str(tmp_path))
+    text = open(paths["t"]).read()
+    deleted = next(l for l in text.splitlines() if 'version="2"' in l)
+    assert 'visible="false"' in deleted
+    assert "lat=" not in deleted and "lon=" not in deleted
+    out_n, _, _ = parse_osm_xml(paths["t"])
+    live = next(r for r in out_n if r[1] == 1)
+    assert live[6] == 'o"hara&sons'
+    assert live[9] == {"k<1": evil}
+
+
+def test_relation_members_and_way_refs_roundtrip(spark, tmp_path):
+    import datetime as dt
+
+    from osm_history_splitter_spark.model import (
+        NODE_SCHEMA,
+        RELATION_SCHEMA,
+        WAY_SCHEMA,
+    )
+    from osm_history_splitter_spark.plans.catalog import Extract, ExtractCatalog
+
+    ts = dt.datetime(2020, 1, 1)
+    nodes = (
+        spark.createDataFrame([], schema=NODE_SCHEMA)
+        .withColumn("extract", F.lit("t"))
+    )
+    ways = spark.createDataFrame(
+        [(10, 1, True, ts, 1, 2, "u", [5, 6, 5], {"hw": "yes"})],
+        schema=WAY_SCHEMA,
+    ).withColumn("extract", F.lit("t"))
+    rels = spark.createDataFrame(
+        [(30, 2, True, ts, 1, 2, "u",
+          [("n", 5, "stop"), ("w", 10, ""), ("r", 31, "sub&rel")], {})],
+        schema=RELATION_SCHEMA,
+    ).withColumn("extract", F.lit("t"))
+    cat = ExtractCatalog([Extract.bbox("t", -1.0, -1.0, 1.0, 1.0)])
+    paths = write_extracts_osm(
+        nodes, ways, rels, cat, str(tmp_path), filenames={"t": "t.osh"}
+    )
+    _, out_w, out_r = parse_osm_xml(paths["t"])
+    assert out_w[0][7] == [5, 6, 5]  # ref order and duplicates kept
+    assert out_r[0][7] == [("n", 5, "stop"), ("w", 10, ""), ("r", 31, "sub&rel")]
+
+
+def test_mixed_formats_rejected(spark, tmp_path):
+    from osm_history_splitter_spark.model import NODE_SCHEMA
+    from osm_history_splitter_spark.plans.catalog import Extract, ExtractCatalog
+
+    nodes = (
+        spark.createDataFrame([], schema=NODE_SCHEMA)
+        .withColumn("extract", F.lit("a"))
+    )
+    cat = ExtractCatalog(
+        [Extract.bbox("a", 0, 0, 1, 1), Extract.bbox("b", 0, 0, 1, 1)]
+    )
+    with pytest.raises(ValueError, match="format"):
+        write_extracts_osm(
+            nodes, nodes, nodes, cat, str(tmp_path),
+            filenames={"a": "a.osm", "b": "b.osh"},
+        )

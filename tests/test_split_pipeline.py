@@ -192,3 +192,59 @@ def test_write_extracts_large_catalog_falls_back(spark, tmp_path):
     assert m["per_extract_rows"]["e0"] == 2
     assert len(m["per_extract_rows"]) == 300
     assert m["extract_bbox"]["e7"] == [0.0, 0.0, 1.0, 1.0]
+
+
+def test_run_split_emits_reference_format_xml(spark, tmp_path):
+    """--emit-osm analog: run_split(osm_filenames=...) writes one
+    reference-format XML file per extract alongside the parquet output,
+    and the emitted element set matches the parquet rows."""
+    from osm_history_splitter_spark.sources.osm_xml import parse_osm_xml
+
+    out = str(tmp_path / "out")
+    manifest = run_split(
+        spark,
+        golden_nodes(spark),
+        golden_ways(spark),
+        golden_relations(spark),
+        golden_catalog(),
+        out,
+        mode="softcut",
+        osm_filenames={"test": "test.osh"},
+    )
+    path = manifest["osm_files"]["test"]
+    assert path.endswith("/osm/test.osh")
+    out_n, out_w, out_r = parse_osm_xml(path)
+    assert {(r[0], r[1]) for r in out_n} == {
+        (1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2)
+    }
+    assert {(r[0], r[1]) for r in out_w} == {(10, 1), (10, 2)}
+    assert out_r == []
+
+
+def test_run_split_publish_table_time_travels(spark, tmp_path):
+    """--publish-table: the first split commits v1; a re-split after a
+    world update MERGEs by (id, version, extract) — latest read shows the
+    update, version 1 still reads the original."""
+    from pyspark.sql import functions as F
+
+    from osm_history_splitter_spark.plans.table import VersionedTable
+
+    pub = str(tmp_path / "published")
+
+    def split(world_nodes, out):
+        return run_split(
+            spark, world_nodes, golden_ways(spark), golden_relations(spark),
+            golden_catalog(), str(tmp_path / out), mode="softcut",
+            publish_table=pub,
+        )
+
+    m1 = split(golden_nodes(spark), "out1")
+    assert m1["published"] == {"nodes": 1, "ways": 1, "relations": 1}
+    # world update: same ids/versions, changed user attribution
+    updated = golden_nodes(spark).withColumn("user", F.lit("someone-else"))
+    m2 = split(updated, "out2")
+    assert m2["published"]["nodes"] == 2
+    t = VersionedTable(spark, f"{pub}/nodes")
+    assert {r["user"] for r in t.read().collect()} == {"someone-else"}
+    assert {r["user"] for r in t.read(version=1).collect()} == {"me"}
+    assert t.read().count() == t.read(version=1).count() == 6
