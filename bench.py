@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "pagerank",
     "kmeans",
     "zorder",
+    "pack_sequences_bucketed",
 ]
 
 
