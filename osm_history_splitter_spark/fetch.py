@@ -1,0 +1,133 @@
+"""Planet-fetch-and-split orchestration — the engine's analog of the
+reference's cron driver (``tools/fetch-and-split.php``): discover the
+newest full-history dump on a planet mirror, skip when local extracts are
+already built from it, fetch + md5-verify, split per config, then flip a
+``latest`` stamp/symlink. Cron-safe and idempotent like the original
+(re-runs are no-ops until the mirror publishes a new dump).
+
+Differences from the reference, by design:
+
+- the reference shells out to wget + the C++ splitter binary
+  (``fetch-and-split.php:57,114``); here the fetch is ``urllib`` (any
+  scheme it supports — ``https://`` in production, ``file://`` in
+  tests) and the split is :func:`run_split` in-process;
+- the reference downloads ``.osm.pbf`` and symlinks it to ``.osh``; this
+  engine ingests ``.osh`` XML (``sources/ingest.py``, byte-range
+  splittable) or pre-converted parquet entity tables — ``world_loader``
+  decides, so a PBF→parquet conversion step can slot in without
+  touching the orchestration;
+- no hard-coded e-mail side channel; callers watch the returned report.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import re
+import urllib.request
+from pathlib import Path
+
+__all__ = ["discover_newest", "fetch_verified", "fetch_and_split"]
+
+#: the reference's discovery regex (fetch-and-split.php:15), kept
+#: byte-compatible so the same mirror listings resolve identically
+_DUMP_RE = re.compile(r"history-([^.]+)\.osm\.(pbf|xml|osh)")
+
+
+def discover_newest(index_html: str) -> tuple[str, str]:
+    """First dump name in a modification-sorted mirror listing →
+    ``(filename, date_stamp)``. The mirror is asked for newest-first
+    order (``?C=M;O=D``), so the first match wins — same contract as the
+    reference."""
+    m = _DUMP_RE.search(index_html)
+    if not m:
+        raise ValueError("no history dump found in mirror listing")
+    return m.group(0), m.group(1)
+
+
+def _read_url(url: str) -> bytes:
+    with urllib.request.urlopen(url) as r:  # noqa: S310 - scheme chosen by caller
+        return r.read()
+
+
+def fetch_verified(base_url: str, remote: str, dest_dir: Path) -> Path:
+    """Download ``remote`` and its ``.md5`` sidecar into ``dest_dir``,
+    skipping the transfer when the file already exists (wget -nc), and
+    verify the checksum — a corrupt transfer deletes the local file and
+    raises, so the cron retry re-fetches."""
+    dest_dir.mkdir(parents=True, exist_ok=True)
+    local = dest_dir / remote
+    if not local.exists():
+        local.write_bytes(_read_url(f"{base_url}/{remote}"))
+    md5_line = _read_url(f"{base_url}/{remote}.md5").decode()
+    want = md5_line.split()[0]
+    got = hashlib.md5(local.read_bytes()).hexdigest()
+    if got != want:
+        local.unlink()
+        raise ValueError(f"md5 mismatch for {remote}: {got} != {want}")
+    return local
+
+
+def fetch_and_split(
+    spark,
+    base_url: str,
+    work_dir: str,
+    world_loader,
+    configs: list[str] | None = None,
+    mode: str = "softcut",
+    emit_osm: bool = False,
+) -> dict:
+    """One cron tick. Returns a report dict; ``{"skipped": True}`` when
+    the newest mirror dump already matches the local stamp.
+
+    ``world_loader(spark, dump_path) -> (nodes, ways, relations)``
+    adapts the downloaded dump to entity DataFrames (XML ingest,
+    parquet read, or a PBF conversion). ``configs`` are split-config
+    paths (default: every ``*.conf``/``*.config`` in ``work_dir``),
+    each split into ``<work_dir>/extracts/<date>/<config-stem>/``.
+    """
+    from .sources.config import parse_config, parse_config_dests
+    from .splitter import run_split
+
+    work = Path(work_dir)
+    extracts = work / "extracts"
+    extracts.mkdir(parents=True, exist_ok=True)
+
+    listing = _read_url(f"{base_url}/?C=M;O=D").decode()
+    remote, date = discover_newest(listing)
+
+    stamp_file = extracts / "latest-stamp"
+    if stamp_file.exists() and stamp_file.read_text().strip() == date:
+        return {"skipped": True, "date": date, "remote": remote}
+
+    dump = fetch_verified(base_url, remote, work / "full-history")
+    nodes, ways, relations = world_loader(spark, str(dump))
+
+    cfg_paths = [Path(c) for c in configs] if configs else sorted(
+        list(work.glob("*.conf")) + list(work.glob("*.config"))
+    )
+    if not cfg_paths:
+        raise ValueError(f"no split configs given or found in {work_dir}")
+
+    report = {"skipped": False, "date": date, "remote": remote, "splits": {}}
+    for cfg in cfg_paths:
+        catalog = parse_config(cfg)
+        out = extracts / date / cfg.stem
+        manifest = run_split(
+            spark, nodes, ways, relations, catalog, str(out), mode=mode,
+            osm_filenames=parse_config_dests(cfg) if emit_osm else None,
+        )
+        (out / "_manifest.json").write_text(json.dumps(manifest, default=str))
+        report["splits"][cfg.stem] = {
+            k: manifest[k]["rows"]
+            for k in ("nodes", "ways", "relations")
+            if isinstance(manifest.get(k), dict) and "rows" in manifest[k]
+        }
+
+    # flip the stamp + symlink LAST — a crashed run re-splits next tick
+    stamp_file.write_text(date)
+    latest = extracts / "latest"
+    if latest.is_symlink() or latest.exists():
+        latest.unlink()
+    latest.symlink_to(date)
+    return report
