@@ -45,8 +45,11 @@ _TYPE_RANK = {"node": 0, "way": 1, "relation": 2}
 
 
 def parse_format(filename: str) -> tuple[bool, str | None]:
-    """``(history, compression)`` from the output extension — the
-    reference's format-by-extension rule. Raises on ``.pbf``."""
+    """``(history, codec)`` from the output extension — the reference's
+    format-by-extension rule. Codec is ``None`` (plain XML), ``gzip`` /
+    ``bzip2`` (compressed XML), or ``pbf`` (binary container,
+    ``plans/pbf_writer.py`` over the from-scratch codec in
+    ``sources/pbf.py``)."""
     name = filename.lower()
     compression = None
     if name.endswith(".gz"):
@@ -54,10 +57,9 @@ def parse_format(filename: str) -> tuple[bool, str | None]:
     elif name.endswith(".bz2"):
         compression, name = "bzip2", name[: -len(".bz2")]
     if name.endswith(".pbf"):
-        raise NotImplementedError(
-            "PBF output is not supported in this environment (no OSM "
-            "protobuf toolchain); use .osm/.osh[.gz|.bz2]"
-        )
+        if compression:
+            raise ValueError(f"PBF is already compressed: {filename!r}")
+        compression, name = "pbf", name[: -len(".pbf")]
     if name.endswith(".osh"):
         return True, compression
     if name.endswith(".osm"):
@@ -266,6 +268,14 @@ def write_extracts_osm(
     if len(compressions) > 1:
         raise ValueError("all extracts must share one compression")
     compression = compressions.pop() if compressions else None
+
+    if compression == "pbf":
+        from .pbf_writer import write_extracts_pbf
+
+        return write_extracts_pbf(
+            nodes, ways, relations, catalog, out_dir,
+            filenames=filenames, partitions=partitions, history=history,
+        )
 
     exprs = element_xml_exprs(history)
     pieces = []

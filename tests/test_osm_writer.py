@@ -36,10 +36,12 @@ def test_parse_format_by_extension():
     assert parse_format("a.osm") == (False, None)
     assert parse_format("a.osh.gz") == (True, "gzip")
     assert parse_format("a.osm.bz2") == (False, "bzip2")
-    with pytest.raises(NotImplementedError, match="PBF"):
-        parse_format("a.osh.pbf")
+    assert parse_format("a.osh.pbf") == (True, "pbf")
+    assert parse_format("a.osm.pbf") == (False, "pbf")
     with pytest.raises(ValueError):
         parse_format("a.parquet")
+    with pytest.raises(ValueError, match="compressed"):
+        parse_format("a.osh.pbf.gz")
 
 
 def test_golden_softcut_emits_reference_fixture_expectations(spark, tmp_path):

@@ -1,0 +1,190 @@
+"""OSM PBF codec (sources/pbf.py) and distributed sink
+(plans/pbf_writer.py): pure-python roundtrips, DenseNodes interop,
+golden split of the reference fixture, block/partition boundaries."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from osm_history_splitter_spark.sources.pbf import (
+    _MEMBER_ENUM,
+    _blob,
+    _key,
+    _len_delim,
+    _packed,
+    _packed_sint_delta,
+    _varint,
+    _vint_field,
+    _zigzag,
+    encode_data_blob,
+    encode_header_blob,
+    iter_blobs,
+    read_pbf,
+)
+
+TS = dt.datetime(2012, 1, 1, 10, 0, 0)
+
+NODES = [
+    (1, 1, True, TS, 1000, 100, "me", 10.0, 10.0, {"k": "v", "a": "b&c"}),
+    (1, 2, False, TS, 1000, 101, "me", None, None, {}),  # deleted: no pos
+    (-5, 1, True, None, None, None, None, -89.9999999, 179.9999999, {}),
+]
+WAYS = [
+    (10, 1, True, TS, 1, 2, "u", [5, 3, 10**9], {"hw": "yes"}),
+    (11, 1, True, TS, 1, 2, "u", [], {}),
+]
+RELS = [
+    (30, 2, True, TS, 1, 2, "u",
+     [("n", 5, "stop"), ("w", 10, ""), ("r", 31, "x")], {"t": "route"}),
+]
+
+
+def test_codec_roundtrip(tmp_path):
+    p = tmp_path / "t.pbf"
+    p.write_bytes(
+        encode_header_blob((-1.0, -1.0, 1.0, 1.0))
+        + encode_data_blob(NODES, WAYS, RELS)
+    )
+    n, w, r = read_pbf(str(p))
+    assert n == NODES and w == WAYS and r == RELS
+
+
+def test_blob_structure_and_compression(tmp_path):
+    data = encode_header_blob() + encode_data_blob(NODES)
+    types = [t for t, _ in iter_blobs(data)]
+    assert types == ["OSMHeader", "OSMData"]
+    # blob payloads are zlib-compressed by default (spec's common case)
+    import zlib
+
+    body = data
+    assert b"OSMData" in body
+    # concatenation of blob sequences is a valid file (the distributed
+    # sink's core invariant)
+    twice = data + encode_data_blob(way_rows=WAYS)
+    assert [t for t, _ in iter_blobs(twice)] == [
+        "OSMHeader", "OSMData", "OSMData",
+    ]
+    del zlib
+
+
+def test_dense_nodes_interop(tmp_path):
+    """External writers use DenseNodes; the reader must accept them.
+    Hand-encode a DenseNodes group per spec (delta-coded ids/positions,
+    interleaved keys_vals with 0 separators, DenseInfo deltas)."""
+    strings = [b"", b"amenity", b"pub", b"bob"]
+    st = _len_delim(1, b"".join(_len_delim(1, s) for s in strings))
+    ids = [10, 12]
+    lats = [round(1.5 * 1e7), round(-2.25 * 1e7)]
+    lons = [round(3.0 * 1e7), round(4.0 * 1e7)]
+    dense = _packed(1, [_zigzag(b - a) for a, b in zip([0] + ids, ids)])
+    # DenseInfo: versions plain, timestamps/changesets/uids/user_sids delta
+    info = (
+        _packed(1, [1, 3])
+        + _packed(2, [_zigzag(100), _zigzag(5)])
+        + _packed(3, [_zigzag(7), _zigzag(1)])
+        + _packed(4, [_zigzag(42), _zigzag(0)])
+        + _packed(5, [_zigzag(3), _zigzag(0)])
+        + _packed(6, [1, 0])
+    )
+    dense += _len_delim(5, info)
+    dense += _packed(8, [_zigzag(b - a) for a, b in zip([0] + lats, lats)])
+    dense += _packed(9, [_zigzag(b - a) for a, b in zip([0] + lons, lons)])
+    dense += _packed(10, [1, 2, 0, 0])  # node1: amenity=pub; node2: none
+    # two wrap levels: DenseNodes is field 2 OF PrimitiveGroup, which is
+    # field 2 OF PrimitiveBlock
+    group = _len_delim(2, dense)
+    block = (
+        st + _len_delim(2, group) + _vint_field(17, 100)
+        + _vint_field(18, 1000)
+    )
+    (tmp_path / "d.pbf").write_bytes(_blob("OSMData", block))
+    n, w, r = read_pbf(str(tmp_path / "d.pbf"))
+    assert w == [] and r == []
+    assert [x[0] for x in n] == [10, 12]
+    assert n[0][1] == 1 and n[1][1] == 3  # versions
+    assert n[0][2] is True and n[1][2] is False  # visible
+    assert n[0][4] == 42 and n[1][4] == 42  # uid delta
+    assert n[0][6] == "bob" and n[1][6] == "bob"
+    assert n[0][7] == pytest.approx(1.5) and n[1][7] == pytest.approx(-2.25)
+    assert n[0][9] == {"amenity": "pub"} and n[1][9] == {}
+    assert n[1][3] == dt.datetime.utcfromtimestamp(105)  # ts delta sum
+
+
+def test_distributed_sink_golden_roundtrip(spark, tmp_path):
+    """Split the reference's fixture, emit .osh.pbf through the
+    distributed sink, read it back with the codec: same elements, same
+    order (nodes→ways, (id, version) within kind)."""
+    from osm_history_splitter_spark.operators.softcut import softcut
+    from osm_history_splitter_spark.plans.osm_writer import write_extracts_osm
+    from osm_history_splitter_spark.sources.config import parse_config
+    from osm_history_splitter_spark.sources.osm_xml import (
+        load_osm_dataframes,
+        parse_osm_xml,
+    )
+
+    REF = "/root/reference"
+    nodes, ways, rels = load_osm_dataframes(
+        spark, f"{REF}/test/version-two-node-after.osh"
+    )
+    cat = parse_config(f"{REF}/test/test.config")
+    res = softcut(nodes, ways, rels, cat)
+    paths = write_extracts_osm(
+        res.nodes, res.ways, res.relations, cat, str(tmp_path),
+        filenames={"test": "test.osh.pbf"},
+    )
+    out_n, out_w, out_r = read_pbf(paths["test"])
+    src_n, src_w, _ = parse_osm_xml(f"{REF}/test/version-two-node-after.osh")
+    keep_n = {(1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2)}
+    keep_w = {(10, 1), (10, 2)}
+    assert sorted(out_n) == sorted(r for r in src_n if (r[0], r[1]) in keep_n)
+    assert sorted(out_w) == sorted(r for r in src_w if (r[0], r[1]) in keep_w)
+    assert out_r == []
+    assert [(r[0], r[1]) for r in out_n] == sorted((r[0], r[1]) for r in out_n)
+
+
+def test_sink_block_and_partition_boundaries(spark, tmp_path, monkeypatch):
+    """Many rows, tiny blocks, several partitions and two extracts: the
+    (kind_rank, pid, seq) fragment order must reassemble the exact
+    global (extract, id, version) order with no loss."""
+    import osm_history_splitter_spark.plans.pbf_writer as pw
+    from osm_history_splitter_spark.model import (
+        NODE_SCHEMA,
+        RELATION_SCHEMA,
+        WAY_SCHEMA,
+    )
+    from osm_history_splitter_spark.plans.catalog import Extract, ExtractCatalog
+    from pyspark.sql import functions as F
+
+    monkeypatch.setattr(pw, "BLOCK_ROWS", 7)
+    rows = [
+        (i, v, True, TS, 1, 1, "u", float(i % 80) / 2, float(i % 160) / 2, {})
+        for i in range(200)
+        for v in (1, 2)
+    ]
+    nodes = (
+        spark.createDataFrame(rows, schema=NODE_SCHEMA)
+        .withColumn(
+            "extract", F.when(F.col("id") % 2 == 0, "even").otherwise("odd")
+        )
+    )
+    empty_w = spark.createDataFrame([], WAY_SCHEMA).withColumn(
+        "extract", F.lit("even")
+    )
+    empty_r = spark.createDataFrame([], RELATION_SCHEMA).withColumn(
+        "extract", F.lit("even")
+    )
+    cat = ExtractCatalog(
+        [Extract.bbox("even", 0, 0, 90, 90), Extract.bbox("odd", 0, 0, 90, 90)]
+    )
+    paths = pw.write_extracts_pbf(
+        nodes, empty_w, empty_r, cat, str(tmp_path), partitions=8
+    )
+    for name, parity in (("even", 0), ("odd", 1)):
+        n, _, _ = read_pbf(paths[name])
+        want = sorted(
+            (r[0], r[1]) for r in rows if r[0] % 2 == parity
+        )
+        assert [(x[0], x[1]) for x in n] == want
+        assert all(x[0] % 2 == parity for x in n)
