@@ -188,3 +188,94 @@ def test_sink_block_and_partition_boundaries(spark, tmp_path, monkeypatch):
         )
         assert [(x[0], x[1]) for x in n] == want
         assert all(x[0] % 2 == parity for x in n)
+
+
+def test_distributed_reader_matches_driver_reader(spark, tmp_path):
+    """read_pbf_elements (blob-range mapInPandas ingest) must return
+    exactly the driver codec's rows, across task boundaries (1 blob per
+    task) and with a multi-blob file."""
+    from osm_history_splitter_spark.sources.pbf import (
+        load_pbf_dataframes,
+        read_pbf_elements,
+        scan_blob_index,
+    )
+
+    p = tmp_path / "multi.pbf"
+    blobs = encode_header_blob((-1.0, -1.0, 1.0, 1.0))
+    many_nodes = [
+        (i, 1, True, TS, 1, 1, f"u{i % 3}", i / 100.0, -i / 100.0, {"i": str(i)})
+        for i in range(50)
+    ]
+    # several data blobs, mixed content
+    blobs += encode_data_blob(many_nodes[:20])
+    blobs += encode_data_blob(many_nodes[20:], WAYS)
+    blobs += encode_data_blob((), (), RELS)
+    p.write_bytes(blobs)
+
+    idx = scan_blob_index(str(p))
+    assert [t for _, _, t in idx] == [
+        "OSMHeader", "OSMData", "OSMData", "OSMData",
+    ]
+    # contiguity: blob ranges tile the file exactly
+    assert idx[0][0] == 0 and all(
+        a[1] == b[0] for a, b in zip(idx, idx[1:])
+    )
+
+    got_n = read_pbf_elements(spark, str(p), "node", blobs_per_task=1)
+    rows = sorted(
+        (r["id"], r["version"], r["user"], r["lat"], r["lon"], r["tags"]["i"])
+        for r in got_n.collect()
+    )
+    assert rows == sorted(
+        (r[0], r[1], r[6], r[7], r[8], r[9]["i"]) for r in many_nodes
+    )
+    n, w, r = load_pbf_dataframes(spark, str(p))
+    assert (n.count(), w.count(), r.count()) == (50, 2, 1)
+    assert sorted(x["id"] for x in w.collect()) == [10, 11]
+    m = r.collect()[0]
+    assert [(x["type"], x["ref"], x["role"]) for x in m["members"]] == [
+        ("n", 5, "stop"), ("w", 10, ""), ("r", 31, "x"),
+    ]
+
+
+def test_fetch_and_split_with_pbf_mirror(spark, tmp_path, monkeypatch):
+    """End-to-end: a mirror serving a .osm.pbf dump (like planet.osm.org)
+    feeds fetch_and_split through load_pbf_dataframes."""
+    import hashlib
+    import shutil
+
+    from osm_history_splitter_spark.fetch import fetch_and_split
+    from osm_history_splitter_spark.sources.pbf import load_pbf_dataframes
+    from osm_history_splitter_spark.sources.osm_xml import parse_osm_xml
+
+    src_n, src_w, src_r = parse_osm_xml(
+        "/root/reference/test/version-two-node-after.osh"
+    )
+    m = tmp_path / "mirror"
+    m.mkdir()
+    name = "history-2024-06-01.osm.pbf"
+    (m / name).write_bytes(
+        encode_header_blob() + encode_data_blob(src_n, src_w, src_r)
+    )
+    d = hashlib.md5((m / name).read_bytes()).hexdigest()
+    (m / f"{name}.md5").write_text(f"{d}  {name}\n")
+    (m / "index.html").write_text(f'<a href="{name}">{name}</a>')
+
+    import osm_history_splitter_spark.fetch as fetch_mod
+
+    real = fetch_mod._read_url
+    monkeypatch.setattr(
+        fetch_mod,
+        "_read_url",
+        lambda url: (m / "index.html").read_bytes()
+        if url.endswith("?C=M;O=D")
+        else real(url),
+    )
+    work = tmp_path / "work"
+    work.mkdir()
+    shutil.copy("/root/reference/test/test.config", work / "test.config")
+    report = fetch_and_split(
+        spark, f"file://{m}", str(work),
+        lambda sp, path: load_pbf_dataframes(sp, path),
+    )
+    assert report["splits"]["test"] == {"nodes": 6, "ways": 2, "relations": 0}
