@@ -358,3 +358,69 @@ def test_corpus_clean_plan_shape(spark):
     plan = plan_of(q_corpus_clean(spark, "/root/testdata/sf0.001"))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_xml_sink_serialization_is_catalyst_only_one_exchange(spark):
+    """The .osm/.osh sink's serialized frame: exactly ONE Exchange (the
+    range partition that fixes element order) and NO Python in the row
+    path — the XML string is built by Catalyst expressions."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from osm_history_splitter_spark.model import NODE_SCHEMA
+    from osm_history_splitter_spark.plans.osm_writer import element_xml_exprs
+
+    ts = dt.datetime(2020, 1, 1)
+    nodes = spark.createDataFrame(
+        [(1, 1, True, ts, 7, 70, "u", 0.5, 0.5, {"k": "v"})],
+        schema=NODE_SCHEMA,
+    ).withColumn("extract", F.lit("t"))
+    ser = (
+        nodes.select(
+            "extract",
+            F.lit(0).alias("type_rank"),
+            "id",
+            "version",
+            element_xml_exprs(True)["node"].alias("value"),
+        )
+        .repartitionByRange(8, "extract", "type_rank", "id", "version")
+        .sortWithinPartitions("extract", "type_rank", "id", "version")
+        .select("extract", "value")
+    )
+    plan = plan_of(ser)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange") == 1
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_pbf_sink_stage_is_one_exchange_then_arrow(spark):
+    """The PBF sink's staged frame: one range Exchange, then the Arrow
+    mapInPandas packer — no extra shuffle between sort and packing."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from osm_history_splitter_spark.model import NODE_SCHEMA
+    from osm_history_splitter_spark.plans.pbf_writer import (
+        _KIND_COLS,
+        _make_packer,
+    )
+
+    ts = dt.datetime(2020, 1, 1)
+    nodes = spark.createDataFrame(
+        [(1, 1, True, ts, 7, 70, "u", 0.5, 0.5, {})], schema=NODE_SCHEMA
+    ).withColumn("extract", F.lit("t"))
+    staged = (
+        nodes.select("extract", *_KIND_COLS["node"])
+        .repartitionByRange(8, "extract", "id", "version")
+        .sortWithinPartitions("extract", "id", "version")
+        .withColumn("pid", F.spark_partition_id())
+        .mapInPandas(
+            _make_packer("node"),
+            schema="extract string, pid int, seq long, blob binary",
+        )
+    )
+    plan = plan_of(staged)
+    assert plan.count("Exchange") == 1
+    assert "MapInPandas" in plan

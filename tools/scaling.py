@@ -208,6 +208,20 @@ Round 1's 0.47 was a measurement artifact stack, not a plan property:
   8 local threads**. The reference publishes no docs/sec numbers
   (BASELINE.md); its planet splits are single-threaded I/O-bound streams.
 
+## Suite-bench noise (round-4 finding)
+
+`BENCH_r03.json` recorded `split_docs_per_sec` 410k vs r02's 709k on
+byte-identical job code. Round-4 forensics (alternating A/B of the r02
+checkout vs HEAD, fresh JVM per run, same tmpfs scratch): a 5× spread
+WITHIN each version (r02: 237k-855k; HEAD: 189k-968k) and HEAD's best
+above every r02 measurement; the one hot-path code change between the
+rounds microbenches identical (13.9 vs 13.8 ms per 200k-point PIP
+call). Conclusion: single-window `split_docs_per_sec` figures are
+hostage to VM steal spikes and honest only to ±2×; the interleaved
+multi-pair medians in this file are the robust scaling evidence, and
+round-over-round throughput comparisons should use the best figure
+recorded at the same scale.
+
 ## Appendix — diagnostic matrix (measured on this VM, round 1 + round 2)
 
 | experiment | result |
