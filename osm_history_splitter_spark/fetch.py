@@ -29,8 +29,10 @@ from pathlib import Path
 
 __all__ = ["discover_newest", "fetch_verified", "fetch_and_split"]
 
-#: the reference's discovery regex (fetch-and-split.php:15), kept
-#: byte-compatible so the same mirror listings resolve identically
+#: superset of the reference's discovery regex (fetch-and-split.php:15
+#: matches only ``.osm.pbf``): same stem rule, plus the XML dump forms
+#: this engine also ingests — a planet.osm.org listing resolves to the
+#: identical file
 _DUMP_RE = re.compile(r"history-([^.]+)\.osm\.(pbf|xml|osh)")
 
 

@@ -98,10 +98,13 @@ def _common_attrs(history: bool) -> Column:
         _attr("version", F.col("version")),
     ]
     if history:
+        # NULL visible means "not deleted" (the loaders' default too)
         parts.append(
             _attr(
                 "visible",
-                F.when(F.col("visible"), "true").otherwise("false"),
+                F.when(
+                    F.coalesce(F.col("visible"), F.lit(True)), "true"
+                ).otherwise("false"),
             )
         )
     parts += [

@@ -148,6 +148,11 @@ def write_extracts_pbf(
     filenames = filenames or {e.name: f"{e.name}.osh.pbf" for e in catalog}
     n = partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     stage = Path(out_dir) / "_pbf_fragments"
+    # the three kind passes APPEND into one staging table — a retried run
+    # must not inherit a crashed run's fragments
+    import shutil
+
+    shutil.rmtree(stage, ignore_errors=True)
 
     for rank, (kind, df) in enumerate(
         (("node", nodes), ("way", ways), ("relation", relations))
@@ -185,8 +190,6 @@ def write_extracts_pbf(
             for r in rows.toLocalIterator():
                 out.write(bytes(r["blob"]))
         out_paths[e.name] = str(out_file)
-
-    import shutil
 
     shutil.rmtree(stage, ignore_errors=True)
     return out_paths

@@ -279,3 +279,89 @@ def test_fetch_and_split_with_pbf_mirror(spark, tmp_path, monkeypatch):
         lambda sp, path: load_pbf_dataframes(sp, path),
     )
     assert report["splits"]["test"] == {"nodes": 6, "ways": 2, "relations": 0}
+
+
+# --- property-based codec fuzz (pure python, no Spark) -----------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+if _HAVE_HYP:
+    _ts_strat = st.one_of(
+        st.none(),
+        st.datetimes(
+            min_value=dt.datetime(1970, 1, 1),
+            max_value=dt.datetime(2100, 1, 1),
+        ).map(lambda t: t.replace(microsecond=0)),
+    )
+    _text = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)), max_size=30
+    )
+    _tags = st.dictionaries(_text, _text, max_size=4)
+    _meta = st.tuples(
+        st.integers(min_value=-(2**62), max_value=2**62),  # id
+        st.integers(min_value=1, max_value=2**31 - 1),  # version
+        st.one_of(st.none(), st.booleans()),  # visible
+        _ts_strat,
+        st.one_of(st.none(), st.integers(-(2**31), 2**31 - 1)),  # uid
+        st.one_of(st.none(), st.integers(0, 2**62)),  # changeset
+        st.one_of(st.none(), _text),  # user
+    )
+    # coordinates on the format's exact 1e-7-degree lattice
+    _coord = st.integers(-900_000_000, 900_000_000).map(lambda v: v / 1e7)
+    _nodes_strat = st.lists(
+        _meta.flatmap(
+            lambda m: st.tuples(
+                st.one_of(
+                    st.just((None, None)), st.tuples(_coord, _coord)
+                ),
+                _tags,
+            ).map(lambda pt: m + pt[0] + (pt[1],))
+        ),
+        max_size=8,
+    )
+    _ways_strat = st.lists(
+        _meta.flatmap(
+            lambda m: st.tuples(
+                st.lists(st.integers(-(2**62), 2**62), max_size=6), _tags
+            ).map(lambda wt: m + wt)
+        ),
+        max_size=5,
+    )
+    _members = st.lists(
+        st.tuples(st.sampled_from(["n", "w", "r"]),
+                  st.integers(-(2**62), 2**62), _text),
+        max_size=5,
+    )
+    _rels_strat = st.lists(
+        _meta.flatmap(
+            lambda m: st.tuples(_members, _tags).map(lambda rt: m + rt)
+        ),
+        max_size=4,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(_nodes_strat, _ways_strat, _rels_strat)
+    def test_codec_fuzz_roundtrip(tmp_path_factory, n, w, r):
+        """Any model-shaped rows survive encode→decode bit-exactly
+        (coordinates constrained to the format's 1e-7 lattice; visible
+        None decodes as the spec default True)."""
+        p = tmp_path_factory.mktemp("fuzz") / "f.pbf"
+        p.write_bytes(encode_header_blob() + encode_data_blob(n, w, r))
+        dn, dw, dr = read_pbf(str(p))
+
+        def norm(rows):
+            # visible=None encodes nothing; readers see the default True
+            return [
+                row[:2] + (True if row[2] is None else row[2],) + row[3:]
+                for row in rows
+            ]
+
+        assert dn == norm(n)
+        assert dw == norm(w)
+        assert dr == norm(r)
