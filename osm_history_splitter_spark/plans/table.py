@@ -47,6 +47,40 @@ class ConcurrentCommitError(RuntimeError):
     re-read the table and retry the commit on top of the new head)."""
 
 
+def _file_stats(files: list[str], cols: list[str]) -> dict:
+    """Per-file [min, max] for the requested columns, read from the
+    parquet FOOTERS (row-group statistics — no data pages touched). The
+    manifest stays metadata-sized: O(files × cols) scalars. This is the
+    Iceberg column-stats idea reduced to the same pointer structure."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        per: dict[str, list] = {}
+        for col in cols:
+            i = names.get(col)
+            if i is None:
+                continue
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(i).statistics
+                if st is None or not st.has_min_max:
+                    lo = hi = None
+                    break  # a statless row group poisons the file's range
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            # manifest is JSON: only scalar-typed stats are kept (ints,
+            # floats, strings cover the clustering keys — z-order, ids,
+            # timestamps-as-epoch); exotic types are simply not pruned on
+            if lo is not None and isinstance(lo, (int, float, str)):
+                per[col] = [lo, hi]
+        if per:
+            out[f] = per
+    return out
+
+
 class VersionedTable:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -70,6 +104,7 @@ class VersionedTable:
         df: DataFrame,
         mode: str = "append",
         merge_key: str | list[str] | None = None,
+        stats_cols: list[str] | None = None,
     ) -> int:
         """Atomically commit ``df`` as the next version. Modes:
 
@@ -127,8 +162,12 @@ class VersionedTable:
             files = sorted(
                 str(f) for f in cdir.glob("*.parquet") if f.stat().st_size > 0
             )
+            stats = _file_stats(files, stats_cols) if stats_cols else {}
             if mode_files == "append" and vs:
-                files = self._manifest(vs[-1])["files"] + files
+                prev = self._manifest(vs[-1])
+                files = prev["files"] + files
+                # stats carry over file-by-file across snapshots
+                stats = {**prev.get("stats", {}), **stats}
             manifest = {
                 "version": nxt,
                 "parent": vs[-1] if vs else None,
@@ -137,6 +176,8 @@ class VersionedTable:
                 "bytes": sum(os.path.getsize(f) for f in files),
                 "committed_at": time.time(),
             }
+            if stats:
+                manifest["stats"] = stats
             tmp = self.path / "_manifests" / f".v{nxt}.json.tmp"
             tmp.write_text(json.dumps(manifest, indent=1))
             if final.exists():  # unreachable while claims persist
@@ -175,12 +216,91 @@ class VersionedTable:
 
     # -- reads -------------------------------------------------------------
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        version: int | None = None,
+        between: tuple[str, object, object] | None = None,
+    ) -> DataFrame:
+        """Snapshot read; ``between=(col, lo, hi)`` additionally SKIPS
+        every file whose manifest [min, max] for ``col`` cannot intersect
+        [lo, hi] (files without stats are conservatively kept) and
+        applies the exact filter on what remains. With a z-ordered or
+        range-partitioned write layout this is real file pruning — the
+        scan list shrinks before Spark ever opens a footer."""
         vs = self.versions()
         if not vs:
             raise FileNotFoundError(f"no committed version at {self.path}")
         v = version if version is not None else vs[-1]
         if v not in vs:
             raise FileNotFoundError(f"version {v} not in {vs}")
-        files = self._manifest(v)["files"]
-        return self.spark.read.parquet(*files)
+        m = self._manifest(v)
+        files = m["files"]
+        if between is None:
+            return self.spark.read.parquet(*files)
+        col, lo, hi = between
+        stats = m.get("stats", {})
+        kept = [
+            f
+            for f in files
+            if (rng := stats.get(f, {}).get(col)) is None
+            or (rng[0] <= hi and rng[1] >= lo)
+        ]
+        if not kept:
+            # empty frame with the snapshot's schema (read one file's
+            # schema, filter to nothing)
+            from pyspark.sql import functions as F
+
+            return self.spark.read.parquet(files[0]).filter(F.lit(False))
+        from pyspark.sql import functions as F
+
+        return self.spark.read.parquet(*kept).filter(
+            F.col(col).between(F.lit(lo), F.lit(hi))
+        )
+
+    def pruned_files(
+        self, between: tuple[str, object, object], version: int | None = None
+    ) -> tuple[int, int]:
+        """(kept, total) file counts for a range — observability for the
+        pruning decision (tests and operators)."""
+        vs = self.versions()
+        v = version if version is not None else vs[-1]
+        m = self._manifest(v)
+        col, lo, hi = between
+        stats = m.get("stats", {})
+        kept = [
+            f
+            for f in m["files"]
+            if (rng := stats.get(f, {}).get(col)) is None
+            or (rng[0] <= hi and rng[1] >= lo)
+        ]
+        return len(kept), len(m["files"])
+
+    def vacuum(self) -> list[str]:
+        """Delete data files referenced by NO manifest (orphans from
+        crashed commit attempts) and remove emptied commit dirs. Returns
+        the deleted paths. Safe by construction: every reader resolves
+        files through a manifest, and committed manifests are immutable,
+        so an unreferenced file can never become referenced again."""
+        referenced: set[str] = set()
+        for v in self.versions():
+            referenced.update(self._manifest(v)["files"])
+        deleted: list[str] = []
+        data_root = self.path / "data"
+        if not data_root.exists():
+            return deleted
+        for cdir in sorted(data_root.glob("c*")):
+            has_live = any(
+                str(f) in referenced for f in cdir.rglob("*.parquet")
+            )
+            for f in sorted(cdir.rglob("*")):
+                if not f.is_file() or str(f) in referenced:
+                    continue
+                # keep Spark bookkeeping (_SUCCESS, .crc) next to live
+                # data; it goes only when the whole commit dir is orphaned
+                if has_live and f.name.startswith(("_", ".")):
+                    continue
+                f.unlink()
+                deleted.append(str(f))
+            if not any(cdir.iterdir()):
+                cdir.rmdir()
+        return deleted

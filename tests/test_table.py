@@ -169,3 +169,66 @@ def test_failed_commit_attempt_releases_its_claim(spark, tmp_path):
     assert not (tmp_path / "t" / "_manifests" / "v2.json.claim").exists()
     assert t.commit(_df(spark, 3, 5, "b")) == 2
     assert t.read().count() == 5
+
+
+def test_stats_pruned_read_skips_files_zorder_layout(spark, tmp_path):
+    """Commit a z-order-clustered write with stats on the key: a narrow
+    range read must skip most files (manifest min/max pruning) yet
+    return exactly the rows the full-scan filter returns."""
+    from osm_history_splitter_spark.functions.grid import zorder_expr
+
+    n = 4000
+    pts = spark.range(n).select(
+        F.col("id"),
+        ((F.col("id") % 360) - 180.0 + 0.5).alias("lon"),
+        (((F.col("id") * 7) % 180) - 90.0 + 0.5).alias("lat"),
+    )
+    z = zorder_expr(F.col("lon"), F.col("lat"), 8).alias("z")
+    clustered = (
+        pts.select("id", "lon", "lat", z)
+        .repartitionByRange(16, "z")
+        .sortWithinPartitions("z")
+    )
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(clustered, stats_cols=["z"])
+
+    full = t.read()
+    lo, hi = 0, 1 << 12  # a narrow z-range = a small spatial block
+    kept, total = t.pruned_files(("z", lo, hi))
+    assert total >= 8 and kept < total  # pruning actually skipped files
+    got = sorted(r["id"] for r in t.read(between=("z", lo, hi)).collect())
+    want = sorted(
+        r["id"] for r in full.filter(F.col("z").between(lo, hi)).collect()
+    )
+    assert got == want and got  # non-vacuous
+
+
+def test_stats_carry_over_across_append_commits(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(
+        spark.range(0, 100).repartition(1), stats_cols=["id"]
+    )
+    t.commit(
+        spark.range(1000, 1100).repartition(1), stats_cols=["id"]
+    )
+    kept, total = t.pruned_files(("id", 0, 50))
+    assert (kept, total) == (1, 2)  # v1's stats survived the v2 append
+    assert t.read(between=("id", 0, 50)).count() == 51
+    assert t.read(between=("id", 5000, 6000)).count() == 0
+
+
+def test_vacuum_deletes_only_orphans(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_df(spark, 0, 5, "a"))
+    # crashed attempt: data without a manifest
+    _df(spark, 100, 200, "ghost").write.parquet(
+        str(tmp_path / "t" / "data" / "c2")
+    )
+    t.commit(_df(spark, 5, 8, "b"))
+    deleted = t.vacuum()
+    assert deleted and all("/c2/" in d for d in deleted)
+    assert not (tmp_path / "t" / "data" / "c2").exists()
+    # live snapshots are untouched, including time travel
+    assert t.read().count() == 8
+    assert t.read(version=1).count() == 5
+    assert t.vacuum() == []  # idempotent
