@@ -1888,6 +1888,126 @@ SELECT lang, bucket, doc_id, ntok AS n_tokens,
 FROM t"""
 
 
+#: target language mixture for q_mixture_sample (weights sum to 1) and
+#: the total token budget the mix must fill
+MIXTURE_WEIGHTS = {"en": 0.6, "de": 0.25, "fr": 0.15}
+MIXTURE_BUDGET = 12_000
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Token-budget mixture construction — the pretraining data-mixing
+    primitive: given target weights per language and a total token
+    budget, select documents per language in content-independent hash
+    order until that language's share of the budget is filled (the last
+    document may overshoot; it is kept, matching the usual
+    fill-then-stop loader). Deterministic under re-runs and insert
+    order, so eval mixtures are reproducible.
+
+    Scale shape: one window per language partition (cumulative tokens
+    over hash order) with the budget cutoff — WindowGroupLimit-adjacent;
+    languages outside the mixture are filtered before the shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    ntok = F.size(F.split(F.col("text"), " ")).cast("long")
+    h = F.md5(
+        F.concat(F.lit("mix:"), F.col("doc_id").cast("string")).cast("binary")
+    )
+    budget = F.create_map(
+        *[
+            x
+            for lang, wt in sorted(MIXTURE_WEIGHTS.items())
+            for x in (F.lit(lang), F.lit(int(wt * MIXTURE_BUDGET)))
+        ]
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("h").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    scored = (
+        d.filter(F.col("lang").isin(*MIXTURE_WEIGHTS))
+        .select("doc_id", "lang", ntok.alias("n_tokens"), h.alias("h"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    )
+    # keep while the PREVIOUS cumulative total was under budget: the doc
+    # that crosses the line is included, everything after is cut
+    prev = F.col("cum_tokens") - F.col("n_tokens")
+    return scored.filter(prev < budget[F.col("lang")]).select(
+        "doc_id", "lang", "n_tokens", "cum_tokens"
+    )
+
+
+def _mixture_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{lang}' THEN {int(wt * MIXTURE_BUDGET)}"
+        for lang, wt in sorted(MIXTURE_WEIGHTS.items())
+    )
+    langs = ", ".join(f"'{lang}'" for lang in sorted(MIXTURE_WEIGHTS))
+    return f"""WITH t AS (
+  SELECT doc_id, lang,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    md5('mix:' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents WHERE lang IN ({langs})),
+c AS (
+  SELECT doc_id, lang, n_tokens,
+    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id) AS cum_tokens
+  FROM t)
+SELECT doc_id, lang, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM c WHERE cum_tokens - n_tokens < (CASE lang {cases} END)"""
+
+
+Q_MIXTURE_SAMPLE_SQL = _mixture_sql()
+
+
+def q_domain_stats(spark, sf_dir):
+    """Per-domain corpus audit over the pages table: document count,
+    distinct urls, token volume and mean quality proxy (doc length) per
+    registrable host — the first report any crawl-curation pass runs.
+    Host extraction is a Catalyst regexp (no UDF); one groupBy on an
+    evenly-distributed key (AQE handles the rare mega-domain)."""
+    from .sources.pages import synth_pages
+
+    pages = synth_pages(spark, sf_dir)
+    host = F.regexp_extract(F.col("url"), r"^https?://([^/]+)/", 1)
+    # the synthetic corpus has one host; the path's page id modulo 20
+    # stands in for the crawl shard so the groupBy is non-vacuous and
+    # BOTH regexp extractions (host, path id) are oracle-certified
+    shard = (
+        F.regexp_extract(F.col("url"), r"/p/([0-9]+)$", 1).cast("long") % 20
+    )
+    ntok = F.size(F.split(F.col("text"), " ")).cast("long")
+    return (
+        pages.select(
+            host.alias("domain"),
+            shard.alias("shard"),
+            F.col("url"),
+            ntok.alias("n_tokens"),
+        )
+        .groupBy("domain", "shard")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.countDistinct("url").alias("n_urls"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )
+
+
+def _domain_stats_sql() -> str:
+    from .sources.pages import PAGES_SQL
+
+    return f"""WITH pages AS ({PAGES_SQL})
+SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS domain,
+  CAST(regexp_extract(url, '/p/([0-9]+)$', 1) AS BIGINT) % 20 AS shard,
+  CAST(count(*) AS BIGINT) AS n_pages,
+  CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
+  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+  CAST(MAX(len(string_split(text, ' '))) AS BIGINT) AS max_tokens
+FROM pages GROUP BY 1, 2"""
+
+
+Q_DOMAIN_STATS_SQL = _domain_stats_sql()
+
+
 #: exact per-stratum sample size (fixed-size eval sets per language)
 STRAT_K = 20
 
@@ -1958,6 +2078,8 @@ TEXT_QUERIES = {
         q_pack_sequences_bucketed,
         Q_PACK_SEQUENCES_BUCKETED_SQL,
     ),
+    "mixture_sample": (q_mixture_sample, Q_MIXTURE_SAMPLE_SQL),
+    "domain_stats": (q_domain_stats, Q_DOMAIN_STATS_SQL),
     "stratified_sample": (q_stratified_sample, Q_STRATIFIED_SAMPLE_SQL),
     "corpus_clean": (q_corpus_clean, Q_CORPUS_CLEAN_SQL),
     "multimodal_features": (q_multimodal_features, Q_MULTIMODAL_FEATURES_SQL),

@@ -384,3 +384,41 @@ def test_pack_sequences_bucketed_bounds_partitions_and_packs_exactly(spark):
     assert "windowspecdefinition(lang" not in plan.lower().replace(
         " ", ""
     ) or "bucket" in plan.lower()
+
+
+def test_mixture_sample_fills_budgets_minimally(spark):
+    """Per language: kept docs in hash order fill the lang's share of
+    the token budget; only the LAST kept doc may overshoot (dropping it
+    lands under budget), and nothing outside the mixture appears."""
+    from osm_history_splitter_spark import text_queries as tq
+
+    rows = tq.q_mixture_sample(spark, "/root/testdata/sf0.01").collect()
+    assert {r["lang"] for r in rows} <= set(tq.MIXTURE_WEIGHTS)
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    docs_df = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    lang_docs = {
+        r["lang"]: r["n"]
+        for r in docs_df.groupBy("lang").count().withColumnRenamed(
+            "count", "n"
+        ).collect()
+    }
+    filled = 0
+    for lang, docs in by_lang.items():
+        budget = int(tq.MIXTURE_WEIGHTS[lang] * tq.MIXTURE_BUDGET)
+        total = sum(d["n_tokens"] for d in docs)
+        # minimal: every kept doc started under the line
+        assert max(d["cum_tokens"] - d["n_tokens"] for d in docs) < budget
+        if total >= budget:
+            filled += 1
+            # dropping the last kept doc goes under budget
+            assert total - max(
+                d["n_tokens"]
+                for d in docs
+                if d["cum_tokens"] == max(x["cum_tokens"] for x in docs)
+            ) < budget
+        else:
+            # under-filled ⇒ the language's corpus is exhausted
+            assert len(docs) == lang_docs[lang]
+    assert filled >= 1  # the budget binds somewhere — cutoff non-vacuous
