@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "kmeans",
     "zorder",
     "pack_sequences_bucketed",
+    "mixture_sample",
+    "domain_stats",
 ]
 
 

@@ -63,11 +63,13 @@ def parse_config(path: str | Path) -> ExtractCatalog:
 
 
 def parse_config_dests(path: str | Path) -> dict[str, str]:
-    """Extract name → configured output file name (the ``dest`` field the
-    catalog strips) — feeds the reference-format XML sink so the emitted
-    file keeps the config's extension-selected format
-    (``cut.hpp:73-74``). Leading directories are dropped: the engine's
-    output root is the job's ``--output``, not the config's cwd."""
+    """Extract name → configured output file path (the ``dest`` field the
+    catalog strips) — feeds the reference-format sinks so the emitted
+    file keeps the config's extension-selected format AND its relative
+    directory layout (the reference cron driver creates one dir per dest
+    dirname, ``fetch-and-split.php:97-107``). Paths are re-rooted under
+    the job's output dir: absolute dests and ``..`` segments fall back
+    to the bare file name."""
     dests = {}
     for raw in Path(path).read_text().splitlines():
         line = raw.strip()
@@ -75,5 +77,7 @@ def parse_config_dests(path: str | Path) -> dict[str, str]:
             continue
         parts = line.split()
         if len(parts) == 3:
-            dests[_extract_name(parts[0])] = Path(parts[0]).name
+            p = Path(parts[0])
+            rel = p.name if (p.is_absolute() or ".." in p.parts) else str(p)
+            dests[_extract_name(parts[0])] = rel
     return dests

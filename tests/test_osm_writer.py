@@ -195,3 +195,55 @@ def test_mixed_formats_rejected(spark, tmp_path):
             nodes, nodes, nodes, cat, str(tmp_path),
             filenames={"a": "a.osm", "b": "b.osh"},
         )
+
+
+def test_config_dests_preserve_relative_dirs(spark, tmp_path):
+    """A config dest like `o/test.osh` keeps its directory under the
+    sink's output root (the reference cron driver mkdirs per dest
+    dirname); absolute or parent-escaping dests fall back to the bare
+    name."""
+    from osm_history_splitter_spark.sources.config import parse_config_dests
+
+    cfg = tmp_path / "h.config"
+    cfg.write_text(
+        "europe/germany.osh  BBOX 5,47,15,55\n"
+        "/abs/evil.osh       BBOX 0,0,1,1\n"
+        "../up/esc.osh       BBOX 0,0,1,1\n"
+    )
+    dests = parse_config_dests(cfg)
+    assert dests == {
+        "germany": "europe/germany.osh",
+        "evil": "evil.osh",
+        "esc": "esc.osh",
+    }
+    # end-to-end: the nested dest lands nested under the sink root
+    import datetime as dt
+
+    from osm_history_splitter_spark.model import (
+        NODE_SCHEMA,
+        RELATION_SCHEMA,
+        WAY_SCHEMA,
+    )
+    from osm_history_splitter_spark.plans.catalog import Extract, ExtractCatalog
+    from osm_history_splitter_spark.sources.osm_xml import parse_osm_xml
+
+    ts = dt.datetime(2020, 1, 1)
+    nodes = spark.createDataFrame(
+        [(1, 1, True, ts, 1, 1, "u", 50.0, 10.0, {})], schema=NODE_SCHEMA
+    ).withColumn("extract", F.lit("germany"))
+    ways = (
+        spark.createDataFrame([], WAY_SCHEMA)
+        .withColumn("extract", F.lit("germany"))
+    )
+    rels = (
+        spark.createDataFrame([], RELATION_SCHEMA)
+        .withColumn("extract", F.lit("germany"))
+    )
+    cat = ExtractCatalog([Extract.bbox("germany", 5.0, 47.0, 15.0, 55.0)])
+    paths = write_extracts_osm(
+        nodes, ways, rels, cat, str(tmp_path / "out"),
+        filenames={"germany": dests["germany"]},
+    )
+    assert paths["germany"].endswith("/out/europe/germany.osh")
+    out_n, _, _ = parse_osm_xml(paths["germany"])
+    assert [(r[0], r[1]) for r in out_n] == [(1, 1)]
