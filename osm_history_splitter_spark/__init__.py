@@ -25,3 +25,43 @@ fixpoint loops only for the (tiny) relation-closure graph.
 """
 
 __version__ = "0.1.0"
+
+# Public API surface: a user of the reference switching to this engine
+# imports from here. Heavy modules load lazily (PEP 562) so a bare
+# `import osm_history_splitter_spark` stays cheap.
+
+_EXPORTS = {
+    "run_split": "splitter",
+    "pass2_outputs": "splitter",
+    "prepare_bucketed_world": "splitter",
+    "hardcut": "operators.hardcut",
+    "softcut": "operators.softcut",
+    "assign_extracts": "operators.spatial_join",
+    "Extract": "plans.catalog",
+    "ExtractCatalog": "plans.catalog",
+    "parse_config": "sources.config",
+    "parse_config_dests": "sources.config",
+    "parse_poly": "sources.poly",
+    "load_osm_dataframes": "sources.osm_xml",
+    "read_osm_elements_ranged": "sources.ingest",
+    "read_pbf_elements": "sources.pbf",
+    "load_pbf_dataframes": "sources.pbf",
+    "write_extracts": "plans.io",
+    "write_extracts_osm": "plans.osm_writer",
+    "write_extracts_pbf": "plans.pbf_writer",
+    "VersionedTable": "plans.table",
+    "run_hierarchy": "plans.hierarchy",
+    "fetch_and_split": "fetch",
+    "get_spark": "session",
+}
+
+__all__ = ["__version__", *sorted(_EXPORTS)]
+
+
+def __getattr__(name):
+    if name in _EXPORTS:
+        import importlib
+
+        mod = importlib.import_module(f".{_EXPORTS[name]}", __name__)
+        return getattr(mod, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
