@@ -72,6 +72,9 @@ def run(sf_dir: str, cores: int | None = None) -> dict:
     out["value"] = round(sum(out["queries"].values()), 3)
     out["split_docs_per_sec"] = max(a["split_docs_per_sec"], b["split_docs_per_sec"])
     out["docs_per_sec"] = max(a["docs_per_sec"], b["docs_per_sec"])
+    for k in ("xml_sink_elems_per_sec", "pbf_sink_elems_per_sec"):
+        if k in a and k in b:
+            out[k] = max(a[k], b[k])
     return out
 
 
@@ -118,6 +121,7 @@ def _run_once(sf_dir: str, cores: int | None = None) -> dict:
     # ~3.3 s stage-scheduling floor (BENCH.md): pages written once to
     # tmpfs (generation unmeasured), split measured warm (best of 2)
     split_thr, split_pages = _split_throughput(spark)
+    sink_thr = _sink_throughput(spark)
 
     # cap-induced recall loss must be visible, not a silent unknown: the
     # hot-bucket caps in the LSH paths report what they dropped (counters
@@ -141,6 +145,7 @@ def _run_once(sf_dir: str, cores: int | None = None) -> dict:
         "split_pages": split_pages,
         "rows": rows,
         "cap_drops": cap_drops,
+        **sink_thr,
         "cores": cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
     }
     spark.stop()
@@ -148,6 +153,71 @@ def _run_once(sf_dir: str, cores: int | None = None) -> dict:
         import shutil
 
         shutil.rmtree(shm, ignore_errors=True)
+    return out
+
+
+def _sink_throughput(spark, replicate: int = 16) -> dict:
+    """Reference-format sink throughput (elements/sec) on a ~640k-element
+    two-extract world written to tmpfs: XML (Catalyst serialization +
+    stream-concat) and PBF (executor-packed blobs). One timed emit each
+    after a small warm write — sinks are one-shot jobs, not re-runnable
+    queries, so this is a single honest wall per format."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from osm_history_splitter_spark.model import (
+        RELATION_SCHEMA,
+        WAY_SCHEMA,
+    )
+    from osm_history_splitter_spark.oracle_queries import part_nodes
+    from osm_history_splitter_spark.plans.catalog import Extract, ExtractCatalog
+    from osm_history_splitter_spark.plans.osm_writer import write_extracts_osm
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    pts = part_nodes(spark, "/root/testdata/sf0.1")
+    nodes = (
+        pts.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(replicate - 1))))
+        .select(
+            (F.col("id") * replicate + F.col("rep")).alias("id"),
+            F.lit(1).alias("version"),
+            F.lit(True).alias("visible"),
+            F.to_timestamp(F.lit("2020-01-01 00:00:00")).alias("ts"),
+            F.lit(7).cast("long").alias("uid"),
+            F.col("id").alias("changeset"),
+            F.lit("bench").alias("user"),
+            "lat",
+            "lon",
+            F.create_map(F.lit("k"), F.col("id").cast("string")).alias("tags"),
+            F.when(F.col("lon") < 0, "west").otherwise("east").alias("extract"),
+        )
+    )
+    n_elems = 20000 * replicate
+    ways = spark.createDataFrame([], WAY_SCHEMA).withColumn(
+        "extract", F.lit("west")
+    )
+    rels = spark.createDataFrame([], RELATION_SCHEMA).withColumn(
+        "extract", F.lit("west")
+    )
+    cat = ExtractCatalog(
+        [
+            Extract.bbox("west", -180.0, -90.0, 0.0, 90.0),
+            Extract.bbox("east", 0.0, -90.0, 180.0, 90.0),
+        ]
+    )
+    out = {}
+    for fmt, suffix in (("xml", ".osh"), ("pbf", ".osh.pbf")):
+        tmp = tempfile.mkdtemp(prefix=f"bench_sink_{fmt}_", dir=base)
+        try:
+            fn = {e.name: f"{e.name}{suffix}" for e in cat}
+            t0 = time.perf_counter()
+            write_extracts_osm(nodes, ways, rels, cat, tmp, filenames=fn)
+            out[f"{fmt}_sink_elems_per_sec"] = round(
+                n_elems / (time.perf_counter() - t0), 1
+            )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
     return out
 
 

@@ -69,21 +69,28 @@ def parse_format(filename: str) -> tuple[bool, str | None]:
 
 def _esc(col: Column) -> Column:
     """XML attribute-value escape (amp first; newlines/tabs as charrefs so
-    multi-line tag values survive the line-oriented text sink)."""
-    c = F.regexp_replace(col, "&", "&amp;")
-    c = F.regexp_replace(c, "<", "&lt;")
-    c = F.regexp_replace(c, ">", "&gt;")
-    c = F.regexp_replace(c, '"', "&quot;")
-    c = F.regexp_replace(c, "\n", "&#10;")
-    c = F.regexp_replace(c, "\r", "&#13;")
-    return F.regexp_replace(c, "\t", "&#9;")
+    multi-line tag values survive the line-oriented text sink). Literal
+    ``replace``, NOT ``regexp_replace`` — the regex engine costs ~3× on
+    the serialization hot path for fixed single-char patterns."""
+    c = col
+    for old, new in (
+        ("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"), ('"', "&quot;"),
+        ("\n", "&#10;"), ("\r", "&#13;"), ("\t", "&#9;"),
+    ):
+        c = F.replace(c, F.lit(old), F.lit(new))
+    return c
 
 
-def _attr(name: str, col: Column) -> Column:
+def _attr(name: str, col: Column, escape: bool = False) -> Column:
     """`` name="value"`` or empty when the value is null (uid/user/
-    changeset are optional in OSM XML)."""
+    changeset are optional in OSM XML). ``escape`` only for columns that
+    can carry XML metacharacters (user names, tag text, roles) — the
+    numeric/timestamp attributes skip the whole replace chain."""
+    v = col.cast("string")
+    if escape:
+        v = _esc(v)
     return F.coalesce(
-        F.concat(F.lit(f' {name}="'), _esc(col.cast("string")), F.lit('"')),
+        F.concat(F.lit(f' {name}="'), v, F.lit('"')),
         F.lit(""),
     )
 
@@ -113,7 +120,7 @@ def _common_attrs(history: bool) -> Column:
             F.concat(F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"), F.lit("Z")),
         ),
         _attr("uid", F.col("uid")),
-        _attr("user", F.col("user")),
+        _attr("user", F.col("user"), escape=True),
         _attr("changeset", F.col("changeset")),
     ]
     return F.concat(*parts)
