@@ -113,19 +113,32 @@ def _publish(spark, outs: dict, publish_dir: str) -> dict:
     """Commit each entity output to a VersionedTable (plans/table.py):
     first split = initial commit, re-splits MERGE by the natural
     composite key (id, version, extract) — changed rows replace their
-    predecessors and earlier splits stay time-travelable."""
+    predecessors and earlier splits stay time-travelable.
+
+    Rows are range-clustered by (extract, id) before the commit and the
+    manifest records per-file [min, max] for both columns, so
+    ``table.read(between=("extract", name, name))`` prunes to one
+    extract's files without opening the rest — the published-table
+    analog of ``read_extract``'s partition pruning."""
     from .plans.table import VersionedTable
 
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     versions = {}
     for entity in ("nodes", "ways", "relations"):
         t = VersionedTable(spark, f"{publish_dir}/{entity}")
+        df = (
+            outs[entity]
+            .repartitionByRange(n, "extract", "id", "version")
+            .sortWithinPartitions("extract", "id", "version")
+        )
         if t.versions():
             versions[entity] = t.commit(
-                outs[entity], mode="merge",
+                df, mode="merge",
                 merge_key=["id", "version", "extract"],
+                stats_cols=["extract", "id"],
             )
         else:
-            versions[entity] = t.commit(outs[entity])
+            versions[entity] = t.commit(df, stats_cols=["extract", "id"])
     return versions
 
 

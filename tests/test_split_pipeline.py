@@ -248,3 +248,51 @@ def test_run_split_publish_table_time_travels(spark, tmp_path):
     assert {r["user"] for r in t.read().collect()} == {"someone-else"}
     assert {r["user"] for r in t.read(version=1).collect()} == {"me"}
     assert t.read().count() == t.read(version=1).count() == 6
+
+
+def test_published_table_prunes_per_extract(spark, tmp_path):
+    """--publish-table output is (extract, id)-clustered with manifest
+    stats: a single-extract read must skip files of the other extract
+    and return exactly that extract's rows."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from osm_history_splitter_spark.model import (
+        NODE_SCHEMA,
+        RELATION_SCHEMA,
+        WAY_SCHEMA,
+    )
+    from osm_history_splitter_spark.plans.catalog import Extract, ExtractCatalog
+    from osm_history_splitter_spark.plans.table import VersionedTable
+
+    ts = dt.datetime(2020, 1, 1)
+    nodes = spark.createDataFrame(
+        [
+            (i, 1, True, ts, 0, 0, "u",
+             0.5 if i % 2 == 0 else 5.5, 0.5 if i % 2 == 0 else 5.5, {})
+            for i in range(400)
+        ],
+        schema=NODE_SCHEMA,
+    )
+    ways = spark.createDataFrame([], WAY_SCHEMA)
+    rels = spark.createDataFrame([], RELATION_SCHEMA)
+    cat = ExtractCatalog(
+        [
+            Extract.bbox("inner", 0.0, 0.0, 1.0, 1.0),
+            Extract.bbox("outer", 5.0, 5.0, 6.0, 6.0),
+        ]
+    )
+    pub = str(tmp_path / "pub")
+    run_split(
+        spark, nodes, ways, rels, cat, str(tmp_path / "out"),
+        mode="softcut", publish_table=pub,
+    )
+    t = VersionedTable(spark, f"{pub}/nodes")
+    kept, total = t.pruned_files(("extract", "inner", "inner"))
+    assert kept < total  # stats actually skip the other extract's files
+    got = t.read(between=("extract", "inner", "inner"))
+    assert got.count() == 200
+    assert {r["extract"] for r in got.select("extract").distinct().collect()} == {
+        "inner"
+    }
