@@ -2008,6 +2008,132 @@ FROM pages GROUP BY 1, 2"""
 Q_DOMAIN_STATS_SQL = _domain_stats_sql()
 
 
+def q_c4_filter(spark, sf_dir):
+    """C4-style heuristic page cleaning (the published rules of Raffel
+    et al. 2020, re-expressed as Catalyst string ops): sentence count
+    via terminal-punctuation splits, terminal-punctuation ending, word
+    count, and the code/boilerplate tells (curly braces, 'javascript',
+    'lorem ipsum'). Per-rule flags plus the final keep verdict — at
+    100 TB this is a single codegen'd projection, no shuffle at all."""
+    d = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    lower = F.lower(text)
+    n_words = F.size(F.split(text, " ")).cast("long")
+    # sentences ≈ terminal-punct runs; split yields trailing empty piece
+    # when the doc ends with punctuation
+    n_sents = (F.size(F.split(text, r"[.!?]")) - 1).cast("long")
+    ends_punct = text.rlike(r'[.!?"]\s*$')
+    has_brace = text.contains("{")
+    has_js = lower.contains("javascript")
+    has_lorem = lower.contains("lorem ipsum")
+    keep = (
+        (n_sents >= 3)
+        & (n_words >= 5)
+        & ends_punct
+        & ~has_brace
+        & ~has_js
+        & ~has_lorem
+    )
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sents.alias("n_sentences"),
+        ends_punct.alias("ends_punct"),
+        has_brace.alias("has_brace"),
+        (has_js | has_lorem).alias("has_boilerplate"),
+        keep.alias("kept"),
+    )
+
+
+Q_C4_FILTER_SQL = r"""SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+  CAST(len(regexp_split_to_array(text, '[.!?]')) - 1 AS BIGINT)
+    AS n_sentences,
+  regexp_matches(text, '[.!?"]\s*$') AS ends_punct,
+  contains(text, '{') AS has_brace,
+  (contains(lower(text), 'javascript') OR
+   contains(lower(text), 'lorem ipsum')) AS has_boilerplate,
+  (len(regexp_split_to_array(text, '[.!?]')) - 1 >= 3
+   AND len(string_split(text, ' ')) >= 5
+   AND regexp_matches(text, '[.!?"]\s*$')
+   AND NOT contains(text, '{')
+   AND NOT contains(lower(text), 'javascript')
+   AND NOT contains(lower(text), 'lorem ipsum')) AS kept
+FROM documents"""
+
+
+#: temperature for language-rebalancing resampling (XLM-R style):
+#: sample language l with probability ∝ n_l^ALPHA, i.e. per-doc keep
+#: rate r_l ∝ n_l^(ALPHA-1) — low-resource languages are upsampled
+#: relative to their share. Scaled so the largest language keeps
+#: TEMP_BASE_RATE of its docs.
+TEMP_ALPHA = 0.5
+TEMP_BASE_RATE = 0.5
+
+
+def q_temperature_sample(spark, sf_dir):
+    """Temperature-based language rebalancing: per-language keep rate
+    ``r_l = TEMP_BASE_RATE * (n_l / n_max)^(ALPHA-1)`` (capped at 1),
+    applied by a content-independent md5 hash — the multinomial mixing
+    used for multilingual pretraining, made deterministic and
+    engine-replayable. Integer-exact decision: a doc is kept iff the
+    first 8 hex chars of its hash, as a fraction of 2^32, fall under
+    the rate (both engines compare the same integers).
+
+    Scale shape: one tiny per-lang aggregate (broadcast back by AQE) +
+    a stateless hash filter — no data shuffle of the corpus itself."""
+    d = _t(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n_l"))
+    n_max = counts.agg(F.max("n_l").alias("n_max"))
+    rates = counts.crossJoin(F.broadcast(n_max)).select(
+        "lang",
+        "n_l",
+        F.least(
+            F.lit(1.0),
+            F.lit(TEMP_BASE_RATE)
+            * F.pow(F.col("n_l") / F.col("n_max"), F.lit(TEMP_ALPHA - 1.0)),
+        ).alias("keep_rate"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("temp:"), F.col("doc_id").cast("string")
+                ).cast("binary")
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .filter(h < (F.col("keep_rate") * F.lit(float(1 << 32))))
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_l"),
+            F.round(F.col("keep_rate"), 8).alias("keep_rate"),
+        )
+    )
+
+
+Q_TEMPERATURE_SAMPLE_SQL = f"""WITH c AS (
+  SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),
+m AS (SELECT max(n_l) AS n_max FROM c),
+r AS (
+  SELECT lang, n_l,
+    least(1.0, {TEMP_BASE_RATE} * pow(CAST(n_l AS DOUBLE) / n_max,
+                                      {TEMP_ALPHA - 1.0})) AS keep_rate
+  FROM c, m)
+SELECT d.doc_id, d.lang, CAST(r.n_l AS BIGINT) AS n_l,
+  round(r.keep_rate, 8) AS keep_rate
+FROM documents d JOIN r ON d.lang = r.lang
+WHERE ('0x' || substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+        ::UBIGINT < CAST(r.keep_rate * {float(1 << 32)} AS UBIGINT)"""
+
+
 #: exact per-stratum sample size (fixed-size eval sets per language)
 STRAT_K = 20
 
@@ -2080,6 +2206,8 @@ TEXT_QUERIES = {
     ),
     "mixture_sample": (q_mixture_sample, Q_MIXTURE_SAMPLE_SQL),
     "domain_stats": (q_domain_stats, Q_DOMAIN_STATS_SQL),
+    "c4_filter": (q_c4_filter, Q_C4_FILTER_SQL),
+    "temperature_sample": (q_temperature_sample, Q_TEMPERATURE_SAMPLE_SQL),
     "stratified_sample": (q_stratified_sample, Q_STRATIFIED_SAMPLE_SQL),
     "corpus_clean": (q_corpus_clean, Q_CORPUS_CLEAN_SQL),
     "multimodal_features": (q_multimodal_features, Q_MULTIMODAL_FEATURES_SQL),
