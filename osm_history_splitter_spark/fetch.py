@@ -56,14 +56,30 @@ def fetch_verified(base_url: str, remote: str, dest_dir: Path) -> Path:
     """Download ``remote`` and its ``.md5`` sidecar into ``dest_dir``,
     skipping the transfer when the file already exists (wget -nc), and
     verify the checksum — a corrupt transfer deletes the local file and
-    raises, so the cron retry re-fetches."""
+    raises, so the cron retry re-fetches.
+
+    Both the download and the hash are STREAMED in 1 MiB chunks: a
+    planet full-history dump is ~100 GB and must never be buffered in
+    driver memory. A partial download from a killed run lands under a
+    ``.part`` name and is re-fetched, never md5-checked as final."""
+    import shutil
+
     dest_dir.mkdir(parents=True, exist_ok=True)
     local = dest_dir / remote
     if not local.exists():
-        local.write_bytes(_read_url(f"{base_url}/{remote}"))
+        part = dest_dir / f"{remote}.part"
+        with urllib.request.urlopen(f"{base_url}/{remote}") as r, open(  # noqa: S310
+            part, "wb"
+        ) as out:
+            shutil.copyfileobj(r, out, length=1 << 20)
+        part.rename(local)
     md5_line = _read_url(f"{base_url}/{remote}.md5").decode()
     want = md5_line.split()[0]
-    got = hashlib.md5(local.read_bytes()).hexdigest()
+    h = hashlib.md5()
+    with open(local, "rb") as f:
+        while chunk := f.read(1 << 20):
+            h.update(chunk)
+    got = h.hexdigest()
     if got != want:
         local.unlink()
         raise ValueError(f"md5 mismatch for {remote}: {got} != {want}")

@@ -278,9 +278,28 @@ class VersionedTable:
     def vacuum(self) -> list[str]:
         """Delete data files referenced by NO manifest (orphans from
         crashed commit attempts) and remove emptied commit dirs. Returns
-        the deleted paths. Safe by construction: every reader resolves
-        files through a manifest, and committed manifests are immutable,
-        so an unreferenced file can never become referenced again."""
+        the deleted paths.
+
+        Refuses to run while any claim has no manifest: that is exactly
+        the window where a live writer may still be producing files that
+        a future manifest will reference (the claim is created BEFORE
+        the data write starts, so every in-flight commit dir is guarded
+        by a claim). Resolve with ``recover(version)`` if the writer is
+        known dead, then vacuum. With no pending claims the operation is
+        safe by construction: readers resolve files only through
+        immutable manifests, so an unreferenced file can never become
+        referenced again."""
+        pending = [
+            p.name
+            for p in (self.path / "_manifests").glob("v*.json.claim")
+            if not (self.path / "_manifests" / p.name[: -len(".claim")]).exists()
+        ]
+        if pending:
+            raise RuntimeError(
+                f"vacuum refused: unresolved claims {pending} — a commit "
+                "may be in flight; recover() the version(s) if the writer "
+                "is dead, then retry"
+            )
         referenced: set[str] = set()
         for v in self.versions():
             referenced.update(self._manifest(v)["files"])

@@ -199,7 +199,13 @@ def _blob(type_: str, payload: bytes, compress: bool = True) -> bytes:
 def encode_header_blob(
     bbox: tuple | None = None, history: bool = True,
     writingprogram: str = "osm-history-splitter-spark",
+    dense: bool = True,
 ) -> bytes:
+    """``dense`` declares the DenseNodes required feature — the spec
+    obliges a file that CONTAINS dense groups to declare it so readers
+    without dense support refuse cleanly; declaring it when unused is
+    merely conservative, so the sink (whose packer decides dense
+    per-block) always sets it."""
     out = b""
     if bbox is not None:
         minlon, minlat, maxlon, maxlat = bbox
@@ -209,6 +215,8 @@ def encode_header_blob(
         )
         out += _len_delim(1, bb)
     out += _len_delim(4, b"OsmSchema-V0.6")
+    if dense:
+        out += _len_delim(4, b"DenseNodes")
     if history:
         out += _len_delim(4, b"HistoricalInformation")
     out += _len_delim(16, writingprogram.encode())
@@ -310,22 +318,32 @@ def iter_blobs(data: bytes):
         body = data[i : i + dsize]
         i += dsize
         raw = None
+        seen = []
         for f, _, v in _fields(body):
+            seen.append(f)
             if f == 1:
                 raw = v
             elif f == 3:
                 raw = zlib.decompress(v)
+        if raw is None:
+            # lzma_data(6)/zstd_data(7) etc. are legal per
+            # fileformat.proto but unsupported here — fail loudly
+            # instead of handing None to the varint parser
+            raise ValueError(
+                f"unsupported blob compression in {btype or '?'} blob "
+                f"(fields {sorted(set(seen))}; only raw/zlib supported)"
+            )
         yield btype, raw
 
 
-def _decode_info(buf: bytes, strings: list[str]):
+def _decode_info(buf: bytes, strings: list[str], dgran: int = _DATE_GRANULARITY):
     version, ts, changeset, uid, user, visible = 0, None, None, None, None, True
     for f, _, v in _fields(buf):
         if f == 1:
             version = v
         elif f == 2:
             ts = dt.datetime.utcfromtimestamp(
-                _to_signed64(v) * _DATE_GRANULARITY / 1000.0
+                _to_signed64(v) * dgran / 1000.0
             )
         elif f == 3:
             changeset = _to_signed64(v)
@@ -338,7 +356,10 @@ def _decode_info(buf: bytes, strings: list[str]):
     return version, visible, ts, uid, changeset, user
 
 
-def _decode_dense(buf: bytes, strings: list[str], gran, lat_off, lon_off):
+def _decode_dense(
+    buf: bytes, strings: list[str], gran, lat_off, lon_off,
+    dgran: int = _DATE_GRANULARITY,
+):
     """DenseNodes (PrimitiveGroup field 2 inside): interoperability with
     external writers; this engine's own writer emits plain nodes."""
     ids = lats = lons = kvs = []
@@ -379,7 +400,7 @@ def _decode_dense(buf: bytes, strings: list[str], gran, lat_off, lon_off):
             ki += 2
         ki += 1  # skip the 0 separator
         ts = (
-            dt.datetime.utcfromtimestamp(tss[j] * _DATE_GRANULARITY / 1000.0)
+            dt.datetime.utcfromtimestamp(tss[j] * dgran / 1000.0)
             if tss[j] is not None
             else None
         )
@@ -418,6 +439,8 @@ def read_pbf(path: str):
                 groups.append(v)
             elif f == 17:
                 gran = v
+            elif f == 18:
+                dgran = v
             elif f == 19:
                 lat_off = _to_signed64(v)
             elif f == 20:
@@ -426,20 +449,23 @@ def read_pbf(path: str):
             for f, _, v in _fields(g):
                 if f == 1:  # plain Node
                     nodes.append(
-                        _decode_node(v, strings, gran, lat_off, lon_off)
+                        _decode_node(v, strings, gran, lat_off, lon_off, dgran)
                     )
                 elif f == 2:  # DenseNodes
                     nodes.extend(
-                        _decode_dense(v, strings, gran, lat_off, lon_off)
+                        _decode_dense(v, strings, gran, lat_off, lon_off, dgran)
                     )
                 elif f == 3:
-                    ways.append(_decode_way(v, strings))
+                    ways.append(_decode_way(v, strings, dgran))
                 elif f == 4:
-                    relations.append(_decode_relation(v, strings))
+                    relations.append(_decode_relation(v, strings, dgran))
     return nodes, ways, relations
 
 
-def _decode_node(buf: bytes, strings, gran, lat_off, lon_off):
+def _decode_node(
+    buf: bytes, strings, gran, lat_off, lon_off,
+    dgran: int = _DATE_GRANULARITY,
+):
     nid = 0
     keys = vals = []
     info = (1, True, None, None, None, None)
@@ -452,7 +478,7 @@ def _decode_node(buf: bytes, strings, gran, lat_off, lon_off):
         elif f == 3:
             vals = _unpack(v)
         elif f == 4:
-            info = _decode_info(v, strings)
+            info = _decode_info(v, strings, dgran)
         elif f == 8:
             lat = (lat_off + gran * _unzigzag(v)) / 1e9
         elif f == 9:
@@ -462,7 +488,7 @@ def _decode_node(buf: bytes, strings, gran, lat_off, lon_off):
     return (nid, version, visible, ts, uid, changeset, user, lat, lon, tags)
 
 
-def _decode_way(buf: bytes, strings):
+def _decode_way(buf: bytes, strings, dgran: int = _DATE_GRANULARITY):
     wid = 0
     keys = vals = refs = []
     info = (1, True, None, None, None, None)
@@ -474,7 +500,7 @@ def _decode_way(buf: bytes, strings):
         elif f == 3:
             vals = _unpack(v)
         elif f == 4:
-            info = _decode_info(v, strings)
+            info = _decode_info(v, strings, dgran)
         elif f == 8:
             refs = _undelta_sint(_unpack(v))
     version, visible, ts, uid, changeset, user = info
@@ -482,7 +508,7 @@ def _decode_way(buf: bytes, strings):
     return (wid, version, visible, ts, uid, changeset, user, refs, tags)
 
 
-def _decode_relation(buf: bytes, strings):
+def _decode_relation(buf: bytes, strings, dgran: int = _DATE_GRANULARITY):
     rid = 0
     keys = vals = roles = memids = types = []
     info = (1, True, None, None, None, None)
@@ -494,7 +520,7 @@ def _decode_relation(buf: bytes, strings):
         elif f == 3:
             vals = _unpack(v)
         elif f == 4:
-            info = _decode_info(v, strings)
+            info = _decode_info(v, strings, dgran)
         elif f == 8:
             roles = _unpack(v)
         elif f == 9:
@@ -543,7 +569,7 @@ def _decode_payload(payload: bytes, want: str) -> list[tuple]:
     of other kinds are skipped without decoding their elements."""
     strings: list[str] = []
     groups = []
-    gran, lat_off, lon_off = 100, 0, 0
+    gran, dgran, lat_off, lon_off = 100, 1000, 0, 0
     for f, _, v in _fields(payload):
         if f == 1:
             strings = [s.decode() for ff, _, s in _fields(v) if ff == 1]
@@ -551,6 +577,8 @@ def _decode_payload(payload: bytes, want: str) -> list[tuple]:
             groups.append(v)
         elif f == 17:
             gran = v
+        elif f == 18:
+            dgran = v
         elif f == 19:
             lat_off = _to_signed64(v)
         elif f == 20:
@@ -559,13 +587,17 @@ def _decode_payload(payload: bytes, want: str) -> list[tuple]:
     for g in groups:
         for f, _, v in _fields(g):
             if want == "node" and f == 1:
-                rows.append(_decode_node(v, strings, gran, lat_off, lon_off))
+                rows.append(
+                    _decode_node(v, strings, gran, lat_off, lon_off, dgran)
+                )
             elif want == "node" and f == 2:
-                rows.extend(_decode_dense(v, strings, gran, lat_off, lon_off))
+                rows.extend(
+                    _decode_dense(v, strings, gran, lat_off, lon_off, dgran)
+                )
             elif want == "way" and f == 3:
-                rows.append(_decode_way(v, strings))
+                rows.append(_decode_way(v, strings, dgran))
             elif want == "relation" and f == 4:
-                rows.append(_decode_relation(v, strings))
+                rows.append(_decode_relation(v, strings, dgran))
     return rows
 
 

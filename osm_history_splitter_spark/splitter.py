@@ -96,6 +96,39 @@ def prepare_bucketed_world(
     }
 
 
+def _read_back(spark: SparkSession, out_path: str) -> dict:
+    """The split outputs as scans of the parquet just written by
+    ``write_extracts`` (the ``extract`` partition column rides along) —
+    feeding the optional sinks without re-executing the cut."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from pyspark.sql.utils import AnalysisException
+
+    from .model import NODE_SCHEMA, RELATION_SCHEMA, WAY_SCHEMA
+
+    schemas = {
+        "nodes": NODE_SCHEMA, "ways": WAY_SCHEMA, "relations": RELATION_SCHEMA
+    }
+    outs = {}
+    for e in ("nodes", "ways", "relations"):
+        try:
+            # partition-type inference would read a numeric-looking
+            # extract name back as int — pin it to string
+            outs[e] = spark.read.parquet(f"{out_path}/{e}").withColumn(
+                "extract", F.col("extract").cast("string")
+            )
+        except AnalysisException:
+            # an empty entity output writes no parquet files at all
+            # (partitionBy emits nothing) — hand the sinks an empty
+            # frame with the model schema instead
+            schema = T.StructType(
+                schemas[e].fields
+                + [T.StructField("extract", T.StringType(), True)]
+            )
+            outs[e] = spark.createDataFrame([], schema)
+    return outs
+
+
 def _emit_osm(outs: dict, catalog, out_path: str, osm_filenames) -> dict:
     """Reference-format `.osm/.osh[.gz|.bz2]` emission (S8 parity) from
     the split outputs — one XML file per extract under
@@ -186,9 +219,11 @@ def run_split(
             res.relations, f"{out_path}/relations", "hardcut_relations",
             sort_cols=["id", "version"], catalog=catalog,
         )
-        outs = {
-            "nodes": res.nodes, "ways": res.ways, "relations": res.relations
-        }
+        if osm_filenames or publish_table:
+            # the extra sinks read back the parquet JUST WRITTEN instead
+            # of re-executing the cut lineage — scan-only, not a second
+            # (or third) full split computation
+            outs = _read_back(spark, out_path)
         if osm_filenames:
             manifests["osm_files"] = _emit_osm(
                 outs, catalog, out_path, osm_filenames
@@ -235,6 +270,10 @@ def run_split(
         sort_cols=["id", "version"], catalog=catalog,
     )
     manifests["checkpoints"] = store.manifest()
+    if osm_filenames or publish_table:
+        # scan-only: the written parquet replaces the cut lineage (the
+        # softcut pass-2 joins would otherwise run once more per sink)
+        outs = _read_back(spark, out_path)
     if osm_filenames:
         manifests["osm_files"] = _emit_osm(
             outs, catalog, out_path, osm_filenames

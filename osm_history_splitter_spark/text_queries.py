@@ -2077,8 +2077,11 @@ def q_temperature_sample(spark, sf_dir):
     applied by a content-independent md5 hash — the multinomial mixing
     used for multilingual pretraining, made deterministic and
     engine-replayable. Integer-exact decision: a doc is kept iff the
-    first 8 hex chars of its hash, as a fraction of 2^32, fall under
-    the rate (both engines compare the same integers).
+    first 8 hex chars of its hash are < floor(rate * 2^32) — the
+    threshold is floored to the SAME integer in both engines, so the
+    boundary hash value decides identically (an unrounded double-vs-
+    long comparison would disagree with DuckDB's round-to-nearest
+    UBIGINT cast exactly at the threshold).
 
     Scale shape: one tiny per-lang aggregate (broadcast back by AQE) +
     a stateless hash filter — no data shuffle of the corpus itself."""
@@ -2109,7 +2112,10 @@ def q_temperature_sample(spark, sf_dir):
     ).cast("long")
     return (
         d.join(F.broadcast(rates), "lang")
-        .filter(h < (F.col("keep_rate") * F.lit(float(1 << 32))))
+        .filter(
+            h
+            < F.floor(F.col("keep_rate") * F.lit(float(1 << 32))).cast("long")
+        )
         .select(
             "doc_id",
             "lang",
@@ -2131,7 +2137,7 @@ SELECT d.doc_id, d.lang, CAST(r.n_l AS BIGINT) AS n_l,
   round(r.keep_rate, 8) AS keep_rate
 FROM documents d JOIN r ON d.lang = r.lang
 WHERE ('0x' || substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 8))
-        ::UBIGINT < CAST(r.keep_rate * {float(1 << 32)} AS UBIGINT)"""
+        ::UBIGINT < CAST(floor(r.keep_rate * {float(1 << 32)}) AS UBIGINT)"""
 
 
 #: exact per-stratum sample size (fixed-size eval sets per language)
