@@ -232,3 +232,18 @@ def test_vacuum_deletes_only_orphans(spark, tmp_path):
     assert t.read().count() == 8
     assert t.read(version=1).count() == 5
     assert t.vacuum() == []  # idempotent
+
+
+def test_vacuum_refuses_while_commit_in_flight(spark, tmp_path):
+    """A claim without a manifest marks a possibly-live writer: vacuum
+    must refuse (its deletion target could be that writer's data)."""
+    import os
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_df(spark, 0, 3, "a"))
+    claim = tmp_path / "t" / "_manifests" / "v2.json.claim"
+    os.close(os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+    with pytest.raises(RuntimeError, match="in flight"):
+        t.vacuum()
+    t.recover(2)
+    assert t.vacuum() == []  # resolved: safe again
