@@ -392,3 +392,33 @@ def test_dense_encoder_equals_plain_and_sink_uses_it(tmp_path):
     assert encode_dense_nodes_blob(
         [(1, 2, False, TS, 1, 1, "u", None, None, {})]
     ) is None
+
+
+def test_reader_robustness_truncated_and_exotic_compression(tmp_path):
+    """The blob-index walk survives a truncated trailing blob (lists
+    the complete ones); a blob with unsupported compression (lzma/zstd
+    fields) raises a clear error instead of feeding None into the
+    varint parser."""
+    from osm_history_splitter_spark.sources.pbf import scan_blob_index
+
+    data = encode_header_blob() + encode_data_blob(NODES)
+    p = tmp_path / "trunc.pbf"
+    p.write_bytes(data[: len(data) - 7])  # cut inside the last blob body
+    # header walk: truncated trailing blob is simply not listed...
+    idx = scan_blob_index(str(p))
+    assert [t for _, _, t in idx][0] == "OSMHeader"
+    # ...and read_pbf of only-complete blobs still works
+    whole = tmp_path / "whole.pbf"
+    whole.write_bytes(data)
+    assert len(read_pbf(str(whole))[0]) == len(NODES)
+
+    # exotic compression: hand-build a blob with field 6 (lzma_data)
+    payload = b"\x00" * 10
+    body = _vint_field(2, len(payload)) + _len_delim(6, payload)
+    header = _len_delim(1, b"OSMData") + _vint_field(3, len(body))
+    import struct as _s
+
+    exotic = _s.pack(">I", len(header)) + header + body
+    (tmp_path / "x.pbf").write_bytes(exotic)
+    with pytest.raises(ValueError, match="unsupported blob compression"):
+        read_pbf(str(tmp_path / "x.pbf"))
