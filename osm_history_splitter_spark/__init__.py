@@ -32,6 +32,7 @@ __version__ = "0.1.0"
 
 _EXPORTS = {
     "run_split": "splitter",
+    "incremental_resplit": "splitter",
     "pass2_outputs": "splitter",
     "prepare_bucketed_world": "splitter",
     "hardcut": "operators.hardcut",

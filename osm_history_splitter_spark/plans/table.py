@@ -105,6 +105,7 @@ class VersionedTable:
         mode: str = "append",
         merge_key: str | list[str] | None = None,
         stats_cols: list[str] | None = None,
+        also_delete: DataFrame | None = None,
     ) -> int:
         """Atomically commit ``df`` as the next version. Modes:
 
@@ -114,7 +115,10 @@ class VersionedTable:
           columns) — previous rows whose key appears in ``df`` are
           replaced (previous data is read, anti-joined, and rewritten
           into the new commit dir; file-level rewrite, the simple
-          strategy — real engines add delete files).
+          strategy — real engines add delete files);
+        - ``delete``: ``df`` carries ONLY the key columns; the new
+          snapshot is the previous data minus rows matching any key
+          (same anti-join rewrite as merge, with nothing appended).
         """
         vs = self.versions()
         nxt = (vs[-1] + 1) if vs else 1
@@ -137,12 +141,33 @@ class VersionedTable:
                 keep = prev.join(
                     df.select(*keys).distinct(), keys, "left_anti"
                 )
+                if also_delete is not None:
+                    # delete-and-upsert in ONE atomic snapshot: rows
+                    # matching these keys vanish even when ``df`` carries
+                    # no replacement (an id that lost membership)
+                    keep = keep.join(
+                        also_delete.distinct(),
+                        list(also_delete.columns),
+                        "left_anti",
+                    )
                 df = keep.unionByName(df)
+            mode_files = "self"
+        elif mode == "delete":
+            if not merge_key:
+                raise ValueError("delete mode requires merge_key")
+            if not vs:
+                raise FileNotFoundError("delete on an empty table")
+            keys = [merge_key] if isinstance(merge_key, str) else list(merge_key)
+            df = self.read().join(
+                df.select(*keys).distinct(), keys, "left_anti"
+            )
             mode_files = "self"
         elif mode in ("append", "overwrite"):
             mode_files = mode
         else:
-            raise ValueError(f"mode must be append|overwrite|merge: {mode!r}")
+            raise ValueError(
+                f"mode must be append|overwrite|merge|delete: {mode!r}"
+            )
 
         # optimistic concurrency: claim the version number with an O_EXCL
         # create BEFORE doing any work — the loser of a race fails here

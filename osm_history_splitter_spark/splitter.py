@@ -26,7 +26,12 @@ from .plans.checkpoint import StageStore
 from .plans.io import write_extracts
 from .sources.config import parse_config
 
-__all__ = ["run_split", "pass2_outputs", "prepare_bucketed_world"]
+__all__ = [
+    "run_split",
+    "pass2_outputs",
+    "prepare_bucketed_world",
+    "incremental_resplit",
+]
 
 #: marker-table stages checkpointed between softcut pass 1 and pass 2
 MARKER_STAGES = ("node_members", "way_members", "extra_nodes", "relation_members")
@@ -344,3 +349,140 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def incremental_resplit(
+    spark: SparkSession,
+    nodes: DataFrame,
+    ways: DataFrame,
+    relations: DataFrame,
+    catalog: ExtractCatalog,
+    publish_dir: str,
+    prev_checkpoint_dir: str,
+    checkpoint_dir: str,
+    n_buckets: int | None = None,
+) -> dict:
+    """Incremental softcut against a PUBLISHED previous split: recompute
+    only what a world update changed, and commit it atomically per
+    entity (the CDC path the reference covers by re-running the whole
+    binary on a new planet dump).
+
+    Membership markers are recomputed in full — they are narrow
+    ``(id, extract)`` tables, orders of magnitude smaller than the
+    output materialization, and membership is global (one moved node
+    can flip a way that flips a relation; there is no sound way to
+    diff-propagate markers without recomputing them). The EXPENSIVE
+    parts are incremental:
+
+    1. *membership diff*: new vs previous checkpointed markers, both
+       directions — ids whose (id, extract) membership changed;
+    2. *data diff*: (id, version) pairs added to or redacted from the
+       world vs the published table — ids whose output rows changed
+       with membership intact;
+    3. *pass 2 over affected ids only*: entity rows are joined against
+       the union of (1) and (2), then against the new markers;
+    4. *one atomic commit per entity*: ``merge(merge_key=id,
+       also_delete=affected_ids)`` — affected ids' old rows vanish,
+       their recomputed rows land, untouched ids' rows ride along
+       unrecomputed; history stays time-travelable.
+
+    Precondition (the OSM history model): rows are immutable per
+    ``(id, version)`` — an edit is always a NEW version. The data diff
+    compares (id, version) existence, so an in-place mutation of an
+    existing version with membership intact would not be detected; no
+    well-formed history contains one.
+
+    Returns per-entity ``{version, affected_ids, upserted_rows}``. The
+    new markers are checkpointed under ``checkpoint_dir`` for the next
+    increment. Equivalence with a from-scratch split is asserted in
+    tests/test_incremental.py.
+    """
+    from pyspark.sql import functions as F
+
+    from .model import validate_history_compat
+    from .plans.table import VersionedTable
+
+    for name, df in (("nodes", nodes), ("ways", ways), ("relations", relations)):
+        validate_history_compat(df, name, expect_history=True)
+
+    n_buckets = n_buckets or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    old_store = StageStore(
+        spark, prev_checkpoint_dir, bucket_by=("id", n_buckets)
+    )
+    new_store = StageStore(spark, checkpoint_dir, bucket_by=("id", n_buckets))
+
+    if not all(new_store.has(n) for n in MARKER_STAGES):
+        m = softcut_membership(nodes, ways, relations, catalog, persist=True)
+        new_store.get_or_compute("node_members", lambda: m.node_members)
+        new_store.get_or_compute("way_members", lambda: m.way_members)
+        new_store.get_or_compute("extra_nodes", lambda: m.extra_nodes)
+        new_store.get_or_compute(
+            "relation_members", lambda: m.relation_members
+        )
+
+    def markers(store, entity):
+        if entity == "nodes":
+            return (
+                store.load_plain("node_members")
+                .unionByName(store.load_plain("extra_nodes"))
+                .distinct()
+            )
+        return store.load_plain(
+            "way_members" if entity == "ways" else "relation_members"
+        )
+
+    report = {}
+    for entity, df in (
+        ("nodes", nodes), ("ways", ways), ("relations", relations)
+    ):
+        new_m = markers(new_store, entity)
+        old_m = markers(old_store, entity)
+        # (1) membership diff, both directions, at (id, extract) grain
+        flipped = (
+            new_m.join(old_m, ["id", "extract"], "left_anti")
+            .unionByName(old_m.join(new_m, ["id", "extract"], "left_anti"))
+            .select("id")
+        )
+        # (2) data diff vs the published table at (id, version) grain —
+        # restricted to CURRENT members: a nonmember id's versions can
+        # never appear in the output, so comparing them against the
+        # member-only published table would flag every nonmember forever
+        t = VersionedTable(spark, f"{publish_dir}/{entity}")
+        pub_versions = t.read().select("id", "version").distinct()
+        world_versions = (
+            df.join(new_m.select("id").distinct(), "id")
+            .select("id", "version")
+            .distinct()
+        )
+        data_changed = (
+            world_versions.join(pub_versions, ["id", "version"], "left_anti")
+            .unionByName(
+                pub_versions.join(
+                    world_versions, ["id", "version"], "left_anti"
+                )
+            )
+            .select("id")
+        )
+        affected = flipped.unionByName(data_changed).distinct()
+        # (3) pass 2 over affected ids only
+        rows = df.join(affected, "id").join(new_m, "id")
+        n_aff = affected.count()
+        n_rows = rows.count()
+        # (4) one atomic delete-and-upsert commit
+        version = t.commit(
+            rows.repartitionByRange(n_buckets, "extract", "id", "version")
+            .sortWithinPartitions("extract", "id", "version"),
+            mode="merge",
+            merge_key=["id"],
+            also_delete=affected,
+            stats_cols=["extract", "id"],
+        )
+        report[entity] = {
+            "version": version,
+            "affected_ids": n_aff,
+            "upserted_rows": n_rows,
+        }
+    report["checkpoints"] = new_store.manifest()
+    return report
