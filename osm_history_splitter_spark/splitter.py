@@ -315,6 +315,13 @@ def main():
         help="commit outputs to VersionedTables under DIR; re-splits merge "
         "by (id, version, extract) and stay time-travelable",
     )
+    ap.add_argument(
+        "--incremental-from", default=None, metavar="PREV_CHECKPOINT_DIR",
+        help="CDC mode: diff the world against this previous run's marker "
+        "checkpoint and the --publish-table tables, recompute only "
+        "affected ids, commit atomically (requires --publish-table; "
+        "softcut only)",
+    )
     args = ap.parse_args()
 
     from .session import get_spark
@@ -335,13 +342,24 @@ def main():
         from .sources.config import parse_config_dests
 
         osm_filenames = parse_config_dests(args.config)
-    manifest = run_split(
-        spark, nodes, ways, relations, catalog, args.output,
-        mode=args.mode, checkpoint_dir=args.checkpoint_dir,
-        n_buckets=args.n_buckets,
-        osm_filenames=osm_filenames,
-        publish_table=args.publish_table,
-    )
+    if args.incremental_from:
+        if not args.publish_table or args.mode != "softcut":
+            ap.error("--incremental-from requires --publish-table and "
+                     "--mode softcut")
+        manifest = incremental_resplit(
+            spark, nodes, ways, relations, catalog,
+            args.publish_table, args.incremental_from,
+            args.checkpoint_dir or f"{args.output}/_checkpoints",
+            n_buckets=args.n_buckets,
+        )
+    else:
+        manifest = run_split(
+            spark, nodes, ways, relations, catalog, args.output,
+            mode=args.mode, checkpoint_dir=args.checkpoint_dir,
+            n_buckets=args.n_buckets,
+            osm_filenames=osm_filenames,
+            publish_table=args.publish_table,
+        )
     import json
 
     print(json.dumps(manifest, indent=2))

@@ -52,3 +52,65 @@ def test_cli_split_with_emit_osm_and_publish(spark, tmp_path, monkeypatch, capsy
         (1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2)
     }
     assert {(r[0], r[1]) for r in out_w} == {(10, 1), (10, 2)}
+
+
+def test_cli_incremental_mode(spark, tmp_path, monkeypatch, capsys):
+    """--incremental-from runs the CDC path end-to-end: tick 1 full
+    split+publish, world update, tick 2 incremental — the published
+    latest reflects the update with a small affected set."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from osm_history_splitter_spark.model import (
+        NODE_SCHEMA,
+        RELATION_SCHEMA,
+        WAY_SCHEMA,
+    )
+    from osm_history_splitter_spark.plans.table import VersionedTable
+    from osm_history_splitter_spark.splitter import main
+
+    ts = dt.datetime(2020, 1, 1)
+
+    def world(extra_version):
+        rows = [(i, 1, True, ts, 0, 0, "u", 0.5, 0.5, {}) for i in range(10)]
+        if extra_version:
+            rows.append((0, 2, True, ts, 0, 0, "u", 0.6, 0.6, {}))
+        n = spark.createDataFrame(rows, NODE_SCHEMA)
+        w = spark.createDataFrame([], WAY_SCHEMA)
+        r = spark.createDataFrame([], RELATION_SCHEMA)
+        return n, w, r
+
+    def stage(nwr, path):
+        n, w, r = nwr
+        n.write.mode("overwrite").parquet(f"{path}/nodes")
+        w.write.mode("overwrite").parquet(f"{path}/ways")
+        r.write.mode("overwrite").parquet(f"{path}/relations")
+
+    cfg = tmp_path / "c.config"
+    cfg.write_text("t.osh BBOX -1,-1,1,1\n")
+    stage(world(False), str(tmp_path / "w1"))
+    pub, ck1 = str(tmp_path / "pub"), str(tmp_path / "ck1")
+    import json
+    import sys
+
+    monkeypatch.setattr(sys, "argv", [
+        "s", "--input", str(tmp_path / "w1"), "--config", str(cfg),
+        "--output", str(tmp_path / "o1"), "--checkpoint-dir", ck1,
+        "--publish-table", pub,
+    ])
+    main()
+    capsys.readouterr()
+
+    stage(world(True), str(tmp_path / "w2"))
+    monkeypatch.setattr(sys, "argv", [
+        "s", "--input", str(tmp_path / "w2"), "--config", str(cfg),
+        "--output", str(tmp_path / "o2"), "--incremental-from", ck1,
+        "--publish-table", pub,
+    ])
+    main()
+    report = json.loads(capsys.readouterr().out)
+    assert report["nodes"]["affected_ids"] == 1  # only id 0 changed
+    t = VersionedTable(spark, f"{pub}/nodes")
+    assert t.read().count() == 11
+    assert (0, 2) in {(r["id"], r["version"]) for r in t.read().collect()}
