@@ -94,6 +94,7 @@ def fetch_and_split(
     configs: list[str] | None = None,
     mode: str = "softcut",
     emit_osm: bool = False,
+    incremental: bool = False,
 ) -> dict:
     """One cron tick. Returns a report dict; ``{"skipped": True}`` when
     the newest mirror dump already matches the local stamp.
@@ -103,9 +104,17 @@ def fetch_and_split(
     parquet read, or a PBF conversion). ``configs`` are split-config
     paths (default: every ``*.conf``/``*.config`` in ``work_dir``),
     each split into ``<work_dir>/extracts/<date>/<config-stem>/``.
+
+    ``incremental=True`` turns the service into a CONTINUOUS one: the
+    first tick runs a full split publishing to
+    ``<work_dir>/published/<config-stem>/``; every later tick diffs the
+    new dump against the previous tick's marker checkpoint and the
+    published tables (``splitter.incremental_resplit``) — only ids the
+    dump changed are recomputed and committed, and every dump's state
+    stays time-travelable in the published tables. Softcut only.
     """
     from .sources.config import parse_config, parse_config_dests
-    from .splitter import run_split
+    from .splitter import incremental_resplit, run_split
 
     work = Path(work_dir)
     extracts = work / "extracts"
@@ -127,20 +136,48 @@ def fetch_and_split(
     if not cfg_paths:
         raise ValueError(f"no split configs given or found in {work_dir}")
 
+    prev_date = (
+        stamp_file.read_text().strip() if stamp_file.exists() else None
+    )
     report = {"skipped": False, "date": date, "remote": remote, "splits": {}}
     for cfg in cfg_paths:
         catalog = parse_config(cfg)
         out = extracts / date / cfg.stem
-        manifest = run_split(
-            spark, nodes, ways, relations, catalog, str(out), mode=mode,
-            osm_filenames=parse_config_dests(cfg) if emit_osm else None,
+        pub = work / "published" / cfg.stem
+        prev_ck = (
+            extracts / prev_date / cfg.stem / "_checkpoints"
+            if prev_date
+            else None
         )
+        if incremental and prev_ck is not None and prev_ck.exists():
+            if mode != "softcut":
+                raise ValueError("incremental fetch requires softcut")
+            manifest = incremental_resplit(
+                spark, nodes, ways, relations, catalog,
+                str(pub), str(prev_ck), str(out / "_checkpoints"),
+            )
+            report["splits"][cfg.stem] = {
+                e: manifest[e]["upserted_rows"]
+                for e in ("nodes", "ways", "relations")
+            }
+            report.setdefault("incremental", {})[cfg.stem] = {
+                e: manifest[e]["affected_ids"]
+                for e in ("nodes", "ways", "relations")
+            }
+        else:
+            manifest = run_split(
+                spark, nodes, ways, relations, catalog, str(out), mode=mode,
+                checkpoint_dir=str(out / "_checkpoints"),
+                osm_filenames=parse_config_dests(cfg) if emit_osm else None,
+                publish_table=str(pub) if incremental else None,
+            )
+            report["splits"][cfg.stem] = {
+                k: manifest[k]["rows"]
+                for k in ("nodes", "ways", "relations")
+                if isinstance(manifest.get(k), dict) and "rows" in manifest[k]
+            }
+        out.mkdir(parents=True, exist_ok=True)
         (out / "_manifest.json").write_text(json.dumps(manifest, default=str))
-        report["splits"][cfg.stem] = {
-            k: manifest[k]["rows"]
-            for k in ("nodes", "ways", "relations")
-            if isinstance(manifest.get(k), dict) and "rows" in manifest[k]
-        }
 
     # flip the stamp + symlink LAST — a crashed run re-splits next tick
     stamp_file.write_text(date)

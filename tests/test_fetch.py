@@ -122,3 +122,67 @@ def test_new_dump_triggers_resplit_and_stamp_flip(spark, tmp_path, monkeypatch):
     assert (work / "extracts" / "latest").resolve().name == "2020-02-02"
     # both date dirs exist: old extracts are kept, the symlink moves
     assert (work / "extracts" / "2020-01-01" / "test").exists()
+
+
+def test_continuous_incremental_fetch_service(spark, tmp_path, monkeypatch):
+    """incremental=True: tick 1 = full split + publish; the mirror
+    publishes an updated dump; tick 2 diffs against tick 1's checkpoint
+    and commits only the change — the published table carries both
+    dump states, time-travelable."""
+    import datetime as dt
+
+    from osm_history_splitter_spark.plans.table import VersionedTable
+    from osm_history_splitter_spark.sources.pbf import (
+        encode_data_blob,
+        encode_header_blob,
+    )
+
+    ts = dt.datetime(2020, 1, 1)
+
+    def dump_bytes(with_update):
+        nodes = [
+            (i, 1, True, ts, 1, 1, "u", 0.5, 0.5, {}) for i in range(8)
+        ]
+        if with_update:
+            nodes.append((0, 2, True, ts, 1, 1, "u", 0.6, 0.6, {}))
+        return encode_header_blob() + encode_data_blob(nodes)
+
+    m = tmp_path / "mirror"
+    m.mkdir()
+
+    def publish_dump(date, with_update):
+        name = f"history-{date}.osm.pbf"
+        (m / name).write_bytes(dump_bytes(with_update))
+        d = hashlib.md5((m / name).read_bytes()).hexdigest()
+        (m / f"{name}.md5").write_text(f"{d}  {name}\n")
+        (m / "index.html").write_text(f'<a href="{name}">{name}</a>')
+
+    import osm_history_splitter_spark.fetch as fetch_mod
+    from osm_history_splitter_spark.sources.pbf import load_pbf_dataframes
+
+    real = fetch_mod._read_url
+    monkeypatch.setattr(
+        fetch_mod, "_read_url",
+        lambda url: (m / "index.html").read_bytes()
+        if url.endswith("?C=M;O=D") else real(url),
+    )
+    work = tmp_path / "work"
+    work.mkdir()
+    (work / "t.config").write_text("t.osh BBOX -1,-1,1,1\n")
+    loader = lambda sp, path: load_pbf_dataframes(sp, path)  # noqa: E731
+
+    publish_dump("2024-01-01", False)
+    r1 = fetch_and_split(
+        spark, f"file://{m}", str(work), loader, incremental=True
+    )
+    assert "incremental" not in r1  # first tick = full split
+    t = VersionedTable(spark, str(work / "published" / "t" / "nodes"))
+    assert t.read().count() == 8
+
+    publish_dump("2024-02-01", True)
+    r2 = fetch_and_split(
+        spark, f"file://{m}", str(work), loader, incremental=True
+    )
+    assert r2["incremental"]["t"]["nodes"] == 1  # only id 0 changed
+    assert t.read().count() == 9
+    assert t.read(version=1).count() == 8  # the January state, intact
