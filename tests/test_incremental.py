@@ -132,3 +132,53 @@ def test_incremental_noop_when_world_unchanged(spark, tmp_path):
     assert report["nodes"]["affected_ids"] == 0
     assert report["nodes"]["upserted_rows"] == 0
     assert _contents(VersionedTable(spark, f"{pub}/nodes")) == before
+
+
+def test_incremental_equals_full_on_random_updates(spark, tmp_path):
+    """Randomized differential check: random world, random update batch
+    (moves in/out, new versions, brand-new ids, way-ref edits) —
+    incremental publish must equal a from-scratch split, seed by seed."""
+    import random
+
+    cat = ExtractCatalog([Extract.bbox("t", -1.0, -1.0, 1.0, 1.0)])
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        base = tmp_path / f"s{seed}"
+
+        def pos():
+            return rng.choice([IN, OUT]) + rng.random() * 0.3
+
+        n_rows = [(i, 1, pos()) for i in range(30)]
+        w_rows = [
+            (100 + j, 1, rng.sample(range(30), 3)) for j in range(4)
+        ]
+        n1, w1 = _nodes(spark, n_rows), _ways(spark, w_rows)
+        r1 = spark.createDataFrame([], RELATION_SCHEMA)
+        pub, ck1 = str(base / "pub"), str(base / "ck1")
+        run_split(
+            spark, n1, w1, r1, cat, str(base / "out1"),
+            checkpoint_dir=ck1, publish_table=pub,
+        )
+
+        # mutate: some nodes move (new version at a new position), some
+        # brand-new ids appear, one way gains a version with new refs
+        n_rows2 = list(n_rows)
+        for i in rng.sample(range(30), 5):
+            n_rows2.append((i, 2, pos()))
+        for i in (40, 41):
+            n_rows2.append((i, 1, pos()))
+        w_rows2 = w_rows + [(100, 2, rng.sample(range(42), 3))]
+        n2, w2 = _nodes(spark, n_rows2), _ways(spark, w_rows2)
+        incremental_resplit(
+            spark, n2, w2, r1, cat, pub, ck1, str(base / "ck2")
+        )
+
+        pub2 = str(base / "pub2")
+        run_split(
+            spark, n2, w2, r1, cat, str(base / "out2"),
+            checkpoint_dir=str(base / "ckf"), publish_table=pub2,
+        )
+        for entity in ("nodes", "ways"):
+            inc = VersionedTable(spark, f"{pub}/{entity}")
+            full = VersionedTable(spark, f"{pub2}/{entity}")
+            assert _contents(inc) == _contents(full), (seed, entity)
