@@ -247,3 +247,27 @@ def test_vacuum_refuses_while_commit_in_flight(spark, tmp_path):
         t.vacuum()
     t.recover(2)
     assert t.vacuum() == []  # resolved: safe again
+
+
+def test_read_between_without_stats_is_conservative(spark, tmp_path):
+    """A table committed WITHOUT stats_cols keeps every file on a range
+    read (no false pruning) and still filters exactly."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(spark.range(0, 100).repartition(4))
+    kept, total = t.pruned_files(("id", 0, 4))
+    assert kept == total  # no stats: nothing skipped
+    assert t.read(between=("id", 0, 4)).count() == 5
+
+
+def test_delete_mode_removes_keys_snapshot_isolated(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_df(spark, 0, 10, "a"))
+    keys = spark.range(3, 6).select(F.col("id"))
+    v = t.commit(keys, mode="delete", merge_key="id")
+    assert v == 2
+    assert sorted(r["id"] for r in t.read().collect()) == [
+        0, 1, 2, 6, 7, 8, 9,
+    ]
+    assert t.read(version=1).count() == 10  # old snapshot intact
+    with pytest.raises(ValueError, match="merge_key"):
+        t.commit(keys, mode="delete")
