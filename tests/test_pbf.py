@@ -422,3 +422,37 @@ def test_reader_robustness_truncated_and_exotic_compression(tmp_path):
     (tmp_path / "x.pbf").write_bytes(exotic)
     with pytest.raises(ValueError, match="unsupported blob compression"):
         read_pbf(str(tmp_path / "x.pbf"))
+
+
+def test_xml_and_pbf_sinks_emit_identical_element_sets(spark, tmp_path):
+    """Cross-format proof: one split emitted through BOTH sinks decodes
+    to the same elements in the same order (XML parse vs PBF codec),
+    modulo PBF's 1e-7 coordinate lattice — the fixture's coordinates
+    are lattice-exact, so equality is total."""
+    from osm_history_splitter_spark.operators.softcut import softcut
+    from osm_history_splitter_spark.plans.osm_writer import write_extracts_osm
+    from osm_history_splitter_spark.sources.config import parse_config
+    from osm_history_splitter_spark.sources.osm_xml import (
+        load_osm_dataframes,
+        parse_osm_xml,
+    )
+
+    REF = "/root/reference"
+    nodes, ways, rels = load_osm_dataframes(
+        spark, f"{REF}/test/version-two-node-after.osh"
+    )
+    cat = parse_config(f"{REF}/test/test.config")
+    res = softcut(nodes, ways, rels, cat)
+    px = write_extracts_osm(
+        res.nodes, res.ways, res.relations, cat, str(tmp_path / "x"),
+        filenames={"test": "test.osh"},
+    )
+    pb = write_extracts_osm(
+        res.nodes, res.ways, res.relations, cat, str(tmp_path / "b"),
+        filenames={"test": "test.osh.pbf"},
+    )
+    xml_n, xml_w, xml_r = parse_osm_xml(px["test"])
+    pbf_n, pbf_w, pbf_r = read_pbf(pb["test"])
+    assert xml_n == pbf_n
+    assert xml_w == pbf_w
+    assert xml_r == pbf_r
