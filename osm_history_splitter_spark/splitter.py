@@ -31,6 +31,7 @@ __all__ = [
     "pass2_outputs",
     "prepare_bucketed_world",
     "incremental_resplit",
+    "emit_osm_from_published",
 ]
 
 #: marker-table stages checkpointed between softcut pass 1 and pass 2
@@ -504,3 +505,51 @@ def incremental_resplit(
         }
     report["checkpoints"] = new_store.manifest()
     return report
+
+
+def emit_osm_from_published(
+    spark: SparkSession,
+    publish_dir: str,
+    catalog: ExtractCatalog,
+    out_dir: str,
+    extracts: list[str] | None = None,
+    filenames: dict[str, str] | None = None,
+    version: int | None = None,
+) -> dict:
+    """Reference-format file emission with the PUBLISHED tables as the
+    source of truth — the refresh step after an incremental re-split
+    (only the extracts whose rows changed need their `.osm/.osh[.pbf]`
+    files rebuilt; pass them as ``extracts``). ``version`` time-travels:
+    emit the files exactly as of an earlier split.
+
+    The per-extract reads go through the table's stats pruning
+    (``read(between=("extract", name, name))``) — on the
+    (extract, id)-clustered layout ``_publish`` writes, each emission
+    scans only that extract's files."""
+    from pyspark.sql import functions as F
+
+    from .plans.osm_writer import write_extracts_osm
+    from .plans.table import VersionedTable
+
+    names = extracts or [e.name for e in catalog]
+    sub_catalog = ExtractCatalog([e for e in catalog if e.name in names])
+    if len(sub_catalog) != len(names):
+        missing = set(names) - {e.name for e in sub_catalog}
+        raise ValueError(f"extracts not in catalog: {sorted(missing)}")
+
+    frames = {}
+    for entity in ("nodes", "ways", "relations"):
+        t = VersionedTable(spark, f"{publish_dir}/{entity}")
+        parts = [
+            t.read(version=version, between=("extract", n, n)) for n in names
+        ]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        frames[entity] = df.withColumn(
+            "extract", F.col("extract").cast("string")
+        )
+    return write_extracts_osm(
+        frames["nodes"], frames["ways"], frames["relations"],
+        sub_catalog, out_dir, filenames=filenames,
+    )

@@ -182,3 +182,38 @@ def test_incremental_equals_full_on_random_updates(spark, tmp_path):
             inc = VersionedTable(spark, f"{pub}/{entity}")
             full = VersionedTable(spark, f"{pub2}/{entity}")
             assert _contents(inc) == _contents(full), (seed, entity)
+
+
+def test_emit_osm_from_published_refreshes_only_affected(spark, tmp_path):
+    """After an incremental re-split, the stale extract's file is
+    rebuilt from the published table (stats-pruned per-extract read)
+    and matches the updated world; time travel emits the OLD file."""
+    from osm_history_splitter_spark.sources.osm_xml import parse_osm_xml
+    from osm_history_splitter_spark.splitter import emit_osm_from_published
+
+    cat = ExtractCatalog([Extract.bbox("t", -1.0, -1.0, 1.0, 1.0)])
+    pub, ck1 = str(tmp_path / "pub"), str(tmp_path / "ck1")
+    n1, w1, r1 = _world1(spark)
+    run_split(
+        spark, n1, w1, r1, cat, str(tmp_path / "out1"),
+        checkpoint_dir=ck1, publish_table=pub,
+    )
+    n2, w2, r2 = _world2(spark)
+    incremental_resplit(
+        spark, n2, w2, r2, cat, pub, ck1, str(tmp_path / "ck2")
+    )
+    paths = emit_osm_from_published(
+        spark, pub, cat, str(tmp_path / "osm"), extracts=["t"]
+    )
+    out_n, out_w, _ = parse_osm_xml(paths["t"])
+    ids_n = {(r[0], r[1]) for r in out_n}
+    assert (3, 1) not in ids_n  # left the bbox
+    assert (30, 1) in ids_n and (5, 2) in ids_n and (31, 1) in ids_n
+    assert {(r[0], r[1]) for r in out_w} == {(100, 1), (100, 2)}
+    # time travel: version 1 emits the pre-update file
+    old = emit_osm_from_published(
+        spark, pub, cat, str(tmp_path / "osm_v1"), extracts=["t"], version=1
+    )
+    old_n, _, _ = parse_osm_xml(old["t"])
+    old_ids = {(r[0], r[1]) for r in old_n}
+    assert (3, 1) in old_ids and (30, 1) not in old_ids
