@@ -247,3 +247,46 @@ def test_config_dests_preserve_relative_dirs(spark, tmp_path):
     assert paths["germany"].endswith("/out/europe/germany.osh")
     out_n, _, _ = parse_osm_xml(paths["germany"])
     assert [(r[0], r[1]) for r in out_n] == [(1, 1)]
+
+
+def test_xml_escape_fuzz_roundtrip(spark, tmp_path):
+    """200 hostile tag/user strings (metacharacters, quotes, newlines,
+    unicode, control-ish whitespace) through the Catalyst escape chain
+    and back through the XML parser — byte-for-byte."""
+    import datetime as dt
+    import random
+
+    from osm_history_splitter_spark.model import (
+        NODE_SCHEMA,
+        RELATION_SCHEMA,
+        WAY_SCHEMA,
+    )
+    from osm_history_splitter_spark.plans.catalog import Extract, ExtractCatalog
+
+    rng = random.Random(42)
+    alphabet = list("ab<>&\"'\n\r\t =;/\\") + ["&amp;", "&#10;", "é", "中", "𝄞"]
+
+    def s():
+        return "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 12)))
+
+    ts = dt.datetime(2020, 1, 1)
+    rows = [
+        (i, 1, True, ts, 1, 1, s(), 0.5, 0.5, {s() or "k": s()})
+        for i in range(200)
+    ]
+    nodes = spark.createDataFrame(rows, NODE_SCHEMA).withColumn(
+        "extract", F.lit("t")
+    )
+    ways = spark.createDataFrame([], WAY_SCHEMA).withColumn(
+        "extract", F.lit("t")
+    )
+    rels = spark.createDataFrame([], RELATION_SCHEMA).withColumn(
+        "extract", F.lit("t")
+    )
+    cat = ExtractCatalog([Extract.bbox("t", -1.0, -1.0, 1.0, 1.0)])
+    paths = write_extracts_osm(nodes, ways, rels, cat, str(tmp_path))
+    out_n, _, _ = parse_osm_xml(paths["t"])
+    got = {r[0]: (r[6], r[9]) for r in out_n}
+    for i, *_rest in rows:
+        want_user, want_tags = rows[i][6], rows[i][9]
+        assert got[i] == (want_user, want_tags), i
