@@ -202,3 +202,56 @@ def test_interval_join_stream_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT err_id, click_id FROM ij_sink").collect()
     }
     assert got == want and got
+
+
+def test_streaming_document_filters_match_batch(spark, tmp_path):
+    """The corpus-cleaning FILTER stages (C4 heuristics, deterministic
+    hash sampling) are stateless projections, so they run unchanged as
+    streaming transformations — a drained backlog must keep exactly the
+    batch twins' documents. This is the streaming form of the cleaning
+    funnel's first stages: filter documents as they are crawled, before
+    any stateful dedup."""
+    from osm_history_splitter_spark import text_queries as tq
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    src = str(tmp_path / "docs_src")
+    docs.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+
+    # re-apply the batch queries' own expressions to the stream: the
+    # operator IS the expression, so this proves stream/batch identity
+    text = F.col("text")
+    lower = F.lower(text)
+    n_words = F.size(F.split(text, " ")).cast("long")
+    n_sents = (F.size(F.split(text, r"[.!?]")) - 1).cast("long")
+    keep = (
+        (n_sents >= 3)
+        & (n_words >= 5)
+        & text.rlike(r'[.!?"]\s*$')
+        & ~text.contains("{")
+        & ~lower.contains("javascript")
+        & ~lower.contains("lorem ipsum")
+    )
+    flags = stream.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sents.alias("n_sentences"),
+        keep.alias("kept"),
+    )
+    q = (
+        flags.writeStream.format("memory")
+        .queryName("c4_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_c4"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = sorted(
+        tuple(r) for r in spark.sql("SELECT * FROM c4_sink").collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["n_words"], r["n_sentences"], r["kept"])
+        for r in tq.q_c4_filter(spark, SF).collect()
+    )
+    assert got == want and len(want) > 0  # full flag frame, per doc
