@@ -584,7 +584,66 @@ Q_ZORDER_SQL = (
 )
 
 
+def q_table_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VersionedTable READ path under the driver gate (plans/table.py):
+    commit ``events`` as three range-clustered append versions with
+    per-file min/max stats on ``event_id``, snapshot-read the head with
+    ``between=('event_id', lo, hi)`` — the manifest drops every file
+    whose [min, max] cannot intersect before Spark opens a footer — and
+    roll the survivors up per event_type. lo/hi = the bottom third of
+    the id range (one bounded min/max collect, driver-side metadata
+    only). Integer-cents sums keep the aggregate order-independent
+    exact vs the DuckDB oracle (plain BETWEEN over the raw parquet).
+
+    Scale shape: pruning is manifest-list arithmetic on the driver
+    (O(files), no data touched); the remaining scan is a plain parquet
+    read with the residual filter pushed down. At 100 TB the same
+    layout (range-clustered commits + stats) skips whole commits."""
+    import hashlib
+    import shutil
+    import tempfile
+    from pathlib import Path as _P
+
+    from .plans.table import VersionedTable
+
+    ev = _t(spark, sf_dir, "events")
+    mn, mx = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    key = hashlib.md5(f"{sf_dir}|{mn}|{mx}".encode()).hexdigest()[:12]
+    root = _P(tempfile.gettempdir()) / f"osmhs_table_read_{key}"
+    marker = root / "_built"
+    if not marker.exists():
+        shutil.rmtree(root, ignore_errors=True)
+        tbl = VersionedTable(spark, str(root))
+        for b in range(3):
+            chunk = ev.filter(
+                (F.col("event_id") % 3) == b
+            ).repartitionByRange(2, "event_id")
+            tbl.commit(chunk, mode="append", stats_cols=["event_id"])
+        marker.touch()
+    tbl = VersionedTable(spark, str(root))
+    lo, hi = mn, mn + (mx - mn) // 3
+    snap = tbl.read(between=("event_id", lo, hi))
+    return snap.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+
+
+Q_TABLE_READ_SQL = """WITH b AS (
+  SELECT MIN(event_id) AS lo,
+         MIN(event_id) + (MAX(event_id) - MIN(event_id)) // 3 AS hi
+  FROM events)
+SELECT event_type, count(*) AS n,
+  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+  MIN(event_id) AS min_id, MAX(event_id) AS max_id
+FROM events, b WHERE event_id BETWEEN b.lo AND b.hi
+GROUP BY event_type"""
+
+
 SPATIAL_QUERIES = {
+    "table_read": (q_table_read, Q_TABLE_READ_SQL),
     "node_membership": (q_node_membership, Q_NODE_MEMBERSHIP_SQL),
     "rasterize": (q_rasterize, Q_RASTERIZE_SQL),
     "zonal_stats": (q_zonal_stats, Q_ZONAL_STATS_SQL),

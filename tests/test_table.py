@@ -271,3 +271,45 @@ def test_delete_mode_removes_keys_snapshot_isolated(spark, tmp_path):
     assert t.read(version=1).count() == 10  # old snapshot intact
     with pytest.raises(ValueError, match="merge_key"):
         t.commit(keys, mode="delete")
+
+
+def test_oracle_table_read_prunes_and_matches_raw(spark):
+    """The driver-gate ``table_read`` query (oracle_queries.q_table_read)
+    must do REAL file pruning: each of its 3 range-clustered commits has
+    a low-id and a high-id file, so the bottom-third read must keep
+    strictly fewer than all 6 — and the surviving rows must equal a plain
+    filter over the raw parquet."""
+    import hashlib
+    import tempfile
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from osm_history_splitter_spark.oracle_queries import q_table_read
+    from osm_history_splitter_spark.plans.table import VersionedTable
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = q_table_read(spark, sf_dir)  # builds the table as a side effect
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    mn, mx = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    lo, hi = mn, mn + (mx - mn) // 3
+    expect = (
+        ev.filter(F.col("event_id").between(lo, hi))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "sum_cents"
+            ),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, expect.collect())
+    )
+    key = hashlib.md5(f"{sf_dir}|{mn}|{mx}".encode()).hexdigest()[:12]
+    root = Path(tempfile.gettempdir()) / f"osmhs_table_read_{key}"
+    tbl = VersionedTable(spark, str(root))
+    kept, total = tbl.pruned_files(("event_id", lo, hi))
+    assert total == 6 and kept < total, (kept, total)
