@@ -44,6 +44,7 @@ _EXPORTS = {
     "parse_config": "sources.config",
     "parse_config_dests": "sources.config",
     "parse_poly": "sources.poly",
+    "parse_poly_multipolygon": "sources.poly",
     "load_osm_dataframes": "sources.osm_xml",
     "read_osm_elements_ranged": "sources.ingest",
     "read_pbf_elements": "sources.pbf",

@@ -150,6 +150,7 @@ def points_in_rings_winding(
     lat: np.ndarray,
     rings: list[np.ndarray],
     boundary_is_inside: bool = False,
+    holes: list[bool] | None = None,
 ) -> np.ndarray:
     """Winding-number point-in-multipolygon, safe for rings that cross the
     antimeridian or enclose a pole (the fallback path the planar even-odd
@@ -161,14 +162,16 @@ def points_in_rings_winding(
     pole nearer its mean latitude; each point is tested at its three
     longitude images (lon, lon±360) so it can land inside the unwrapped
     ring's span. Within a ring the nonzero-winding rule decides (identical
-    to even-odd for simple rings); across rings parity (XOR) is kept so
-    .poly holes behave exactly as in :func:`points_in_rings`.
+    to even-odd for simple rings); across rings the composition is the
+    same as :func:`points_in_rings`: parity (XOR) when ``holes`` is None,
+    GEOS-union (OR outers, minus OR holes) when ``holes`` flags are given.
     """
     lon = np.asarray(lon, dtype=np.float64)
     lat = np.asarray(lat, dtype=np.float64)
     inside = np.zeros(lon.shape[0], dtype=bool)
+    in_hole = np.zeros(lon.shape[0], dtype=bool)
     onb = np.zeros(lon.shape[0], dtype=bool)
-    for ring in rings:
+    for ring_idx, ring in enumerate(rings):
         rim = unwrap_ring(close_ring(ring))
         if rim.shape[0] < 4:
             continue
@@ -205,8 +208,15 @@ def points_in_rings_winding(
             ring_on |= points_on_boundary(x, lat, [rim])
         if at_pole is not None:
             ring_in |= at_pole
-        inside ^= ring_in
+        if holes is None:
+            inside ^= ring_in
+        elif holes[ring_idx]:
+            in_hole |= ring_in
+        else:
+            inside |= ring_in
         onb |= ring_on
+    if holes is not None:
+        inside &= ~in_hole
     if boundary_is_inside:
         return inside | onb
     return inside & ~onb
@@ -217,12 +227,23 @@ def points_in_rings(
     lat: np.ndarray,
     rings: list[np.ndarray],
     boundary_is_inside: bool = False,
+    holes: list[bool] | None = None,
 ) -> np.ndarray:
     """Vectorized even-odd point-in-multipolygon, interior-only by default.
 
     Crossing test uses the half-open convention ``(y1 > p) != (y2 > p)`` so
     vertices on the ray are counted exactly once; this is the standard robust
     formulation (cf. W. R. Franklin's PNPOLY, public domain).
+
+    Ring composition: with ``holes`` None, even-odd parity ACROSS rings
+    (nested holes cancel — correct for valid multipolygons). With
+    ``holes`` (one flag per ring), reference GEOS-union semantics
+    (``geometryreader.hpp:256-274``: outers unioned, then holes
+    differenced): inside = even-odd inside ANY outer ring, and not inside
+    any hole ring. For a VALID multipolygon (disjoint outers, each hole
+    nested in one outer) the two compositions agree; they differ exactly
+    where outers OVERLAP (e.g. the reference's ``europe/serbia.poly``),
+    where union keeps the overlap INSIDE but parity would cancel it.
 
     Rings that cross the antimeridian or enclose a pole (any closed-ring
     edge jumping >180° of longitude) route to the winding-number fallback
@@ -231,17 +252,20 @@ def points_in_rings(
     """
     if any(ring_wraps_antimeridian(r) for r in rings):
         return points_in_rings_winding(
-            lon, lat, rings, boundary_is_inside=boundary_is_inside
+            lon, lat, rings, boundary_is_inside=boundary_is_inside,
+            holes=holes,
         )
     lon = np.asarray(lon, dtype=np.float64)
     lat = np.asarray(lat, dtype=np.float64)
     inside = np.zeros(lon.shape[0], dtype=bool)
-    for ring in rings:
+    in_hole = np.zeros(lon.shape[0], dtype=bool)
+    for ring_idx, ring in enumerate(rings):
         r = close_ring(ring)
         if r.shape[0] < 4:  # degenerate (needs >= 3 distinct vertices)
             continue
         x1, y1 = r[:-1, 0], r[:-1, 1]
         x2, y2 = r[1:, 0], r[1:, 1]
+        ring_in = np.zeros(lon.shape[0], dtype=bool)
         # edges: loop over edges (small), vectorize over points (large)
         for i in range(x1.shape[0]):
             a, b, c, d = x1[i], y1[i], x2[i], y2[i]
@@ -253,7 +277,15 @@ def points_in_rings(
             # x coordinate where the edge crosses the point's latitude
             t = (lat - b) / (d - b)
             xi = a + t * (c - a)
-            inside ^= straddles & (lon < xi)
+            ring_in ^= straddles & (lon < xi)
+        if holes is None:
+            inside ^= ring_in
+        elif holes[ring_idx]:
+            in_hole |= ring_in
+        else:
+            inside |= ring_in
+    if holes is not None:
+        inside &= ~in_hole
     if not boundary_is_inside:
         onb = points_on_boundary(lon, lat, rings)
         inside &= ~onb

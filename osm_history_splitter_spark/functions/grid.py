@@ -190,7 +190,7 @@ def pick_res(minlon, minlat, maxlon, maxlat, max_cells: int = 4096) -> int:
 
 
 def cover_rings(
-    rings: list[np.ndarray], res: int
+    rings: list[np.ndarray], res: int, holes: list[bool] | None = None
 ) -> tuple[np.ndarray, np.ndarray]:
     """Cell cover of a multipolygon at resolution ``res``.
 
@@ -256,7 +256,9 @@ def cover_rings(
     interior = np.zeros(gx.shape[0], dtype=bool)
     untouched = ~is_boundary
     if untouched.any():
-        interior[untouched] = points_in_rings(cx[untouched], cy[untouched], rings)
+        interior[untouched] = points_in_rings(
+            cx[untouched], cy[untouched], rings, holes=holes
+        )
     keep = is_boundary | interior
     cells = (gx[keep] + x_off).astype(np.int64) * CELL_SHIFT + (
         gy[keep] + y_off

@@ -31,7 +31,10 @@ def bbox_strict_expr(
     )
 
 
-def make_pip_udf(rings_by_extract: dict[str, list[np.ndarray]]):
+def make_pip_udf(
+    rings_by_extract: dict[str, list[np.ndarray]],
+    holes_by_extract: dict[str, list[bool]] | None = None,
+):
     """Build ``pip_exact(extract, lon, lat) -> boolean`` pandas UDF.
 
     ``rings_by_extract`` is captured in the UDF closure (pickled once per
@@ -39,12 +42,18 @@ def make_pip_udf(rings_by_extract: dict[str, list[np.ndarray]]):
     one ``IndexedPointInAreaLocator`` per extract up front
     (``cut.hpp:111``). Batches are grouped by extract inside the UDF so each
     polygon's vectorized test runs once per (batch, extract).
+
+    ``holes_by_extract`` carries per-ring hole flags for extracts parsed
+    from .poly files: those compose with the reference's GEOS-union rule
+    (even-odd inside ANY outer, minus holes — geometry.points_in_rings
+    ``holes=``); extracts without flags keep parity composition.
     """
     # normalize to plain numpy arrays for a compact pickle
     payload = {
         k: [np.asarray(r, dtype=np.float64) for r in v]
         for k, v in rings_by_extract.items()
     }
+    hole_payload = dict(holes_by_extract or {})
 
     @F.pandas_udf(T.BooleanType())
     def pip_exact(extract: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
@@ -57,7 +66,10 @@ def make_pip_udf(rings_by_extract: dict[str, list[np.ndarray]]):
             if rings is None:
                 continue
             mask = ex == name
-            out[mask] = points_in_rings(lon_v[mask], lat_v[mask], rings)
+            out[mask] = points_in_rings(
+                lon_v[mask], lat_v[mask], rings,
+                holes=hole_payload.get(name),
+            )
         return pd.Series(out, index=extract.index)
 
     return pip_exact

@@ -52,7 +52,7 @@ def assign_extracts(
     cover = catalog.cover_df(spark)
     res_values = sorted({r for r in catalog.resolutions().values()})
     rings = catalog.rings_payload()
-    pip = make_pip_udf(rings) if rings else None
+    pip = make_pip_udf(rings, catalog.holes_payload()) if rings else None
     has_poly = any(e.kind != "BBOX" for e in catalog)
 
     lon = F.col(lon_col)

@@ -34,16 +34,27 @@ class Extract:
     maxlon: float
     maxlat: float
     rings: list[np.ndarray] | None = None  # closed rings, lon/lat
+    #: per-ring hole flag (.poly '!'-sections). None → even-odd parity
+    #: across rings; flags → reference GEOS-union composition (outers
+    #: OR-ed, holes subtracted — geometryreader.hpp:256-274).
+    holes: list[bool] | None = None
 
     @classmethod
     def bbox(cls, name: str, minlon: float, minlat: float, maxlon: float, maxlat: float) -> "Extract":
         return cls(name, "BBOX", minlon, minlat, maxlon, maxlat)
 
     @classmethod
-    def poly(cls, name: str, rings: list, kind: str = "POLY") -> "Extract":
+    def poly(
+        cls, name: str, rings: list, kind: str = "POLY",
+        holes: list[bool] | None = None,
+    ) -> "Extract":
         rings = [close_ring(np.asarray(r, dtype=np.float64)) for r in rings]
         minlon, minlat, maxlon, maxlat = rings_bbox(rings)
-        return cls(name, kind, minlon, minlat, maxlon, maxlat, rings)
+        if holes is not None and len(holes) != len(rings):
+            raise ValueError(
+                f"{name}: {len(holes)} hole flags for {len(rings)} rings"
+            )
+        return cls(name, kind, minlon, minlat, maxlon, maxlat, rings, holes)
 
 
 @dataclass
@@ -127,7 +138,7 @@ class ExtractCatalog:
                     e.minlon, e.minlat, e.maxlon, e.maxlat, res
                 )
             else:
-                cells, fully = grid.cover_rings(e.rings, res)
+                cells, fully = grid.cover_rings(e.rings, res, holes=e.holes)
             out.extend(
                 (
                     e.name, res, int(c), bool(f), e.kind,
@@ -163,6 +174,15 @@ class ExtractCatalog:
             e.name: [np.asarray(r, dtype=np.float64) for r in e.rings]
             for e in self.extracts
             if e.rings is not None
+        }
+
+    def holes_payload(self) -> dict[str, list]:
+        """{extract -> per-ring hole flags}, only for extracts that carry
+        them — companion of :meth:`rings_payload` for the refine UDF."""
+        return {
+            e.name: list(e.holes)
+            for e in self.extracts
+            if e.rings is not None and e.holes is not None
         }
 
     def bbox_payload(self) -> dict[str, tuple]:

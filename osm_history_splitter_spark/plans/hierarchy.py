@@ -26,7 +26,7 @@ from __future__ import annotations
 from pathlib import Path
 
 from ..sources.osm_xml import rings_from_osm_file
-from ..sources.poly import parse_poly
+from ..sources.poly import parse_poly_multipolygon
 from .catalog import Extract, ExtractCatalog
 
 __all__ = [
@@ -50,12 +50,18 @@ def load_clipbounds_tree(
         name = str(p.relative_to(root).with_suffix(""))
         try:
             if p.suffix == ".poly":
-                rings = parse_poly(p)
+                rings, holes = parse_poly_multipolygon(p)
             else:
-                rings = rings_from_osm_file(p)
+                rings, holes = rings_from_osm_file(p), None
         except ValueError:
             continue  # empty/degenerate geometry file
-        catalog.add(Extract.poly(name, rings, kind="POLY" if p.suffix == ".poly" else "OSM"))
+        catalog.add(
+            Extract.poly(
+                name, rings,
+                kind="POLY" if p.suffix == ".poly" else "OSM",
+                holes=holes,
+            )
+        )
     return catalog
 
 

@@ -1,8 +1,12 @@
-"""Reference-format extract sinks: ``.osm`` / ``.osh`` XML (plus ``.gz`` /
-``.bz2``), selected by output-file extension exactly like the reference
-(``cut.hpp:73-74`` hands the filename to Osmium's output factory; the
-format list is ``README.md:80``). PBF is NOT implemented (no protobuf
-toolchain in this container) and raises with a clear message.
+"""Reference-format extract sinks: ``.osm`` / ``.osh`` × raw / ``.gz`` /
+``.bz2`` XML and ``.pbf`` binary, selected PER EXTRACT by output-file
+extension exactly like the reference (``cut.hpp:73-74`` hands each dest
+filename to Osmium's output factory; the format list is ``README.md:80``
+and the reference's own ``example.config`` mixes ``.osh`` / ``.osh.pbf``
+/ ``.osh.gz`` / ``.osh.bz2`` in one run). Extracts are grouped by
+(history, codec) and each group runs as one distributed serialization
+job — PBF groups via ``plans/pbf_writer.py`` over the from-scratch wire
+codec in ``sources/pbf.py``.
 
 Spark-first design — the serialization is distributed, the tail is a
 stream-concat:
@@ -260,33 +264,71 @@ def write_extracts_osm(
     ``cut.hpp:73-74``); default ``<name>.osh``. Returns
     ``{extract: absolute file path}``.
 
-    One Spark job serializes ALL extracts and entity kinds: union the
-    three frames with a type rank, range-partition by (extract, rank,
-    id, version), sort within partitions, text-write partitioned by
-    extract — then a driver-side stream-concat per extract (see module
-    docstring for why this is the scalable shape)."""
-    spark = nodes.sparkSession
+    One Spark job serializes each (history, codec) format GROUP of
+    extracts across all entity kinds: union the three frames with a type
+    rank, range-partition by (extract, rank, id, version), sort within
+    partitions, text-write partitioned by extract — then a driver-side
+    stream-concat per extract (see module docstring for why this is the
+    scalable shape). A single-format catalog (the common case) is one
+    job over the unfiltered frames; mixed catalogs (the reference's
+    ``example.config``) add one filtered pass per extra format."""
+    from .catalog import ExtractCatalog
+
     filenames = filenames or {e.name: f"{e.name}.osh" for e in catalog}
     fmts = {name: parse_format(fn) for name, fn in filenames.items()}
-    histories = {h for h, _ in fmts.values()}
-    if len(histories) > 1:
-        # one serialization pass renders either history or plain
-        # attributes; mixed catalogs would need two passes
-        raise ValueError("all extracts must share .osm or .osh format")
-    history = histories.pop() if histories else True
-    compressions = {c for _, c in fmts.values()}
-    if len(compressions) > 1:
-        raise ValueError("all extracts must share one compression")
-    compression = compressions.pop() if compressions else None
+    groups: dict[tuple, list] = {}
+    for e in catalog:
+        groups.setdefault(fmts[e.name], []).append(e)
 
-    if compression == "pbf":
-        from .pbf_writer import write_extracts_pbf
+    out_paths: dict[str, str] = {}
+    multi = len(groups) > 1
+    for (history, compression), extracts in sorted(
+        groups.items(), key=lambda kv: (kv[0][0], kv[0][1] or "")
+    ):
+        sub = ExtractCatalog(extracts) if multi else catalog
+        names = [e.name for e in extracts]
+        if multi:
+            gn, gw, gr = (
+                df.filter(F.col("extract").isin(names))
+                for df in (nodes, ways, relations)
+            )
+        else:
+            gn, gw, gr = nodes, ways, relations
+        if compression == "pbf":
+            from .pbf_writer import write_extracts_pbf
 
-        return write_extracts_pbf(
-            nodes, ways, relations, catalog, out_dir,
-            filenames=filenames, partitions=partitions, history=history,
-        )
+            out_paths.update(
+                write_extracts_pbf(
+                    gn, gw, gr, sub, out_dir,
+                    filenames={n: filenames[n] for n in names},
+                    partitions=partitions, history=history,
+                )
+            )
+        else:
+            out_paths.update(
+                _write_xml_group(
+                    gn, gw, gr, sub, out_dir,
+                    {n: filenames[n] for n in names},
+                    partitions, history, compression,
+                )
+            )
+    return out_paths
 
+
+def _write_xml_group(
+    nodes: DataFrame,
+    ways: DataFrame,
+    relations: DataFrame,
+    catalog,
+    out_dir: str,
+    filenames: dict[str, str],
+    partitions: int | None,
+    history: bool,
+    compression: str | None,
+) -> dict[str, str]:
+    """One distributed XML serialization job for extracts sharing
+    (history, codec) — the per-group body of :func:`write_extracts_osm`."""
+    spark = nodes.sparkSession
     exprs = element_xml_exprs(history)
     pieces = []
     for kind, df in (("node", nodes), ("way", ways), ("relation", relations)):
@@ -302,7 +344,13 @@ def write_extracts_osm(
     allrows = pieces[0].unionByName(pieces[1]).unionByName(pieces[2])
 
     n = partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    frag_root = Path(out_dir) / "_xml_fragments"
+    # codec-unique fragment dir: a mixed-format run writes several groups
+    # under one out_dir and each overwrite-mode text write must not
+    # clobber a sibling group's fragments
+    frag_root = (
+        Path(out_dir)
+        / f"_xml_fragments_{'osh' if history else 'osm'}_{compression or 'raw'}"
+    )
     writer = (
         allrows.repartitionByRange(n, "extract", "type_rank", "id", "version")
         .sortWithinPartitions("extract", "type_rank", "id", "version")

@@ -14,7 +14,7 @@ from pathlib import Path
 
 from ..plans.catalog import Extract, ExtractCatalog
 from .osm_xml import rings_from_osm_file
-from .poly import parse_poly
+from .poly import parse_poly_multipolygon
 
 __all__ = ["parse_config", "parse_config_text"]
 
@@ -47,7 +47,8 @@ def parse_config_text(text: str, base_dir: str | Path = ".") -> ExtractCatalog:
                 raise ValueError(f"config line {lineno}: bbox needs 4 floats")
             catalog.add(Extract.bbox(name, *vals))
         elif kind == "POLY":
-            catalog.add(Extract.poly(name, parse_poly(base / spec), kind="POLY"))
+            rings, holes = parse_poly_multipolygon(base / spec)
+            catalog.add(Extract.poly(name, rings, kind="POLY", holes=holes))
         elif kind == "OSM":
             catalog.add(
                 Extract.poly(name, rings_from_osm_file(base / spec), kind="OSM")

@@ -6,63 +6,34 @@ per ring; final ``END`` for the file. Rings are auto-closed if the last
 vertex differs from the first (``geometryreader.hpp:204-207``).
 
 The reference subtracts hole rings from the outer union via GEOS
-difference (``geometryreader.hpp:256-274``). This engine's even-odd PIP
-makes holes plain rings (crossing parity cancels them) — semantically
-identical for VALID multipolygons (disjoint outers, holes nested in one
-outer), verified by the hole tests in tests/test_geometry.py and
-tests/test_sources.py.
+difference (``geometryreader.hpp:256-274``). The parser therefore keeps
+the per-ring hole flag (``!``-prefixed section names) and returns it from
+:func:`parse_poly_multipolygon`; membership downstream composes rings
+with the reference's union semantics — even-odd inside ANY outer ring,
+minus any hole ring (``functions.geometry.points_in_rings(holes=...)``).
+For valid multipolygons this equals plain even-odd parity; where OUTER
+rings overlap (the reference's own ``clipbounds/europe/serbia.poly``)
+the union keeps the overlap INSIDE, matching GEOS.
 
-KNOWN DIVERGENCE (documented, warned): when two OUTER rings overlap, GEOS
-``union`` keeps the overlap region INSIDE, while even-odd parity cancels
-it to OUTSIDE. Such .poly files are OGC-invalid but the reference still
-processes them. The parser detects overlapping outers (vertex-containment
-test behind a bbox prefilter) and emits a ``UserWarning`` naming the rings
-— callers needing GEOS semantics must pre-union the outers. The same
-parity rule applies to a hole straddling two outers (parity flips inside
-both). tests/test_geometry.py pins the divergent behavior explicitly.
+:func:`parse_poly` (flat ring list, no hole flags) remains for callers
+that only need geometry extent; membership through it is parity-based,
+so prefer the multipolygon variant for reference-exact predicates.
 """
 
 from __future__ import annotations
 
-import warnings
 from pathlib import Path
 
 import numpy as np
 
-from ..functions.geometry import close_ring, points_in_rings
+from ..functions.geometry import close_ring
 
-__all__ = ["parse_poly", "parse_poly_text"]
-
-
-def _warn_overlapping_outers(outers: list[np.ndarray]) -> None:
-    """Emit a UserWarning if any outer ring's vertex lies strictly inside
-    another outer (the common overlap shape; crossing-without-contained-
-    vertex overlaps escape this cheap test — hence 'detects', not
-    'rejects'). Runs on the driver over catalog geometry only (tiny)."""
-    for i, a in enumerate(outers):
-        for j, b in enumerate(outers):
-            if i == j:
-                continue
-            if (
-                a[:, 0].min() > b[:, 0].max()
-                or a[:, 0].max() < b[:, 0].min()
-                or a[:, 1].min() > b[:, 1].max()
-                or a[:, 1].max() < b[:, 1].min()
-            ):
-                continue
-            if points_in_rings(a[:, 0], a[:, 1], [b]).any():
-                warnings.warn(
-                    f".poly outer rings {i} and {j} overlap: even-odd parity "
-                    "treats the overlap as OUTSIDE, the reference (GEOS "
-                    "union) keeps it INSIDE — pre-union the outers if you "
-                    "need reference semantics",
-                    UserWarning,
-                    stacklevel=3,
-                )
-                return
+__all__ = ["parse_poly", "parse_poly_multipolygon", "parse_poly_text"]
 
 
-def parse_poly_text(text: str) -> list[np.ndarray]:
+def parse_poly_multipolygon_text(
+    text: str,
+) -> tuple[list[np.ndarray], list[bool]]:
     lines = text.splitlines()
     if not lines:
         raise ValueError("empty .poly file")
@@ -86,10 +57,8 @@ def parse_poly_text(text: str) -> list[np.ndarray]:
                 break  # file-level END
             continue
         if current is None:
-            # ring header: name, optionally '!'-prefixed (hole). With
-            # even-odd semantics the hole flag needs no special handling
-            # for membership — it is only used to detect overlapping
-            # OUTER rings (see module docstring).
+            # ring header: name, optionally '!'-prefixed (hole) —
+            # geometryreader.hpp:198-200
             current = []
             current_hole = line.startswith("!")
             continue
@@ -99,10 +68,19 @@ def parse_poly_text(text: str) -> list[np.ndarray]:
         current.append((float(parts[0]), float(parts[1])))
     if not rings:
         raise ValueError("no rings in .poly file")
-    outers = [r for r, h in zip(rings, is_hole) if not h]
-    if len(outers) > 1:
-        _warn_overlapping_outers(outers)
-    return rings
+    return rings, is_hole
+
+
+def parse_poly_multipolygon(
+    path: str | Path,
+) -> tuple[list[np.ndarray], list[bool]]:
+    """(closed rings, per-ring hole flag) — the reference-exact form."""
+    return parse_poly_multipolygon_text(Path(path).read_text())
+
+
+def parse_poly_text(text: str) -> list[np.ndarray]:
+    """Flat ring list (hole flags dropped) — extent/compat use only."""
+    return parse_poly_multipolygon_text(text)[0]
 
 
 def parse_poly(path: str | Path) -> list[np.ndarray]:

@@ -134,42 +134,95 @@ class TestBoundaryDetection:
         assert on.tolist() == [True, True, False, False]
 
 
-def test_overlapping_outers_divergence_pinned():
-    """Two overlapping OUTER rings: even-odd parity cancels the overlap to
-    OUTSIDE while the reference's GEOS union keeps it INSIDE. The parser
-    warns; the PIP behavior is pinned here so the divergence is explicit
-    (sources/poly.py module docstring)."""
-    import warnings
-
+def test_overlapping_outers_union_semantics():
+    """Two overlapping OUTER rings with hole flags: the union composition
+    (reference GEOS union, geometryreader.hpp:256-274) keeps the overlap
+    INSIDE; the flag-less parity path still cancels it (documented compat
+    behavior for flat ring lists)."""
     import numpy as np
 
     from osm_history_splitter_spark.functions.geometry import (
         close_ring,
         points_in_rings,
     )
-    from osm_history_splitter_spark.sources.poly import parse_poly_text
+    from osm_history_splitter_spark.sources.poly import (
+        parse_poly_multipolygon_text,
+    )
 
     a = close_ring(np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0]]))
     b = close_ring(np.array([[2.0, 2.0], [6.0, 2.0], [6.0, 6.0], [2.0, 6.0]]))
     lon = np.array([3.0, 1.0, 5.0, 10.0])
     lat = np.array([3.0, 1.0, 5.0, 10.0])
-    got = points_in_rings(lon, lat, [a, b]).tolist()
-    # (3,3) is in BOTH outers -> parity cancels -> OUT (GEOS union: IN)
-    assert got == [False, True, True, False]
+    # (3,3) is in BOTH outers: union keeps it IN ...
+    got = points_in_rings(lon, lat, [a, b], holes=[False, False]).tolist()
+    assert got == [True, True, True, False]
+    # ... while the flag-less parity path cancels it (flat-list compat)
+    assert points_in_rings(lon, lat, [a, b]).tolist() == [
+        False, True, True, False,
+    ]
 
     poly = "ov\nfirst\n0 0\n4 0\n4 4\n0 4\nEND\nsecond\n2 2\n6 2\n6 6\n2 6\nEND\nEND\n"
-    with warnings.catch_warnings(record=True) as w:
-        warnings.simplefilter("always")
-        rings = parse_poly_text(poly)
-    assert len(rings) == 2
-    assert any("overlap" in str(x.message) for x in w), [str(x.message) for x in w]
+    rings, holes = parse_poly_multipolygon_text(poly)
+    assert len(rings) == 2 and holes == [False, False]
+    assert points_in_rings(lon, lat, rings, holes=holes).tolist() == [
+        True, True, True, False,
+    ]
 
-    # and a VALID outer+hole file must stay silent
+    # VALID outer+hole file: union and parity agree (hole subtracted)
     hole = "hv\nouter\n0 0\n10 0\n10 10\n0 10\nEND\n!inner\n4 4\n6 4\n6 6\n4 6\nEND\nEND\n"
-    with warnings.catch_warnings(record=True) as w2:
-        warnings.simplefilter("always")
-        parse_poly_text(hole)
-    assert not [x for x in w2 if "overlap" in str(x.message)]
+    hr, hh = parse_poly_multipolygon_text(hole)
+    assert hh == [False, True]
+    px = np.array([5.0, 1.0, 11.0])
+    py = np.array([5.0, 1.0, 11.0])
+    assert points_in_rings(px, py, hr, holes=hh).tolist() == [
+        False, True, False,
+    ]
+    assert points_in_rings(px, py, hr).tolist() == [False, True, False]
+
+
+def test_serbia_poly_overlap_region_is_inside():
+    """The reference's own clipbounds/europe/serbia.poly has two
+    overlapping outer rings (serbia proper + kosovo section). A point in
+    the overlap must be IN under reference union semantics — previously
+    pinned OUT under parity."""
+    import numpy as np
+    import pytest
+
+    from osm_history_splitter_spark.functions.geometry import points_in_rings
+    from osm_history_splitter_spark.sources.poly import parse_poly_multipolygon
+
+    path = "/root/reference/clipbounds/europe/serbia.poly"
+    try:
+        rings, holes = parse_poly_multipolygon(path)
+    except FileNotFoundError:
+        pytest.skip("reference clipbounds not available")
+    outers = [r for r, h in zip(rings, holes) if not h]
+    assert len(outers) >= 2
+    # sample a dense grid; points strictly interior to >= 2 outers are the
+    # overlap region the reference's GEOS union keeps INSIDE
+    minlon = min(r[:, 0].min() for r in outers)
+    maxlon = max(r[:, 0].max() for r in outers)
+    minlat = min(r[:, 1].min() for r in outers)
+    maxlat = max(r[:, 1].max() for r in outers)
+    gx, gy = np.meshgrid(
+        np.linspace(minlon, maxlon, 120), np.linspace(minlat, maxlat, 120)
+    )
+    lon, lat = gx.ravel(), gy.ravel()
+    depth = np.zeros(lon.shape[0], dtype=np.int64)
+    for r in outers:
+        depth += points_in_rings(lon, lat, [r]).astype(np.int64)
+    in_hole = np.zeros(lon.shape[0], dtype=bool)
+    for r, h in zip(rings, holes):
+        if h:
+            in_hole |= points_in_rings(lon, lat, [r])
+    overlap = (depth == 2) & ~in_hole
+    assert overlap.any(), "expected overlapping outers in serbia.poly"
+    got = points_in_rings(lon[overlap], lat[overlap], rings, holes=holes)
+    assert got.all(), "overlap region must be IN under union semantics"
+    # and the old flat-parity composition disagrees there (the r04 VERDICT
+    # divergence, now confined to the compat path)
+    old = points_in_rings(lon[overlap], lat[overlap], rings)
+    assert not old.any()
 
 
 def test_zorder_interleave_matches_python_reference():

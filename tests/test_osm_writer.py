@@ -179,22 +179,55 @@ def test_relation_members_and_way_refs_roundtrip(spark, tmp_path):
     assert out_r[0][7] == [("n", 5, "stop"), ("w", 10, ""), ("r", 31, "sub&rel")]
 
 
-def test_mixed_formats_rejected(spark, tmp_path):
-    from osm_history_splitter_spark.model import NODE_SCHEMA
-    from osm_history_splitter_spark.plans.catalog import Extract, ExtractCatalog
+def test_mixed_formats_one_run_reference_example_config(spark, tmp_path):
+    """The reference's own ``example.config`` mixes ``.osh`` +
+    ``.osh.pbf`` + ``.osh.gz`` + ``.osh.bz2`` dests in ONE run
+    (``example.config:1-4``; format per dest via ``cut.hpp:73-74``). A
+    single ``write_extracts_osm`` call must honor every per-extract
+    format, and each output must decode to exactly the rows an all-.osh
+    run emits for that extract."""
+    import bz2
 
-    nodes = (
-        spark.createDataFrame([], schema=NODE_SCHEMA)
-        .withColumn("extract", F.lit("a"))
+    from osm_history_splitter_spark.sources.config import parse_config_dests
+    from osm_history_splitter_spark.sources.pbf import read_pbf
+
+    cat = parse_config(f"{REF}/example.config")
+    dests = parse_config_dests(f"{REF}/example.config")
+    assert sorted(
+        dests[n].rsplit(".osh", 1)[-1] for n in dests
+    ) == ["", ".bz2", ".gz", ".pbf"]
+
+    nodes, ways, rels = load_osm_dataframes(spark, FIXTURE)
+    res = softcut(nodes, ways, rels, cat)
+    mixed = write_extracts_osm(
+        res.nodes, res.ways, res.relations, cat, str(tmp_path / "mixed"),
+        filenames=dests,
     )
-    cat = ExtractCatalog(
-        [Extract.bbox("a", 0, 0, 1, 1), Extract.bbox("b", 0, 0, 1, 1)]
+    plain = write_extracts_osm(
+        res.nodes, res.ways, res.relations, cat, str(tmp_path / "plain"),
+        filenames={n: f"{n}.osh" for n in dests},
     )
-    with pytest.raises(ValueError, match="format"):
-        write_extracts_osm(
-            nodes, nodes, nodes, cat, str(tmp_path),
-            filenames={"a": "a.osm", "b": "b.osh"},
-        )
+    assert set(mixed) == set(plain) == set(dests)
+
+    def decode(path: str):
+        if path.endswith(".pbf"):
+            return read_pbf(path)
+        if path.endswith(".gz"):
+            raw = gzip.decompress(open(path, "rb").read())
+        elif path.endswith(".bz2"):
+            raw = bz2.decompress(open(path, "rb").read())
+        else:
+            return parse_osm_xml(path)
+        p = tmp_path / "dec.osh"
+        p.write_bytes(raw)
+        return parse_osm_xml(p)
+
+    for name in dests:
+        got_n, got_w, got_r = decode(mixed[name])
+        exp_n, exp_w, exp_r = parse_osm_xml(plain[name])
+        assert got_n == exp_n, name
+        assert got_w == exp_w, name
+        assert got_r == exp_r, name
 
 
 def test_config_dests_preserve_relative_dirs(spark, tmp_path):
