@@ -121,7 +121,8 @@ def _run_once(sf_dir: str, cores: int | None = None) -> dict:
     # ~3.3 s stage-scheduling floor (BENCH.md): pages written once to
     # tmpfs (generation unmeasured), split measured warm (best of 2)
     split_thr, split_pages = _split_throughput(spark)
-    sink_thr = _sink_throughput(spark)
+    sink_thr = _sink_throughput(spark, sf_dir)
+    cdc = _cdc_speedup(spark, sf_dir)
 
     # cap-induced recall loss must be visible, not a silent unknown: the
     # hot-bucket caps in the LSH paths report what they dropped (counters
@@ -146,6 +147,7 @@ def _run_once(sf_dir: str, cores: int | None = None) -> dict:
         "rows": rows,
         "cap_drops": cap_drops,
         **sink_thr,
+        **cdc,
         "cores": cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
     }
     spark.stop()
@@ -156,7 +158,7 @@ def _run_once(sf_dir: str, cores: int | None = None) -> dict:
     return out
 
 
-def _sink_throughput(spark, replicate: int = 16) -> dict:
+def _sink_throughput(spark, sf_dir: str, replicate: int = 16) -> dict:
     """Reference-format sink throughput (elements/sec) on a ~640k-element
     two-extract world written to tmpfs: XML (Catalyst serialization +
     stream-concat) and PBF (executor-packed blobs). One timed emit each
@@ -176,7 +178,8 @@ def _sink_throughput(spark, replicate: int = 16) -> dict:
     from osm_history_splitter_spark.plans.osm_writer import write_extracts_osm
 
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    pts = part_nodes(spark, "/root/testdata/sf0.1")
+    pts = part_nodes(spark, sf_dir)
+    n_elems = pts.count() * replicate  # once, outside the timed region
     nodes = (
         pts.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(replicate - 1))))
         .select(
@@ -193,7 +196,6 @@ def _sink_throughput(spark, replicate: int = 16) -> dict:
             F.when(F.col("lon") < 0, "west").otherwise("east").alias("extract"),
         )
     )
-    n_elems = 20000 * replicate
     ways = spark.createDataFrame([], WAY_SCHEMA).withColumn(
         "extract", F.lit("west")
     )
@@ -219,6 +221,141 @@ def _sink_throughput(spark, replicate: int = 16) -> dict:
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+def _cdc_speedup(spark, sf_dir: str, replicate: int = 16) -> dict:
+    """Incremental re-split (CDC) vs from-scratch at ~1% churn — the
+    headline CDC number. A replicated entity world (part→nodes with a
+    ~2 KB tag payload, orders→ways) is split+published once; then the
+    world gains v2 rows for 1% of node ids and BOTH paths process the
+    new dump: a full run_split publishing to a fresh table vs
+    incremental_resplit against the previous checkpoint+table. Same
+    input, same output state (equivalence is pytest-certified in
+    tests/test_incremental.py); only the wall differs.
+
+    World shape matters for what this measures: real OSM rows carry fat
+    tag dicts, so pass-2 materialization + output/publish writes (what
+    CDC skips for the untouched 99%) dominate the narrow marker/diff
+    joins (what CDC must still pay). A thin-payload world would instead
+    measure fixed per-job overheads, which CDC cannot beat."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from osm_history_splitter_spark.model import RELATION_SCHEMA
+    from osm_history_splitter_spark.oracle_queries import order_ways, part_nodes
+    from osm_history_splitter_spark.plans.catalog import Extract, ExtractCatalog
+    from osm_history_splitter_spark.splitter import (
+        incremental_resplit,
+        run_split,
+    )
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="bench_cdc_", dir=base)
+
+    def entity_cols(idc):
+        return [
+            F.lit(1).alias("version"),
+            F.lit(True).alias("visible"),
+            F.to_timestamp(F.lit("2020-01-01 00:00:00")).alias("ts"),
+            F.lit(7).cast("long").alias("uid"),
+            idc.alias("changeset"),
+            F.lit("bench").alias("user"),
+        ]
+
+    def worlds():
+        """Synthesize the two dump states and WRITE them to tmpfs
+        parquet — both timed paths then read a real source (a lazy
+        synthetic lineage would be re-generated on every action,
+        charging world synthesis to whichever path runs more jobs)."""
+        pts = part_nodes(spark, sf_dir).withColumn(
+            "rep", F.explode(F.sequence(F.lit(0), F.lit(replicate - 1)))
+        )
+        idc = F.col("id") * replicate + F.col("rep")
+        # ~2 KB incompressible payload per node (64 chained md5 hexes):
+        # repeated/constant strings would dictionary-compress to nothing
+        # and understate the materialization cost CDC avoids
+        payload = F.concat_ws(
+            "",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(64)),
+                lambda k: F.md5(
+                    F.concat(idc.cast("string"), F.lit("#"), k.cast("string"))
+                ),
+            ),
+        )
+        nodes1 = pts.select(
+            idc.alias("id"), *entity_cols(idc), "lat", "lon",
+            F.create_map(F.lit("payload"), payload).alias("tags"),
+        )
+        # 1% churn: ids ending in 00 gain a v2 with a nudged position
+        upd = nodes1.filter(F.col("id") % 100 == 0).withColumn(
+            "version", F.lit(2)
+        ).withColumn("lat", F.col("lat") + 0.001)
+        nodes2 = nodes1.unionByName(upd)
+        # ways replicate 8x less than nodes: the marker stages (which
+        # both paths pay in full) scale with ways/refs, the payload
+        # savings scale with nodes — keep the node-heavy realistic ratio
+        wrep = max(1, replicate // 8)
+        w = order_ways(spark, sf_dir).withColumn(
+            "rep", F.explode(F.sequence(F.lit(0), F.lit(wrep - 1)))
+        )
+        widc = F.col("id") * replicate + F.col("rep")
+        ways = w.select(
+            widc.alias("id"), *entity_cols(widc),
+            F.transform(
+                "refs", lambda r: r * replicate + F.col("rep")
+            ).alias("refs"),
+            F.create_map(F.lit("hw"), F.lit("road")).alias("tags"),
+        )
+        rels = spark.createDataFrame([], RELATION_SCHEMA)
+        out = []
+        for name, frame in (
+            ("nodes1", nodes1), ("nodes2", nodes2), ("ways", ways)
+        ):
+            frame.write.mode("overwrite").parquet(f"{work}/world/{name}")
+            out.append(spark.read.parquet(f"{work}/world/{name}"))
+        return (*out, rels)
+
+    nodes1, nodes2, ways, rels = worlds()
+    cat = ExtractCatalog(
+        [
+            Extract.bbox("west", -180.0, -90.0, 0.0, 90.0),
+            Extract.bbox("east", 0.0, -90.0, 180.0, 90.0),
+            Extract.bbox("north", -180.0, 0.0, 180.0, 90.0),
+            Extract.bbox("tropics", -180.0, -23.5, 180.0, 23.5),
+        ]
+    )
+    try:
+        # tick 1 (setup, untimed): full split + publish + checkpoints
+        run_split(
+            spark, nodes1, ways, rels, cat, f"{work}/o1", mode="softcut",
+            checkpoint_dir=f"{work}/ck1", publish_table=f"{work}/pub",
+        )
+        # from-scratch path on the updated dump (fresh table, fair: same
+        # checkpoint + publish work a non-CDC pipeline would redo)
+        t0 = time.perf_counter()
+        run_split(
+            spark, nodes2, ways, rels, cat, f"{work}/o2", mode="softcut",
+            checkpoint_dir=f"{work}/ck2full",
+            publish_table=f"{work}/pub_full",
+        )
+        full_wall = time.perf_counter() - t0
+        # CDC path on the same updated dump
+        t0 = time.perf_counter()
+        incremental_resplit(
+            spark, nodes2, ways, rels, cat, f"{work}/pub",
+            f"{work}/ck1", f"{work}/ck2",
+        )
+        inc_wall = time.perf_counter() - t0
+        return {
+            "cdc_full_sec": round(full_wall, 2),
+            "cdc_incremental_sec": round(inc_wall, 2),
+            "incremental_speedup": round(full_wall / inc_wall, 2),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def _split_throughput(spark, replicate: int = 512) -> tuple[float, int]:

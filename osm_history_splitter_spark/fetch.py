@@ -164,6 +164,27 @@ def fetch_and_split(
                 e: manifest[e]["affected_ids"]
                 for e in ("nodes", "ways", "relations")
             }
+            if emit_osm:
+                # keep the reference-format files in step with the
+                # published tables: CDC tracks changes per id, not per
+                # extract, so any change refreshes every dest of this
+                # config from the freshly-committed tables (scan-only —
+                # stats-pruned per-extract reads, no re-split). A no-op
+                # tick rebuilds nothing.
+                from .splitter import emit_osm_from_published
+
+                affected = sum(
+                    manifest[e]["affected_ids"]
+                    for e in ("nodes", "ways", "relations")
+                )
+                if affected > 0:
+                    paths = emit_osm_from_published(
+                        spark, str(pub), catalog, str(out / "osm"),
+                        filenames=parse_config_dests(cfg),
+                    )
+                    report.setdefault("emitted", {})[cfg.stem] = sorted(
+                        paths
+                    )
         else:
             manifest = run_split(
                 spark, nodes, ways, relations, catalog, str(out), mode=mode,

@@ -29,8 +29,10 @@ stream-concat:
    reference pays for its entire run, here paid only at the very end.
 
 Timestamps are rendered in the Spark session time zone with a ``Z``
-suffix, matching the fixture loader's naive parse (``sources/osm_xml._ts``)
-— a UTC session (the default here) round-trips exactly.
+suffix, matching the fixture loader's naive parse (``sources/osm_xml._ts``).
+The sink REQUIRES a UTC session (``session.get_spark`` pins it;
+``write_extracts_osm`` verifies and raises otherwise) — a non-UTC session
+would shift every rendered time while still labeling it ``Z``.
 """
 
 from __future__ import annotations
@@ -273,6 +275,17 @@ def write_extracts_osm(
     job over the unfiltered frames; mixed catalogs (the reference's
     ``example.config``) add one filtered pass per extra format."""
     from .catalog import ExtractCatalog
+
+    # Both serializers treat timestamps as UTC: the XML path renders the
+    # session-local timestamp with a literal "Z", and the PBF encoders
+    # stamp epoch millis assuming naive==UTC. A non-UTC session would
+    # emit shifted times LABELED as UTC — refuse instead of corrupting.
+    tz = nodes.sparkSession.conf.get("spark.sql.session.timeZone", "")
+    if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+        raise ValueError(
+            f"OSM sinks require spark.sql.session.timeZone=UTC (got {tz!r});"
+            " session.get_spark pins it — set it on custom sessions"
+        )
 
     filenames = filenames or {e.name: f"{e.name}.osh" for e in catalog}
     fmts = {name: parse_format(fn) for name, fn in filenames.items()}

@@ -106,20 +106,34 @@ class VersionedTable:
         merge_key: str | list[str] | None = None,
         stats_cols: list[str] | None = None,
         also_delete: DataFrame | None = None,
+        strategy: str = "cow",
     ) -> int:
         """Atomically commit ``df`` as the next version. Modes:
 
         - ``append``: new snapshot = previous files + the new commit's;
         - ``overwrite``: new snapshot = the new commit's files only;
         - ``merge``: upsert by ``merge_key`` (a column or list of
-          columns) — previous rows whose key appears in ``df`` are
-          replaced (previous data is read, anti-joined, and rewritten
-          into the new commit dir; file-level rewrite, the simple
-          strategy — real engines add delete files);
+          columns) — previous rows whose key appears in ``df`` (or in
+          ``also_delete``) vanish, ``df``'s rows land;
         - ``delete``: ``df`` carries ONLY the key columns; the new
-          snapshot is the previous data minus rows matching any key
-          (same anti-join rewrite as merge, with nothing appended).
+          snapshot is the previous data minus rows matching any key.
+
+        ``strategy`` (merge/delete only) picks HOW previous rows vanish:
+
+        - ``cow`` (copy-on-write, the default): previous data is read,
+          anti-joined, and REWRITTEN into the new commit dir — commits
+          cost O(table), reads stay plain scans. Right for full
+          republishes and read-heavy tables;
+        - ``mor`` (merge-on-read): the commit writes only ``df``'s rows
+          plus a small EQUALITY-DELETE key file (the Iceberg idea); the
+          snapshot keeps previous files as-is and ``read()`` anti-joins
+          the accumulated delete keys against every data file OLDER
+          than each delete. Commits cost O(delta) — the shape an
+          incremental CDC pipeline needs — at the price of read-side
+          anti-joins that grow until :meth:`compact`.
         """
+        if strategy not in ("cow", "mor"):
+            raise ValueError(f"strategy must be cow|mor: {strategy!r}")
         vs = self.versions()
         nxt = (vs[-1] + 1) if vs else 1
         # commit-dir ids are decoupled from manifest versions: a crashed
@@ -132,11 +146,19 @@ class VersionedTable:
             if p.name[1:].isdigit()
         ]
         cdir = data_root / f"c{(max(used) + 1) if used else 1}"
+        mor = strategy == "mor" and mode in ("merge", "delete") and vs
+        new_deletes: list[tuple[DataFrame, list[str]]] = []
         if mode == "merge":
             if not merge_key:
                 raise ValueError("merge mode requires merge_key")
             keys = [merge_key] if isinstance(merge_key, str) else list(merge_key)
-            if vs:
+            if vs and mor:
+                new_deletes.append((df.select(*keys).distinct(), keys))
+                if also_delete is not None:
+                    new_deletes.append(
+                        (also_delete.distinct(), list(also_delete.columns))
+                    )
+            elif vs:
                 prev = self.read()
                 keep = prev.join(
                     df.select(*keys).distinct(), keys, "left_anti"
@@ -151,17 +173,22 @@ class VersionedTable:
                         "left_anti",
                     )
                 df = keep.unionByName(df)
-            mode_files = "self"
+            mode_files = "mor" if mor else "self"
         elif mode == "delete":
             if not merge_key:
                 raise ValueError("delete mode requires merge_key")
             if not vs:
                 raise FileNotFoundError("delete on an empty table")
             keys = [merge_key] if isinstance(merge_key, str) else list(merge_key)
-            df = self.read().join(
-                df.select(*keys).distinct(), keys, "left_anti"
-            )
-            mode_files = "self"
+            if mor:
+                new_deletes.append((df.select(*keys).distinct(), keys))
+                df = None  # nothing appended; the commit is keys-only
+                mode_files = "mor"
+            else:
+                df = self.read().join(
+                    df.select(*keys).distinct(), keys, "left_anti"
+                )
+                mode_files = "self"
         elif mode in ("append", "overwrite"):
             mode_files = mode
         else:
@@ -183,16 +210,36 @@ class VersionedTable:
 
         final = self.path / "_manifests" / f"v{nxt}.json"
         try:
-            df.write.mode("errorifexists").parquet(str(cdir))
+            if df is not None:
+                df.write.mode("errorifexists").parquet(str(cdir))
             files = sorted(
                 str(f) for f in cdir.glob("*.parquet") if f.stat().st_size > 0
-            )
+            ) if df is not None else []
             stats = _file_stats(files, stats_cols) if stats_cols else {}
-            if mode_files == "append" and vs:
+            added = {f: nxt for f in files}
+            delete_entries: list[dict] = []
+            for i, (keys_df, key_cols) in enumerate(new_deletes):
+                ddir = cdir / f"_deletes_{i}"
+                keys_df.write.mode("errorifexists").parquet(str(ddir))
+                dfiles = sorted(
+                    str(f)
+                    for f in ddir.glob("*.parquet")
+                    if f.stat().st_size > 0
+                )
+                if dfiles:
+                    delete_entries.append(
+                        {"files": dfiles, "keys": key_cols, "seq": nxt}
+                    )
+            if mode_files in ("append", "mor") and vs:
                 prev = self._manifest(vs[-1])
                 files = prev["files"] + files
-                # stats carry over file-by-file across snapshots
+                # stats carry over file-by-file across snapshots; so do
+                # per-file add-sequences and accumulated delete entries
+                # (files in manifests that predate "added" default to
+                # seq 0 — older than every delete, which is correct)
                 stats = {**prev.get("stats", {}), **stats}
+                added = {**prev.get("added", {}), **added}
+                delete_entries = prev.get("deletes", []) + delete_entries
             manifest = {
                 "version": nxt,
                 "parent": vs[-1] if vs else None,
@@ -203,6 +250,9 @@ class VersionedTable:
             }
             if stats:
                 manifest["stats"] = stats
+            if delete_entries:
+                manifest["deletes"] = delete_entries
+                manifest["added"] = added
             tmp = self.path / "_manifests" / f".v{nxt}.json.tmp"
             tmp.write_text(json.dumps(manifest, indent=1))
             if final.exists():  # unreachable while claims persist
@@ -251,7 +301,15 @@ class VersionedTable:
         [lo, hi] (files without stats are conservatively kept) and
         applies the exact filter on what remains. With a z-ordered or
         range-partitioned write layout this is real file pruning — the
-        scan list shrinks before Spark ever opens a footer."""
+        scan list shrinks before Spark ever opens a footer.
+
+        Snapshots carrying equality deletes (``strategy='mor'`` commits)
+        apply them here: data files are grouped by the commit that added
+        them and each group is anti-joined against every delete NEWER
+        than it (a delete never touches rows committed after it — the
+        same sequence-number rule as Iceberg's equality deletes). Delete
+        key sets sharing a key shape are unioned so each group pays one
+        anti-join per shape, not per commit."""
         vs = self.versions()
         if not vs:
             raise FileNotFoundError(f"no committed version at {self.path}")
@@ -260,27 +318,53 @@ class VersionedTable:
             raise FileNotFoundError(f"version {v} not in {vs}")
         m = self._manifest(v)
         files = m["files"]
+        deletes = m.get("deletes", [])
         if between is None:
-            return self.spark.read.parquet(*files)
-        col, lo, hi = between
-        stats = m.get("stats", {})
-        kept = [
-            f
-            for f in files
-            if (rng := stats.get(f, {}).get(col)) is None
-            or (rng[0] <= hi and rng[1] >= lo)
-        ]
+            kept = files
+        else:
+            col, lo, hi = between
+            stats = m.get("stats", {})
+            kept = [
+                f
+                for f in files
+                if (rng := stats.get(f, {}).get(col)) is None
+                or (rng[0] <= hi and rng[1] >= lo)
+            ]
+        from pyspark.sql import functions as F
+
         if not kept:
             # empty frame with the snapshot's schema (read one file's
             # schema, filter to nothing)
-            from pyspark.sql import functions as F
-
-            return self.spark.read.parquet(files[0]).filter(F.lit(False))
-        from pyspark.sql import functions as F
-
-        return self.spark.read.parquet(*kept).filter(
-            F.col(col).between(F.lit(lo), F.lit(hi))
-        )
+            out = self.spark.read.parquet(files[0]).filter(F.lit(False))
+        elif not deletes:
+            out = self.spark.read.parquet(*kept)
+        else:
+            added = m.get("added", {})
+            by_seq: dict[int, list[str]] = {}
+            for f in kept:
+                by_seq.setdefault(added.get(f, 0), []).append(f)
+            parts = []
+            for seq in sorted(by_seq):
+                part = self.spark.read.parquet(*by_seq[seq])
+                # union delete key sets per key shape before joining —
+                # one anti-join per shape per group
+                by_shape: dict[tuple, list[str]] = {}
+                for d in deletes:
+                    if d["seq"] > seq:
+                        by_shape.setdefault(
+                            tuple(d["keys"]), []
+                        ).extend(d["files"])
+                for shape, dfiles in by_shape.items():
+                    keys_df = self.spark.read.parquet(*dfiles).distinct()
+                    part = part.join(keys_df, list(shape), "left_anti")
+                parts.append(part)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+        if between is None:
+            return out
+        col, lo, hi = between
+        return out.filter(F.col(col).between(F.lit(lo), F.lit(hi)))
 
     def pruned_files(
         self, between: tuple[str, object, object], version: int | None = None
@@ -299,6 +383,16 @@ class VersionedTable:
             or (rng[0] <= hi and rng[1] >= lo)
         ]
         return len(kept), len(m["files"])
+
+    def compact(self, stats_cols: list[str] | None = None) -> int:
+        """Fold accumulated merge-on-read state into a clean snapshot:
+        one overwrite commit of the current resolved view. Read cost
+        returns to a plain scan; older MOR snapshots stay
+        time-travelable (their delete files remain referenced by their
+        manifests, so vacuum keeps them)."""
+        return self.commit(
+            self.read(), mode="overwrite", stats_cols=stats_cols
+        )
 
     def vacuum(self) -> list[str]:
         """Delete data files referenced by NO manifest (orphans from
@@ -327,7 +421,10 @@ class VersionedTable:
             )
         referenced: set[str] = set()
         for v in self.versions():
-            referenced.update(self._manifest(v)["files"])
+            m = self._manifest(v)
+            referenced.update(m["files"])
+            for d in m.get("deletes", []):
+                referenced.update(d["files"])
         deleted: list[str] = []
         data_root = self.path / "data"
         if not data_root.exists():

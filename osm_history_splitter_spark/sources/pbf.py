@@ -342,9 +342,9 @@ def _decode_info(buf: bytes, strings: list[str], dgran: int = _DATE_GRANULARITY)
         if f == 1:
             version = v
         elif f == 2:
-            ts = dt.datetime.utcfromtimestamp(
-                _to_signed64(v) * dgran / 1000.0
-            )
+            ts = dt.datetime.fromtimestamp(
+                _to_signed64(v) * dgran / 1000.0, tz=dt.timezone.utc
+            ).replace(tzinfo=None)
         elif f == 3:
             changeset = _to_signed64(v)
         elif f == 4:
@@ -400,7 +400,9 @@ def _decode_dense(
             ki += 2
         ki += 1  # skip the 0 separator
         ts = (
-            dt.datetime.utcfromtimestamp(tss[j] * dgran / 1000.0)
+            dt.datetime.fromtimestamp(
+                tss[j] * dgran / 1000.0, tz=dt.timezone.utc
+            ).replace(tzinfo=None)
             if tss[j] is not None
             else None
         )

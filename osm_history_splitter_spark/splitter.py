@@ -158,10 +158,19 @@ def _publish(spark, outs: dict, publish_dir: str) -> dict:
     manifest records per-file [min, max] for both columns, so
     ``table.read(between=("extract", name, name))`` prunes to one
     extract's files without opening the rest — the published-table
-    analog of ``read_extract``'s partition pruning."""
+    analog of ``read_extract``'s partition pruning.
+
+    A re-publish from a FULL split is the new truth for the whole table:
+    published keys absent from the new output (a redacted version, a
+    membership loss, a config change) are passed as ``also_delete`` so
+    the merge snapshot equals the split output exactly — without this a
+    vanished row would silently survive every subsequent dump. (The
+    incremental path computes its own, narrower ``also_delete`` from
+    affected ids — ``incremental_resplit``.)"""
     from .plans.table import VersionedTable
 
     n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    key = ["id", "version", "extract"]
     versions = {}
     for entity in ("nodes", "ways", "relations"):
         t = VersionedTable(spark, f"{publish_dir}/{entity}")
@@ -171,10 +180,14 @@ def _publish(spark, outs: dict, publish_dir: str) -> dict:
             .sortWithinPartitions("extract", "id", "version")
         )
         if t.versions():
+            gone = t.read().select(*key).join(
+                df.select(*key), key, "left_anti"
+            )
             versions[entity] = t.commit(
                 df, mode="merge",
-                merge_key=["id", "version", "extract"],
+                merge_key=key,
                 stats_cols=["extract", "id"],
+                also_delete=gone,
             )
         else:
             versions[entity] = t.commit(df, stats_cols=["extract", "id"])
@@ -380,6 +393,7 @@ def incremental_resplit(
     prev_checkpoint_dir: str,
     checkpoint_dir: str,
     n_buckets: int | None = None,
+    publish_strategy: str = "mor",
 ) -> dict:
     """Incremental softcut against a PUBLISHED previous split: recompute
     only what a world update changed, and commit it atomically per
@@ -443,19 +457,46 @@ def incremental_resplit(
 
     def markers(store, entity):
         if entity == "nodes":
+            # plain loads: a union of two bucketed scans + distinct is
+            # planner-unsafe (checkpoint.load_plain docstring)
             return (
                 store.load_plain("node_members")
                 .unionByName(store.load_plain("extra_nodes"))
                 .distinct()
             )
-        return store.load_plain(
+        # single-stage markers load BUCKETED (id): the pass-2-style joins
+        # on id below see the bucketing and skip the marker-side Exchange
+        return store.load(
             "way_members" if entity == "ways" else "relation_members"
         )
+
+    def _marker_rows(store, entity):
+        """Total checkpointed marker rows from _DONE metadata — O(1)
+        driver-side, no job."""
+        names = (
+            ("node_members", "extra_nodes")
+            if entity == "nodes"
+            else (("way_members",) if entity == "ways" else ("relation_members",))
+        )
+        return sum(store._meta(n).get("rows", 0) for n in names)
 
     report = {}
     for entity, df in (
         ("nodes", nodes), ("ways", ways), ("relations", relations)
     ):
+        t = VersionedTable(spark, f"{publish_dir}/{entity}")
+        if _marker_rows(new_store, entity) == 0 == _marker_rows(
+            old_store, entity
+        ):
+            # no members before or after: nothing could have changed —
+            # skip the whole diff machinery for this entity (metadata
+            # decision, zero jobs)
+            report[entity] = {
+                "version": (t.versions() or [None])[-1],
+                "affected_ids": 0,
+                "upserted_rows": 0,
+            }
+            continue
         new_m = markers(new_store, entity)
         old_m = markers(old_store, entity)
         # (1) membership diff, both directions, at (id, extract) grain
@@ -468,12 +509,13 @@ def incremental_resplit(
         # restricted to CURRENT members: a nonmember id's versions can
         # never appear in the output, so comparing them against the
         # member-only published table would flag every nonmember forever
-        t = VersionedTable(spark, f"{publish_dir}/{entity}")
-        pub_versions = t.read().select("id", "version").distinct()
-        world_versions = (
-            df.join(new_m.select("id").distinct(), "id")
-            .select("id", "version")
-            .distinct()
+        # both diff inputs may carry duplicate (id, version) pairs (one
+        # per extract) — anti-joins are duplicate-tolerant and the result
+        # feeds affected's distinct(), so NO pre-distinct: at planet
+        # scale each dropped distinct is a full shuffle of the table
+        pub_versions = t.read().select("id", "version")
+        world_versions = df.join(new_m, "id", "left_semi").select(
+            "id", "version"
         )
         data_changed = (
             world_versions.join(pub_versions, ["id", "version"], "left_anti")
@@ -484,12 +526,38 @@ def incremental_resplit(
             )
             .select("id")
         )
-        affected = flipped.unionByName(data_changed).distinct()
-        # (3) pass 2 over affected ids only
-        rows = df.join(affected, "id").join(new_m, "id")
-        n_aff = affected.count()
+        # the affected-id set is consumed by three actions (its own
+        # count, the pass-2 join, the commit's also_delete) and its
+        # lineage re-runs every marker diff plus a published-table scan
+        # per action — persist the tiny id set once instead
+        affected = (
+            flipped.unionByName(data_changed).distinct().persist()
+        )
+        n_aff = affected.count()  # materializes the persist
+        if n_aff == 0:
+            # nothing changed for this entity: no commit, the published
+            # head stays the state of truth (a no-op tick costs the diff
+            # jobs only)
+            affected.unpersist()
+            report[entity] = {
+                "version": (t.versions() or [None])[-1],
+                "affected_ids": 0,
+                "upserted_rows": 0,
+            }
+            continue
+        # (3) pass 2 over affected ids only; consumed twice (count +
+        # commit write) — persist so the world is scanned once. The
+        # affected set is the tiny side by construction (the churn):
+        # broadcast it so the world scan never shuffles
+        rows = (
+            df.join(F.broadcast(affected), "id").join(new_m, "id").persist()
+        )
         n_rows = rows.count()
-        # (4) one atomic delete-and-upsert commit
+        # (4) one atomic delete-and-upsert commit. Merge-on-read: the
+        # commit writes ONLY the recomputed rows plus an equality-delete
+        # key file for the affected ids — O(delta), never a rewrite of
+        # the untouched 99% (plans/table.py; compact() folds the state
+        # when read amplification matters more than commit latency)
         version = t.commit(
             rows.repartitionByRange(n_buckets, "extract", "id", "version")
             .sortWithinPartitions("extract", "id", "version"),
@@ -497,7 +565,10 @@ def incremental_resplit(
             merge_key=["id"],
             also_delete=affected,
             stats_cols=["extract", "id"],
+            strategy=publish_strategy,
         )
+        rows.unpersist()
+        affected.unpersist()
         report[entity] = {
             "version": version,
             "affected_ids": n_aff,

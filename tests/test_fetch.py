@@ -173,16 +173,30 @@ def test_continuous_incremental_fetch_service(spark, tmp_path, monkeypatch):
 
     publish_dump("2024-01-01", False)
     r1 = fetch_and_split(
-        spark, f"file://{m}", str(work), loader, incremental=True
+        spark, f"file://{m}", str(work), loader, incremental=True,
+        emit_osm=True,
     )
     assert "incremental" not in r1  # first tick = full split
     t = VersionedTable(spark, str(work / "published" / "t" / "nodes"))
     assert t.read().count() == 8
+    osm1 = work / "extracts" / "2024-01-01" / "t" / "osm" / "t.osh"
+    assert osm1.exists()
 
     publish_dump("2024-02-01", True)
     r2 = fetch_and_split(
-        spark, f"file://{m}", str(work), loader, incremental=True
+        spark, f"file://{m}", str(work), loader, incremental=True,
+        emit_osm=True,
     )
     assert r2["incremental"]["t"]["nodes"] == 1  # only id 0 changed
     assert t.read().count() == 9
     assert t.read(version=1).count() == 8  # the January state, intact
+    # emit_osm on an incremental tick refreshes the extract file from the
+    # published tables (it used to go silently stale in CDC mode)
+    assert r2["emitted"] == {"t": ["t"]}
+    osm2 = work / "extracts" / "2024-02-01" / "t" / "osm" / "t.osh"
+    from osm_history_splitter_spark.sources.osm_xml import parse_osm_xml
+
+    out_n, _, _ = parse_osm_xml(osm2)
+    assert {(r[0], r[1]) for r in out_n} == {(i, 1) for i in range(8)} | {
+        (0, 2)
+    }

@@ -217,3 +217,37 @@ def test_emit_osm_from_published_refreshes_only_affected(spark, tmp_path):
     old_n, _, _ = parse_osm_xml(old["t"])
     old_ids = {(r[0], r[1]) for r in old_n}
     assert (3, 1) in old_ids and (30, 1) not in old_ids
+
+
+def test_full_republish_deletes_vanished_rows(spark, tmp_path):
+    """Repeated FULL split runs with publish_table (the CLI
+    --publish-table path) must make the published snapshot equal the new
+    split output exactly: a row that lost membership between dumps (node
+    3 leaves the bbox in world2) has to VANISH from the table, not
+    survive the merge."""
+    cat = ExtractCatalog([Extract.bbox("t", -1.0, -1.0, 1.0, 1.0)])
+    pub = str(tmp_path / "pub")
+    n1, w1, r1 = _world1(spark)
+    run_split(
+        spark, n1, w1, r1, cat, str(tmp_path / "o1"),
+        mode="softcut", publish_table=pub,
+    )
+    t = VersionedTable(spark, f"{pub}/nodes")
+    assert (3, 1) in {(r["id"], r["version"]) for r in t.read().collect()}
+
+    n2, w2, r2 = _world2(spark)
+    run_split(
+        spark, n2, w2, r2, cat, str(tmp_path / "o2"),
+        mode="softcut", publish_table=pub,
+    )
+    got = {(r["id"], r["version"]) for r in t.read().collect()}
+    # node 3 left the bbox entirely -> gone; node 30 entered; 5 gained v2
+    assert (3, 1) not in got
+    assert (30, 1) in got and (5, 2) in got
+    # snapshot equals the fresh split output exactly
+    fresh = spark.read.parquet(str(tmp_path / "o2" / "nodes"))
+    expect = {(r["id"], r["version"]) for r in fresh.collect()}
+    assert got == expect
+    # time travel still shows the old snapshot
+    old = {(r["id"], r["version"]) for r in t.read(version=1).collect()}
+    assert (3, 1) in old

@@ -313,3 +313,89 @@ def test_oracle_table_read_prunes_and_matches_raw(spark):
     tbl = VersionedTable(spark, str(root))
     kept, total = tbl.pruned_files(("event_id", lo, hi))
     assert total == 6 and kept < total, (kept, total)
+
+
+def _rows(t, **kw):
+    return sorted((r["id"], r["tag"]) for r in t.read(**kw).collect())
+
+
+def test_mor_merge_is_delta_only_and_reads_resolve(spark, tmp_path):
+    """strategy='mor': a merge commit adds ONLY the upserted rows' files
+    plus an equality-delete key file — no rewrite of previous files —
+    and read() resolves to exactly the copy-on-write result."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_df(spark, 0, 10, "a"))
+    files_v1 = set(t._manifest(1)["files"])
+
+    upd = _df(spark, 3, 6, "b")
+    gone = spark.range(8, 10).select("id")
+    v2 = t.commit(
+        upd, mode="merge", merge_key="id", also_delete=gone, strategy="mor"
+    )
+    m = t._manifest(v2)
+    # every v1 file is still in the snapshot untouched (no rewrite)
+    assert files_v1 <= set(m["files"])
+    assert m["deletes"] and all(d["seq"] == v2 for d in m["deletes"])
+    assert _rows(t) == sorted(
+        [(i, "a") for i in (0, 1, 2, 6, 7)] + [(i, "b") for i in (3, 4, 5)]
+    )
+    # time travel: v1 unaffected by the delete files
+    assert _rows(t, version=1) == [(i, "a") for i in range(10)]
+
+
+def test_mor_delete_then_reinsert_sequence_rule(spark, tmp_path):
+    """A delete only applies to rows OLDER than it: re-inserting a key
+    after a MOR delete must survive (the Iceberg sequence-number rule)."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_df(spark, 0, 5, "a"))
+    t.commit(
+        spark.range(2, 4).select("id"), mode="delete", merge_key="id",
+        strategy="mor",
+    )
+    assert _rows(t) == [(0, "a"), (1, "a"), (4, "a")]
+    # re-insert id 2 via append: newer than the delete -> visible
+    t.commit(_df(spark, 2, 3, "c"))
+    assert _rows(t) == [(0, "a"), (1, "a"), (2, "c"), (4, "a")]
+    # and a second MOR merge deleting id 4 leaves the re-inserted row
+    t.commit(
+        _df(spark, 4, 5, "d"), mode="merge", merge_key="id", strategy="mor"
+    )
+    assert _rows(t) == [(0, "a"), (1, "a"), (2, "c"), (4, "d")]
+
+
+def test_mor_compact_folds_state_and_keeps_history(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_df(spark, 0, 6, "a"), stats_cols=["id"])
+    t.commit(
+        _df(spark, 1, 3, "b"), mode="merge", merge_key="id", strategy="mor"
+    )
+    before = _rows(t)
+    v = t.compact(stats_cols=["id"])
+    m = t._manifest(v)
+    assert "deletes" not in m  # clean snapshot
+    assert _rows(t) == before
+    # MOR snapshot still time-travelable, delete files survive vacuum
+    assert _rows(t, version=2) == before
+    t.vacuum()
+    assert _rows(t, version=2) == before
+
+
+def test_mor_read_with_between_pruning(spark, tmp_path):
+    """Stats pruning and equality deletes compose: a pruned range read
+    over a MOR snapshot still applies the delete keys."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(
+        _df(spark, 0, 100, "a").repartitionByRange(4, "id"),
+        stats_cols=["id"],
+    )
+    t.commit(
+        _df(spark, 10, 12, "b"), mode="merge", merge_key="id",
+        strategy="mor",
+    )
+    got = sorted(
+        (r["id"], r["tag"])
+        for r in t.read(between=("id", 5, 15)).collect()
+    )
+    assert got == [
+        (i, "b" if i in (10, 11) else "a") for i in range(5, 16)
+    ]
