@@ -289,11 +289,16 @@ def _cdc_speedup(spark, sf_dir: str, replicate: int = 16) -> dict:
             idc.alias("id"), *entity_cols(idc), "lat", "lon",
             F.create_map(F.lit("payload"), payload).alias("tags"),
         )
-        # 1% churn: ids ending in 00 gain a v2 with a nudged position
+        # 1% churn, two flavors: nodes2 nudges positions (some cross
+        # extract boundaries -> marker flips -> way markers must
+        # recompute); nodes3 is tag-only churn (new version, same
+        # geometry -- the most common OSM edit) where the signature gate
+        # adopts every way/relation marker stage wholesale
         upd = nodes1.filter(F.col("id") % 100 == 0).withColumn(
             "version", F.lit(2)
-        ).withColumn("lat", F.col("lat") + 0.001)
-        nodes2 = nodes1.unionByName(upd)
+        )
+        nodes2 = nodes1.unionByName(upd.withColumn("lat", F.col("lat") + 0.001))
+        nodes3 = nodes1.unionByName(upd)
         # ways replicate 8x less than nodes: the marker stages (which
         # both paths pay in full) scale with ways/refs, the payload
         # savings scale with nodes — keep the node-heavy realistic ratio
@@ -312,13 +317,14 @@ def _cdc_speedup(spark, sf_dir: str, replicate: int = 16) -> dict:
         rels = spark.createDataFrame([], RELATION_SCHEMA)
         out = []
         for name, frame in (
-            ("nodes1", nodes1), ("nodes2", nodes2), ("ways", ways)
+            ("nodes1", nodes1), ("nodes2", nodes2), ("nodes3", nodes3),
+            ("ways", ways),
         ):
             frame.write.mode("overwrite").parquet(f"{work}/world/{name}")
             out.append(spark.read.parquet(f"{work}/world/{name}"))
         return (*out, rels)
 
-    nodes1, nodes2, ways, rels = worlds()
+    nodes1, nodes2, nodes3, ways, rels = worlds()
     cat = ExtractCatalog(
         [
             Extract.bbox("west", -180.0, -90.0, 0.0, 90.0),
@@ -327,32 +333,52 @@ def _cdc_speedup(spark, sf_dir: str, replicate: int = 16) -> dict:
             Extract.bbox("tropics", -180.0, -23.5, 180.0, 23.5),
         ]
     )
+    repeats = int(os.environ.get("SPARK_GRAFT_CDC_REPEAT", "2"))
     try:
         # tick 1 (setup, untimed): full split + publish + checkpoints
         run_split(
             spark, nodes1, ways, rels, cat, f"{work}/o1", mode="softcut",
             checkpoint_dir=f"{work}/ck1", publish_table=f"{work}/pub",
         )
-        # from-scratch path on the updated dump (fresh table, fair: same
-        # checkpoint + publish work a non-CDC pipeline would redo)
-        t0 = time.perf_counter()
-        run_split(
-            spark, nodes2, ways, rels, cat, f"{work}/o2", mode="softcut",
-            checkpoint_dir=f"{work}/ck2full",
-            publish_table=f"{work}/pub_full",
-        )
-        full_wall = time.perf_counter() - t0
-        # CDC path on the same updated dump
-        t0 = time.perf_counter()
-        incremental_resplit(
-            spark, nodes2, ways, rels, cat, f"{work}/pub",
-            f"{work}/ck1", f"{work}/ck2",
-        )
-        inc_wall = time.perf_counter() - t0
+        # best-of-N per path (single-window walls swing ±2-5x under VM
+        # steal — BENCH.md "Suite-bench noise"); each incremental run
+        # gets its OWN copy of the published tables + checkpoints (the
+        # CDC commit advances the head, a re-run against it would no-op)
+        full_wall, inc_wall = [], []
+        for i in range(repeats):
+            t0 = time.perf_counter()
+            run_split(
+                spark, nodes2, ways, rels, cat, f"{work}/o2_{i}",
+                mode="softcut", checkpoint_dir=f"{work}/ck2full_{i}",
+                publish_table=f"{work}/pub_full_{i}",
+            )
+            full_wall.append(time.perf_counter() - t0)
+            shutil.copytree(f"{work}/pub", f"{work}/pub_{i}")
+            t0 = time.perf_counter()
+            incremental_resplit(
+                spark, nodes2, ways, rels, cat, f"{work}/pub_{i}",
+                f"{work}/ck1", f"{work}/ck2_{i}",
+            )
+            inc_wall.append(time.perf_counter() - t0)
+        # tag-only churn tick (signature fast path: way/relation markers
+        # adopted, only the nodes delta lands)
+        stable_wall = []
+        for i in range(repeats):
+            shutil.copytree(f"{work}/pub", f"{work}/pub_s{i}")
+            t0 = time.perf_counter()
+            incremental_resplit(
+                spark, nodes3, ways, rels, cat, f"{work}/pub_s{i}",
+                f"{work}/ck1", f"{work}/ck2s_{i}",
+            )
+            stable_wall.append(time.perf_counter() - t0)
+        best_full, best_inc = min(full_wall), min(inc_wall)
+        best_stable = min(stable_wall)
         return {
-            "cdc_full_sec": round(full_wall, 2),
-            "cdc_incremental_sec": round(inc_wall, 2),
-            "incremental_speedup": round(full_wall / inc_wall, 2),
+            "cdc_full_sec": round(best_full, 2),
+            "cdc_incremental_sec": round(best_inc, 2),
+            "incremental_speedup": round(best_full / best_inc, 2),
+            "cdc_stable_incremental_sec": round(best_stable, 2),
+            "stable_incremental_speedup": round(best_full / best_stable, 2),
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)

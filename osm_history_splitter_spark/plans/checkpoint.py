@@ -163,6 +163,24 @@ class StageStore:
         )
         return self.load(name)
 
+    def adopt(self, name: str, other: "StageStore") -> DataFrame:
+        """Carry a finished stage over from another store: a driver-side
+        file copy of the stage directory + its _DONE marker — NO Spark
+        job. Used by incremental re-split for marker stages whose inputs
+        provably did not change between ticks (world-signature equality;
+        splitter.incremental_resplit). Returns the loaded stage."""
+        if not other.has(name):
+            raise FileNotFoundError(f"cannot adopt unfinished stage {name}")
+        src, dst = other.root / name, self.root / name
+        tbl = self._table(name)
+        self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        if dst.exists():
+            shutil.rmtree(dst)
+        if src.exists():
+            shutil.copytree(src, dst)
+        self._marker(name).write_text(other._marker(name).read_text())
+        return self.load(name)
+
     def get_or_compute(self, name: str, compute) -> DataFrame:
         """Resume point: reuse the stage if its marker exists, else compute
         and persist it."""

@@ -23,11 +23,16 @@ the standard manifest-pointer design reduced to its core:
   list.
 
 At scale the manifest holds file paths + sizes only (KBs per thousand
-files); listing never touches the data. Real Iceberg adds column stats
-and partition pruning on top of the same pointer structure — this layer
-keeps the engine's commit/lineage semantics honest until one is wired
-in. Reference analog: the reference's writers finalize files at stream
-end (``cut.hpp:99-117``); here finalization is the manifest flip.
+files); listing never touches the data. On top of the pointer structure
+this layer carries the two Iceberg ideas the engine's workloads need:
+per-file [min, max] column stats (``stats_cols`` → file pruning on
+``read(between=…)``) and EQUALITY DELETES (``strategy='mor'`` merge /
+delete commits write only the delta plus a delete-key file; ``read()``
+applies each delete to data files older than it — the sequence-number
+rule — and ``compact()`` folds the state back into clean files). CDC
+commits are therefore O(delta), not O(table). Reference analog: the
+reference's writers finalize files at stream end (``cut.hpp:99-117``);
+here finalization is the manifest flip.
 """
 
 from __future__ import annotations
@@ -153,11 +158,21 @@ class VersionedTable:
                 raise ValueError("merge mode requires merge_key")
             keys = [merge_key] if isinstance(merge_key, str) else list(merge_key)
             if vs and mor:
-                new_deletes.append((df.select(*keys).distinct(), keys))
+                del_keys = df.select(*keys).distinct()
                 if also_delete is not None:
-                    new_deletes.append(
-                        (also_delete.distinct(), list(also_delete.columns))
-                    )
+                    extra_cols = list(also_delete.columns)
+                    if extra_cols == keys:
+                        # same key shape: one unioned delete file, one
+                        # write job instead of two
+                        del_keys = del_keys.unionByName(
+                            also_delete
+                        ).distinct()
+                        new_deletes.append((del_keys, keys))
+                    else:
+                        new_deletes.append((del_keys, keys))
+                        new_deletes.append((also_delete.distinct(), extra_cols))
+                else:
+                    new_deletes.append((del_keys, keys))
             elif vs:
                 prev = self.read()
                 keep = prev.join(

@@ -38,6 +38,48 @@ __all__ = [
 MARKER_STAGES = ("node_members", "way_members", "extra_nodes", "relation_members")
 
 
+def _world_sigs(nodes: DataFrame, ways: DataFrame, relations: DataFrame) -> dict:
+    """Per-entity world signature: (row count, bit-XOR of
+    xxhash64(id, version)) — one column-pruned scan each, commutative so
+    partition order cannot matter.
+
+    Soundness rests on the OSM history model's row immutability per
+    (id, version) (an edit is always a NEW version — the same
+    precondition the incremental data diff documents): multiset equality
+    of (id, version) pairs between two dumps therefore implies the
+    entity's world is IDENTICAL — same rows, same refs/members, same
+    payload. XOR cancels duplicated (id, version) pairs against each
+    other, but a history containing duplicates is malformed and the row
+    count still guards the common cases."""
+    from pyspark.sql import functions as F
+
+    out = {}
+    for name, df in (("nodes", nodes), ("ways", ways), ("relations", relations)):
+        row = df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(id, version))").alias("h"),
+        ).first()
+        out[name] = [int(row["n"]), str(row["h"])]
+    return out
+
+
+def _write_world_sigs(checkpoint_dir: str, sigs: dict) -> None:
+    import json
+    from pathlib import Path
+
+    p = Path(checkpoint_dir)
+    p.mkdir(parents=True, exist_ok=True)
+    (p / "world_sigs.json").write_text(json.dumps(sigs))
+
+
+def _read_world_sigs(checkpoint_dir: str) -> dict:
+    import json
+    from pathlib import Path
+
+    p = Path(checkpoint_dir) / "world_sigs.json"
+    return json.loads(p.read_text()) if p.exists() else {}
+
+
 def pass2_outputs(
     nodes: DataFrame,
     ways: DataFrame,
@@ -273,6 +315,10 @@ def run_split(
         store.get_or_compute("way_members", lambda: m.way_members)
         store.get_or_compute("extra_nodes", lambda: m.extra_nodes)
         store.get_or_compute("relation_members", lambda: m.relation_members)
+        # record per-entity world signatures next to the markers: a later
+        # incremental_resplit against this checkpoint can then prove which
+        # entities' worlds did not change and skip their work entirely
+        _write_world_sigs(store.root, _world_sigs(nodes, ways, relations))
 
     # pass 2: membership by id fans out to every version (history-complete)
     outs = pass2_outputs(nodes, ways, relations, store)
@@ -446,14 +492,86 @@ def incremental_resplit(
     )
     new_store = StageStore(spark, checkpoint_dir, bucket_by=("id", n_buckets))
 
-    if not all(new_store.has(n) for n in MARKER_STAGES):
-        m = softcut_membership(nodes, ways, relations, catalog, persist=True)
-        new_store.get_or_compute("node_members", lambda: m.node_members)
-        new_store.get_or_compute("way_members", lambda: m.way_members)
-        new_store.get_or_compute("extra_nodes", lambda: m.extra_nodes)
+    # --- signature-gated marker reuse -------------------------------------
+    # World signatures ((id, version) multiset per entity — _world_sigs)
+    # prove which entity worlds are byte-identical to the previous tick.
+    # Marker dependencies: node markers ← node world only; way markers ←
+    # way world + node markers; extra nodes ← way world + way markers
+    # (+ node markers through membership); relation markers ← relation
+    # world + node/way markers (+ rel→rel closure within the relation
+    # world). An unchanged input set lets the stage be ADOPTED from the
+    # previous checkpoint (driver-side file copy, zero Spark jobs)
+    # instead of recomputed — the common daily-diff shape where a few
+    # node edits leave every way/relation marker identical.
+    sigs = _world_sigs(nodes, ways, relations)
+    old_sigs = _read_world_sigs(old_store.root)
+    _write_world_sigs(new_store.root, sigs)
+    nodes_same = sigs["nodes"] == old_sigs.get("nodes")
+    ways_same = sigs["ways"] == old_sigs.get("ways")
+    rels_same = sigs["relations"] == old_sigs.get("relations")
+
+    _m = []
+
+    def _membership():
+        if not _m:
+            _m.append(
+                softcut_membership(nodes, ways, relations, catalog, persist=True)
+            )
+        return _m[0]
+
+    if nodes_same and old_store.has("node_members"):
+        new_store.adopt("node_members", old_store)
+        node_flips = 0
+    else:
         new_store.get_or_compute(
-            "relation_members", lambda: m.relation_members
+            "node_members", lambda: _membership().node_members
         )
+        nm_new = new_store.load_plain("node_members")
+        nm_old = old_store.load_plain("node_members")
+        node_flips = (
+            nm_new.join(nm_old, ["id", "extract"], "left_anti")
+            .unionByName(nm_old.join(nm_new, ["id", "extract"], "left_anti"))
+            .count()
+        )
+
+    ways_reused = (
+        ways_same
+        and node_flips == 0
+        and old_store.has("way_members")
+        and old_store.has("extra_nodes")
+    )
+    if ways_reused:
+        new_store.adopt("way_members", old_store)
+        new_store.adopt("extra_nodes", old_store)
+    else:
+        new_store.get_or_compute(
+            "way_members", lambda: _membership().way_members
+        )
+        new_store.get_or_compute(
+            "extra_nodes", lambda: _membership().extra_nodes
+        )
+
+    rels_reused = (
+        rels_same
+        and ways_reused  # implies node AND way markers identical
+        and old_store.has("relation_members")
+    )
+    if rels_reused:
+        new_store.adopt("relation_members", old_store)
+    else:
+        new_store.get_or_compute(
+            "relation_members", lambda: _membership().relation_members
+        )
+
+    # entity-level full skip: markers identical AND world identical ⇒
+    # output rows identical to what is already published — no diff jobs,
+    # no commit. (nodes output joins node_members ∪ extra_nodes, so the
+    # nodes skip also needs the extra-nodes stage to be adopted.)
+    entity_unchanged = {
+        "nodes": nodes_same and ways_reused,
+        "ways": ways_reused,
+        "relations": rels_reused,
+    }
 
     def markers(store, entity):
         if entity == "nodes":
@@ -485,12 +603,13 @@ def incremental_resplit(
         ("nodes", nodes), ("ways", ways), ("relations", relations)
     ):
         t = VersionedTable(spark, f"{publish_dir}/{entity}")
-        if _marker_rows(new_store, entity) == 0 == _marker_rows(
-            old_store, entity
-        ):
-            # no members before or after: nothing could have changed —
-            # skip the whole diff machinery for this entity (metadata
-            # decision, zero jobs)
+        if entity_unchanged[entity] or _marker_rows(
+            new_store, entity
+        ) == 0 == _marker_rows(old_store, entity):
+            # provably unchanged (signature-adopted markers + identical
+            # world), or no members before or after: the published head
+            # already equals this entity's output — skip the whole diff
+            # machinery (metadata decision, zero jobs)
             report[entity] = {
                 "version": (t.versions() or [None])[-1],
                 "affected_ids": 0,
@@ -558,9 +677,21 @@ def incremental_resplit(
         # key file for the affected ids — O(delta), never a rewrite of
         # the untouched 99% (plans/table.py; compact() folds the state
         # when read amplification matters more than commit latency)
+        # layout of the delta: range-clustering matters for file-stats
+        # pruning only once the delta spans multiple files — for small
+        # deltas a single sorted file skips repartitionByRange's extra
+        # sampling job
+        nparts = min(n_buckets, n_rows // 500_000 + 1)
+        if nparts == 1:
+            clustered = rows.repartition(1).sortWithinPartitions(
+                "extract", "id", "version"
+            )
+        else:
+            clustered = rows.repartitionByRange(
+                nparts, "extract", "id", "version"
+            ).sortWithinPartitions("extract", "id", "version")
         version = t.commit(
-            rows.repartitionByRange(n_buckets, "extract", "id", "version")
-            .sortWithinPartitions("extract", "id", "version"),
+            clustered,
             mode="merge",
             merge_key=["id"],
             also_delete=affected,

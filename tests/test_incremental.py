@@ -251,3 +251,53 @@ def test_full_republish_deletes_vanished_rows(spark, tmp_path):
     # time travel still shows the old snapshot
     old = {(r["id"], r["version"]) for r in t.read(version=1).collect()}
     assert (3, 1) in old
+
+
+def test_signature_reuse_skips_unchanged_entities(spark, tmp_path):
+    """Daily-diff shape: nodes gain new versions inside the same extract,
+    ways/relations byte-identical. The world-signature gate must adopt
+    the way/relation marker stages from the previous checkpoint (no
+    recompute) and fully skip those entities' diff+commit — while the
+    nodes entity still lands its delta and the final state equals a
+    fresh split."""
+    cat = ExtractCatalog([Extract.bbox("t", -1.0, -1.0, 1.0, 1.0)])
+    pub = str(tmp_path / "pub")
+    ck1 = str(tmp_path / "ck1")
+    n1, w1, r1 = _world1(spark)
+    run_split(
+        spark, n1, w1, r1, cat, str(tmp_path / "o1"),
+        checkpoint_dir=ck1, publish_table=pub,
+    )
+    # only node edits: id 5 gains v2 (same position), id 7 gains v2
+    n2 = _nodes(
+        spark,
+        [(i, 1, IN) for i in range(20)]
+        + [(5, 2, IN), (7, 2, IN)]
+        + [(i, 1, OUT) for i in range(30, 35)],
+    )
+    report = incremental_resplit(
+        spark, n2, w1, r1, cat, pub, ck1, str(tmp_path / "ck2")
+    )
+    assert report["ways"]["affected_ids"] == 0
+    assert report["ways"]["upserted_rows"] == 0
+    assert report["relations"]["affected_ids"] == 0
+    assert report["nodes"]["affected_ids"] == 2
+    # the way marker stage was ADOPTED: same marker metadata as tick 1
+    import json
+    from pathlib import Path
+
+    m1 = json.loads((Path(ck1) / "way_members._DONE").read_text())
+    m2 = json.loads(
+        (Path(tmp_path / "ck2") / "way_members._DONE").read_text()
+    )
+    assert m1 == m2  # byte-equal marker => copied, not recomputed
+    # final state equals a fresh split of world 2
+    run_split(
+        spark, n2, w1, r1, cat, str(tmp_path / "o2"),
+        checkpoint_dir=str(tmp_path / "ckf"),
+        publish_table=str(tmp_path / "pubf"),
+    )
+    for entity in ("nodes", "ways", "relations"):
+        inc = VersionedTable(spark, f"{pub}/{entity}")
+        full = VersionedTable(spark, str(tmp_path / "pubf" / entity))
+        assert _contents(inc) == _contents(full), entity
