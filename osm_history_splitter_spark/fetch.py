@@ -95,6 +95,7 @@ def fetch_and_split(
     mode: str = "softcut",
     emit_osm: bool = False,
     incremental: bool = False,
+    compact_after: int = 8,
 ) -> dict:
     """One cron tick. Returns a report dict; ``{"skipped": True}`` when
     the newest mirror dump already matches the local stamp.
@@ -164,6 +165,25 @@ def fetch_and_split(
                 e: manifest[e]["affected_ids"]
                 for e in ("nodes", "ways", "relations")
             }
+            # bound merge-on-read read amplification: each CDC commit
+            # adds an equality-delete that every later read must
+            # anti-join; once a table accumulates `compact_after` delete
+            # entries, fold them into a clean snapshot (history stays
+            # time-travelable; see plans/table.py compact)
+            if compact_after:
+                from .plans.table import VersionedTable
+
+                for e in ("nodes", "ways", "relations"):
+                    t = VersionedTable(spark, f"{pub}/{e}")
+                    vs = t.versions()
+                    if not vs:
+                        continue
+                    n_del = len(t._manifest(vs[-1]).get("deletes", []))
+                    if n_del >= compact_after:
+                        v = t.compact(stats_cols=["extract", "id"])
+                        report.setdefault("compacted", {}).setdefault(
+                            cfg.stem, {}
+                        )[e] = v
             if emit_osm:
                 # keep the reference-format files in step with the
                 # published tables: CDC tracks changes per id, not per

@@ -52,7 +52,10 @@ def load_clipbounds_tree(
             if p.suffix == ".poly":
                 rings, holes = parse_poly_multipolygon(p)
             else:
-                rings, holes = rings_from_osm_file(p), None
+                # OSM geometry files: every closed way is an OUTER ring
+                # (no roles in the reference reader) — union composition
+                rings = rings_from_osm_file(p)
+                holes = [False] * len(rings)
         except ValueError:
             continue  # empty/degenerate geometry file
         catalog.add(

@@ -50,8 +50,15 @@ def parse_config_text(text: str, base_dir: str | Path = ".") -> ExtractCatalog:
             rings, holes = parse_poly_multipolygon(base / spec)
             catalog.add(Extract.poly(name, rings, kind="POLY", holes=holes))
         elif kind == "OSM":
+            # every closed way is an OUTER polygon of one multipolygon
+            # (geometryreader.hpp:75-81,95-102: no role handling, nested
+            # rings are NOT holes) — all-outer flags select the same
+            # union composition the reference's GEOS locator applies
+            rings = rings_from_osm_file(base / spec)
             catalog.add(
-                Extract.poly(name, rings_from_osm_file(base / spec), kind="OSM")
+                Extract.poly(
+                    name, rings, kind="OSM", holes=[False] * len(rings)
+                )
             )
         else:
             raise ValueError(f"config line {lineno}: unknown type {kind!r}")

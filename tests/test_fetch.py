@@ -185,11 +185,15 @@ def test_continuous_incremental_fetch_service(spark, tmp_path, monkeypatch):
     publish_dump("2024-02-01", True)
     r2 = fetch_and_split(
         spark, f"file://{m}", str(work), loader, incremental=True,
-        emit_osm=True,
+        emit_osm=True, compact_after=1,
     )
     assert r2["incremental"]["t"]["nodes"] == 1  # only id 0 changed
     assert t.read().count() == 9
     assert t.read(version=1).count() == 8  # the January state, intact
+    # compact_after=1: the CDC tick's merge-on-read state was folded into
+    # a clean snapshot right away — head manifest carries no deletes
+    assert r2["compacted"]["t"]["nodes"] == t.versions()[-1]
+    assert "deletes" not in t._manifest(t.versions()[-1])
     # emit_osm on an incremental tick refreshes the extract file from the
     # published tables (it used to go silently stale in CDC mode)
     assert r2["emitted"] == {"t": ["t"]}

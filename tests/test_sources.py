@@ -256,3 +256,28 @@ def test_ranged_ingest_matches_delimiter_reader(spark, tmp_path):
     assert rows[7]["tags"]["note"] == "a>b_7"
     ways = read_osm_elements_ranged(spark, str(q), "way", split_bytes=100)
     assert [r["refs"] for r in ways.collect()] == [[1, 2]]
+
+
+def test_osm_nested_rings_are_outers_union():
+    """go-no-cemetry.osm nests the cemetery ring inside the main ring.
+    The reference's OSM geometry reader has NO role handling — every
+    closed way is an OUTER polygon of one MultiPolygon
+    (geometryreader.hpp:75-81,95-102), so a point inside the nested ring
+    is INSIDE the extract (union), not cancelled as a hole."""
+    import numpy as np
+
+    from osm_history_splitter_spark.functions.geometry import points_in_rings
+    from osm_history_splitter_spark.sources.config import parse_config
+
+    cat = parse_config(f"{REF}/example.config")
+    e = {x.name: x for x in cat}["go-no-cemetry"]
+    assert e.holes == [False, False]
+    inner = e.rings[1]
+    cx = float(inner[:, 0].mean())
+    cy = float(inner[:, 1].mean())
+    got = points_in_rings(
+        np.array([cx]), np.array([cy]), e.rings, holes=e.holes
+    )
+    assert got[0]  # union keeps the nested ring's interior IN
+    # the flag-less parity path would cancel it (compat behavior)
+    assert not points_in_rings(np.array([cx]), np.array([cy]), e.rings)[0]
