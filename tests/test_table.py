@@ -399,3 +399,25 @@ def test_mor_read_with_between_pruning(spark, tmp_path):
     assert got == [
         (i, "b" if i in (10, 11) else "a") for i in range(5, 16)
     ]
+
+
+def test_mor_read_applies_deletes_via_broadcast_anti_join(spark, tmp_path):
+    """Scale shape of the MOR read: delete key sets are tiny relative to
+    data files, so the planner must apply them as BROADCAST anti-joins
+    (never a shuffle of the data side, never a CartesianProduct), and
+    same-shape deletes must collapse to ONE anti-join per file group."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_df(spark, 0, 1000, "a"))
+    for lo in (10, 20, 30):
+        t.commit(
+            _df(spark, lo, lo + 5, "b"), mode="merge", merge_key="id",
+            strategy="mor",
+        )
+    plan = t.read()._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # v1's group faces 3 same-shape deletes -> unioned into ONE anti-join;
+    # groups: v1 (3 newer deletes->1 join), v2 (2->1), v3 (1->1), v4 (0)
+    n_anti = plan.count("LeftAnti")
+    assert n_anti == 3, plan
+    assert t.read().filter("id = 12").collect()[0]["tag"] == "b"

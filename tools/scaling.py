@@ -238,7 +238,16 @@ core-µs/page parallel work. On a real multi-executor cluster the floor
 is amortized identically by data volume; nothing in the query plans
 serializes with input size.
 """
-    (REPO / "BENCH.md").write_text(md)
+    # preserve hand-maintained sections below the scaling material (the
+    # CDC methodology section added in round 5 and anything after it)
+    bench = REPO / "BENCH.md"
+    keep = ""
+    if bench.exists():
+        prev = bench.read_text()
+        i = prev.find("\n## CDC:")
+        if i != -1:
+            keep = prev[i:]
+    bench.write_text(md + keep)
     shutil.rmtree(TMPDIR, ignore_errors=True)
 
 
