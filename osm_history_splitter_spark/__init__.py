@@ -33,6 +33,7 @@ __version__ = "0.1.0"
 _EXPORTS = {
     "run_split": "splitter",
     "incremental_resplit": "splitter",
+    "compact_published": "splitter",
     "emit_osm_from_published": "splitter",
     "pass2_outputs": "splitter",
     "prepare_bucketed_world": "splitter",

@@ -171,19 +171,11 @@ def fetch_and_split(
             # entries, fold them into a clean snapshot (history stays
             # time-travelable; see plans/table.py compact)
             if compact_after:
-                from .plans.table import VersionedTable
+                from .splitter import compact_published
 
-                for e in ("nodes", "ways", "relations"):
-                    t = VersionedTable(spark, f"{pub}/{e}")
-                    vs = t.versions()
-                    if not vs:
-                        continue
-                    n_del = len(t._manifest(vs[-1]).get("deletes", []))
-                    if n_del >= compact_after:
-                        v = t.compact(stats_cols=["extract", "id"])
-                        report.setdefault("compacted", {}).setdefault(
-                            cfg.stem, {}
-                        )[e] = v
+                done = compact_published(spark, str(pub), compact_after)
+                if done:
+                    report.setdefault("compacted", {})[cfg.stem] = done
             if emit_osm:
                 # keep the reference-format files in step with the
                 # published tables: CDC tracks changes per id, not per

@@ -31,6 +31,7 @@ __all__ = [
     "pass2_outputs",
     "prepare_bucketed_world",
     "incremental_resplit",
+    "compact_published",
     "emit_osm_from_published",
 ]
 
@@ -382,6 +383,17 @@ def main():
         "affected ids, commit atomically (requires --publish-table; "
         "softcut only)",
     )
+    ap.add_argument(
+        "--publish-strategy", default="mor", choices=["mor", "cow"],
+        help="CDC commit strategy: merge-on-read (delta + equality-delete "
+        "key files, O(delta) commits) or copy-on-write (table rewrite, "
+        "plain-scan reads)",
+    )
+    ap.add_argument(
+        "--compact-after", type=int, default=0, metavar="N",
+        help="after a CDC run, fold any published table carrying >= N "
+        "merge-on-read delete entries into a clean snapshot (0 = never)",
+    )
     args = ap.parse_args()
 
     from .session import get_spark
@@ -411,7 +423,12 @@ def main():
             args.publish_table, args.incremental_from,
             args.checkpoint_dir or f"{args.output}/_checkpoints",
             n_buckets=args.n_buckets,
+            publish_strategy=args.publish_strategy,
         )
+        if args.compact_after:
+            manifest["compacted"] = compact_published(
+                spark, args.publish_table, args.compact_after
+            )
     else:
         manifest = run_split(
             spark, nodes, ways, relations, catalog, args.output,
@@ -427,6 +444,28 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def compact_published(
+    spark: SparkSession, publish_dir: str, threshold: int
+) -> dict:
+    """Fold any published entity table carrying >= ``threshold``
+    merge-on-read delete entries into a clean snapshot (bounds the
+    read-side anti-join growth of repeated CDC commits; history stays
+    time-travelable). Returns {entity: new version} for the tables
+    compacted. Threshold check is manifest metadata only — untouched
+    tables cost zero jobs."""
+    from .plans.table import VersionedTable
+
+    out = {}
+    for entity in ("nodes", "ways", "relations"):
+        t = VersionedTable(spark, f"{publish_dir}/{entity}")
+        vs = t.versions()
+        if not vs:
+            continue
+        if len(t._manifest(vs[-1]).get("deletes", [])) >= threshold:
+            out[entity] = t.compact(stats_cols=["extract", "id"])
+    return out
 
 
 def incremental_resplit(
