@@ -421,3 +421,33 @@ def test_mor_read_applies_deletes_via_broadcast_anti_join(spark, tmp_path):
     n_anti = plan.count("LeftAnti")
     assert n_anti == 3, plan
     assert t.read().filter("id = 12").collect()[0]["tag"] == "b"
+
+
+def test_changes_feed_and_history(spark, tmp_path):
+    """Change data feed: each commit's ADDED rows with version/type
+    columns, O(delta) for MOR commits; deleted_keys returns that
+    commit's equality-delete keys; history lists the commit log."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_df(spark, 0, 5, "a"))
+    t.commit(_df(spark, 5, 8, "b"))  # append
+    t.commit(
+        _df(spark, 1, 3, "c"), mode="merge", merge_key="id", strategy="mor"
+    )
+    feed = t.changes(since=1)
+    got = sorted(
+        (r["id"], r["tag"], r["_change_version"]) for r in feed.collect()
+    )
+    assert got == [
+        (1, "c", 3), (2, "c", 3), (5, "b", 2), (6, "b", 2), (7, "b", 2),
+    ]
+    assert set(feed.columns) >= {"id", "tag", "_change_version", "_change_type"}
+    # delete half of the feed: the MOR commit recorded keys {1, 2}
+    assert t.deleted_keys(2) is None
+    dk = t.deleted_keys(3)
+    assert sorted(r["id"] for r in dk.collect()) == [1, 2]
+    # empty window
+    assert t.changes(since=3).count() == 0
+    h = t.history()
+    assert [x["version"] for x in h] == [1, 2, 3]
+    assert h[2]["mode"] == "merge" and h[2]["deletes"] == 1
+    assert h[0]["parent"] is None and h[1]["parent"] == 1
