@@ -40,6 +40,9 @@ _DRIVER_EXCLUDE = {
     "ann_topk",  # brute-force baseline; ivf_topk certifies the scale path
     "events_hourly",  # plain rollup; sessionize covers the stateful half
     "quality_topk",  # quality_score + tfidf_topk cover score + window-topk
+    "bm25_topk",  # ln() ulps differ across engines — pytest compares
+    # rounded scores (tests/test_bm25.py); the exact-hash gate would
+    # flake on the last decimal
 }
 _DRIVER_FIRST = [
     "temperature_sample",  # never had a driver row before r05

@@ -2008,6 +2008,107 @@ FROM pages GROUP BY 1, 2"""
 Q_DOMAIN_STATS_SQL = _domain_stats_sql()
 
 
+def q_bm25_topk(spark, sf_dir):
+    """BM25 retrieval over the documents table (Robertson/Sparck Jones,
+    k1=1.2 b=0.75): inverted postings (term -> per-doc tf), document
+    lengths, corpus stats, and a data-derived 8-term query set (the 8
+    most-frequent terms appearing in fewer than 85% of the documents
+    (the synthetic vocabulary is dense, ~80% df for common terms) —
+    deterministic given the corpus, no external inputs). Output: top-5
+    docs per query term by BM25 score, ties broken by doc_id.
+
+    Scale shape: tf/df/dl are map-side-combinable aggregations; corpus
+    totals (N, avgdl) ride a broadcast 1-row frame; scoring joins the
+    postings to the 8-term broadcast query set FIRST, so only matching
+    postings are scored (the inverted-index access path — the full
+    postings table is never shuffled for a query); one final per-term
+    window for top-k. pytest-verified against a DuckDB twin (rounded
+    scores — ln() ulps differ across engines, so this one stays out of
+    the exact-hash driver gate: __spark_entry__._DRIVER_EXCLUDE)."""
+    k1, b = F.lit(1.2), F.lit(0.75)
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    dl = words.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    totals = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    qset = (
+        dfreq.join(F.broadcast(totals))
+        .filter(F.col("df") * 20 < F.col("n_docs") * 17)
+        .orderBy(F.col("df").desc(), F.col("w").asc())
+        .limit(8)
+        .select(F.col("w"))
+    )
+    scored = (
+        tf.join(F.broadcast(qset), "w")
+        .join(F.broadcast(dfreq), "w")
+        .join(dl, "doc_id")
+        .join(F.broadcast(totals))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
+                + 1.0
+            ),
+        )
+        .withColumn(
+            "score",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    win = Window.partitionBy("w").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(win).cast("long"))
+        .filter("rk <= 5")
+        .select(
+            F.col("w").alias("term"), "doc_id", "rk",
+            F.round(F.col("score"), 6).alias("score_r6"),
+        )
+    )
+
+
+Q_BM25_TOPK_SQL = """WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), tf AS (
+  SELECT doc_id, w, count(*) AS tf FROM words WHERE w <> '' GROUP BY doc_id, w
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM words WHERE w <> '' GROUP BY doc_id
+), dfreq AS (
+  SELECT w, count(*) AS df FROM tf GROUP BY w
+), totals AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+), qset AS (
+  SELECT w FROM dfreq, totals WHERE df * 20 < n_docs * 17
+  ORDER BY df DESC, w ASC LIMIT 8
+), scored AS (
+  SELECT tf.w, tf.doc_id,
+    ln((totals.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+      * (tf.tf * 2.2)
+      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / totals.avgdl)) AS score
+  FROM tf
+  JOIN qset USING (w) JOIN dfreq USING (w) JOIN dl USING (doc_id), totals
+), r AS (
+  SELECT w, doc_id, score,
+    row_number() OVER (PARTITION BY w ORDER BY score DESC, doc_id ASC) AS rk
+  FROM scored
+)
+SELECT w AS term, doc_id, CAST(rk AS BIGINT) AS rk,
+  round(score, 6) AS score_r6
+FROM r WHERE rk <= 5"""
+
+
 def q_c4_filter(spark, sf_dir):
     """C4-style heuristic page cleaning (the published rules of Raffel
     et al. 2020, re-expressed as Catalyst string ops): sentence count
@@ -2212,6 +2313,7 @@ TEXT_QUERIES = {
     ),
     "mixture_sample": (q_mixture_sample, Q_MIXTURE_SAMPLE_SQL),
     "domain_stats": (q_domain_stats, Q_DOMAIN_STATS_SQL),
+    "bm25_topk": (q_bm25_topk, Q_BM25_TOPK_SQL),
     "c4_filter": (q_c4_filter, Q_C4_FILTER_SQL),
     "temperature_sample": (q_temperature_sample, Q_TEMPERATURE_SAMPLE_SQL),
     "stratified_sample": (q_stratified_sample, Q_STRATIFIED_SAMPLE_SQL),
