@@ -86,6 +86,48 @@ def main() -> None:
     assert got == want, (name, got, want)
     print(f"oracle spot-check {name}: {got} == {want} OK")
 
+    # round-5 surfaces: CDC (merge-on-read + signature reuse) end-to-end
+    import tempfile
+
+    from osm_history_splitter_spark.plans.table import VersionedTable
+    from osm_history_splitter_spark.splitter import (
+        incremental_resplit,
+        run_split,
+    )
+
+    td = tempfile.mkdtemp()
+    cat2 = ExtractCatalog([Extract.bbox("t", -1.0, -1.0, 1.0, 1.0)])
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        [(i, v, True, ts, 0, 0, "u", p, p, {}) for i, v, p in rows],
+        NODE_SCHEMA,
+    )
+    empty_w = spark.createDataFrame([], WAY_SCHEMA)
+    empty_r = spark.createDataFrame([], RELATION_SCHEMA)
+    run_split(
+        spark, mk([(i, 1, 0.5) for i in range(10)]), empty_w, empty_r,
+        cat2, f"{td}/o1", mode="softcut",
+        checkpoint_dir=f"{td}/ck1", publish_table=f"{td}/pub",
+    )
+    rep = incremental_resplit(
+        spark,
+        mk([(i, 1, 0.5) for i in range(10)] + [(4, 2, 0.5)]),
+        empty_w, empty_r, cat2,
+        f"{td}/pub", f"{td}/ck1", f"{td}/ck2",
+    )
+    assert rep["ways"]["affected_ids"] == 0  # signature reuse fired
+    assert rep["nodes"]["affected_ids"] == 1
+    t2 = VersionedTable(spark, f"{td}/pub/nodes")
+    assert t2._manifest(t2.versions()[-1]).get("deletes")  # MOR commit
+    got_ids = {(r["id"], r["version"]) for r in t2.read().collect()}
+    assert (4, 2) in got_ids and len(got_ids) == 11
+    feed = t2.changes(since=1)
+    # only the affected id's rows rode the CDC commit — BOTH its versions
+    # (pass 2 is history-complete per id), nothing else
+    assert {
+        (r["id"], r["version"]) for r in feed.collect()
+    } == {(4, 1), (4, 2)}
+    print("CDC drive OK (MOR commit + signature reuse + change feed)")
+
 
 if __name__ == "__main__":
     main()
