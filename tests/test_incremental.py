@@ -301,3 +301,94 @@ def test_signature_reuse_skips_unchanged_entities(spark, tmp_path):
         inc = VersionedTable(spark, f"{pub}/{entity}")
         full = VersionedTable(spark, str(tmp_path / "pubf" / entity))
         assert _contents(inc) == _contents(full), entity
+
+
+def _rels(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, v, True, TS, 0, 0, "u", [{"type": t, "ref": r, "role": ""} for t, r in members], {})
+            for i, v, members in rows
+        ],
+        schema=RELATION_SCHEMA,
+    )
+
+
+def test_signature_gate_matrix_relations_only_change(spark, tmp_path):
+    """Only the RELATION world changes: node and way marker stages must
+    be adopted (signatures equal, no flips possible) and fully skipped,
+    while relations recompute and land their delta — and the final state
+    equals a fresh split."""
+    cat = ExtractCatalog([Extract.bbox("t", -1.0, -1.0, 1.0, 1.0)])
+    n1 = _nodes(spark, [(i, 1, IN) for i in range(10)])
+    w1 = _ways(spark, [(100, 1, [0, 1])])
+    r1 = _rels(spark, [(200, 1, [("n", 0), ("w", 100)])])
+    pub, ck1 = str(tmp_path / "pub"), str(tmp_path / "ck1")
+    run_split(
+        spark, n1, w1, r1, cat, str(tmp_path / "o1"),
+        checkpoint_dir=ck1, publish_table=pub,
+    )
+    r2 = _rels(
+        spark,
+        [(200, 1, [("n", 0), ("w", 100)]), (200, 2, [("n", 1)])],
+    )
+    rep = incremental_resplit(
+        spark, n1, w1, r2, cat, pub, ck1, str(tmp_path / "ck2")
+    )
+    assert rep["nodes"]["affected_ids"] == 0
+    assert rep["ways"]["affected_ids"] == 0
+    assert rep["relations"]["affected_ids"] == 1
+    got = {
+        (r["id"], r["version"])
+        for r in VersionedTable(spark, f"{pub}/relations").read().collect()
+    }
+    assert got == {(200, 1), (200, 2)}
+    # differential: fresh split agrees on every entity
+    run_split(
+        spark, n1, w1, r2, cat, str(tmp_path / "o2"),
+        checkpoint_dir=str(tmp_path / "ckf"),
+        publish_table=str(tmp_path / "pubf"),
+    )
+    for entity in ("nodes", "ways", "relations"):
+        inc = VersionedTable(spark, f"{pub}/{entity}")
+        full = VersionedTable(spark, str(tmp_path / "pubf" / entity))
+        assert _contents(inc) == _contents(full), entity
+
+
+def test_signature_gate_matrix_ways_only_change(spark, tmp_path):
+    """Only the WAY world changes (a new way version referencing an
+    extra node): way markers must RECOMPUTE (sig differs) even though no
+    node marker flipped — the extra-node set changes, so the nodes
+    entity must also re-diff (it joins node∪extra markers) — and the
+    final state equals a fresh split."""
+    cat = ExtractCatalog([Extract.bbox("t", -1.0, -1.0, 1.0, 1.0)])
+    n1 = _nodes(
+        spark, [(i, 1, IN) for i in range(5)] + [(30, 1, OUT)]
+    )
+    w1 = _ways(spark, [(100, 1, [0, 1])])
+    r1 = spark.createDataFrame([], RELATION_SCHEMA)
+    pub, ck1 = str(tmp_path / "pub"), str(tmp_path / "ck1")
+    run_split(
+        spark, n1, w1, r1, cat, str(tmp_path / "o1"),
+        checkpoint_dir=ck1, publish_table=pub,
+    )
+    # way 100 v2 now also references out-of-bbox node 30 -> extra node
+    w2 = _ways(spark, [(100, 1, [0, 1]), (100, 2, [0, 30])])
+    rep = incremental_resplit(
+        spark, n1, w2, r1, cat, pub, ck1, str(tmp_path / "ck2")
+    )
+    assert rep["ways"]["affected_ids"] == 1
+    assert rep["nodes"]["affected_ids"] == 1  # node 30 pulled in as extra
+    got = {
+        (r["id"], r["version"])
+        for r in VersionedTable(spark, f"{pub}/nodes").read().collect()
+    }
+    assert (30, 1) in got
+    run_split(
+        spark, n1, w2, r1, cat, str(tmp_path / "o2"),
+        checkpoint_dir=str(tmp_path / "ckf"),
+        publish_table=str(tmp_path / "pubf"),
+    )
+    for entity in ("nodes", "ways"):
+        inc = VersionedTable(spark, f"{pub}/{entity}")
+        full = VersionedTable(spark, str(tmp_path / "pubf" / entity))
+        assert _contents(inc) == _contents(full), entity
