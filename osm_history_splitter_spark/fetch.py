@@ -203,6 +203,9 @@ def fetch_and_split(
                 checkpoint_dir=str(out / "_checkpoints"),
                 osm_filenames=parse_config_dests(cfg) if emit_osm else None,
                 publish_table=str(pub) if incremental else None,
+                # seed the CDC index stages so the very FIRST incremental
+                # tick already diffs in O(churn) (operators/incremental.py)
+                write_indexes=incremental and mode == "softcut",
             )
             report["splits"][cfg.stem] = {
                 k: manifest[k]["rows"]

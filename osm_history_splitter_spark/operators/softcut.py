@@ -59,6 +59,9 @@ class SoftcutMembership:
     way_members: DataFrame         # ways with >=1 tracked node ref
     extra_nodes: DataFrame         # all refs of all versions of tracked ways
     _relation_members: object = None  # DataFrame, or 0-arg thunk building it
+    way_refs: DataFrame | None = None  # distinct (way id, ref) across versions
+    #   — exposed so the CDC index bootstrap (operators/incremental.py)
+    #   reuses the persisted explode instead of re-running it
 
     @property
     def relation_members(self) -> DataFrame:
@@ -160,6 +163,7 @@ def softcut_membership(
         way_members=way_members,
         extra_nodes=extra_nodes,
         _relation_members=lambda: _p(relation_closure(direct_nw, edges)),
+        way_refs=way_refs,
     )
 
 

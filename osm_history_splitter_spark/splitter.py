@@ -249,6 +249,7 @@ def run_split(
     n_buckets: int | None = None,
     osm_filenames: dict[str, str] | bool | None = None,
     publish_table: str | None = None,
+    write_indexes: bool = False,
 ) -> dict:
     """Full split job; returns the combined lineage manifest.
 
@@ -259,7 +260,13 @@ def run_split(
     extract (a dict maps extract name → file name, extension selecting
     format; ``True`` uses ``<name>.osh``). ``publish_table``: commit the
     outputs to VersionedTables under this dir (re-splits merge by
-    (id, version, extract)).
+    (id, version, extract)). ``write_indexes``: also checkpoint the
+    per-id signature + reverse-reference index stages
+    (operators/incremental.py) so a later ``incremental_resplit``
+    against this checkpoint runs pass 1 in O(churn) from its very first
+    tick (softcut only; an un-indexed seed still works — the first
+    incremental tick falls back to a full marker recompute and builds
+    the indexes then).
     """
     from .model import validate_history_compat
 
@@ -310,6 +317,7 @@ def run_split(
     )
 
     # pass 1 with per-stage resume: each marker table is a checkpoint
+    m = None
     if not all(store.has(n) for n in MARKER_STAGES):
         m = softcut_membership(nodes, ways, relations, catalog, persist=True)
         store.get_or_compute("node_members", lambda: m.node_members)
@@ -320,6 +328,13 @@ def run_split(
         # incremental_resplit against this checkpoint can then prove which
         # entities' worlds did not change and skip their work entirely
         _write_world_sigs(store.root, _world_sigs(nodes, ways, relations))
+    if write_indexes:
+        from .operators.incremental import save_index_stages
+
+        save_index_stages(
+            store, nodes, ways, relations,
+            way_refs=m.way_refs if m is not None else None,
+        )
 
     # pass 2: membership by id fans out to every version (history-complete)
     outs = pass2_outputs(nodes, ways, relations, store)
@@ -384,6 +399,19 @@ def main():
         "softcut only)",
     )
     ap.add_argument(
+        "--marker-strategy", default="auto", choices=["auto", "indexed", "full"],
+        help="CDC pass-1 strategy: 'indexed' diffs per-id signatures and "
+        "recomputes markers for churned ids only (requires index stages in "
+        "the previous checkpoint), 'full' recomputes every marker table, "
+        "'auto' picks indexed when possible",
+    )
+    ap.add_argument(
+        "--write-indexes", action="store_true",
+        help="on a full split, also checkpoint the per-id signature + "
+        "reverse-reference index stages so the FIRST incremental tick "
+        "already runs in O(churn)",
+    )
+    ap.add_argument(
         "--publish-strategy", default="mor", choices=["mor", "cow"],
         help="CDC commit strategy: merge-on-read (delta + equality-delete "
         "key files, O(delta) commits) or copy-on-write (table rewrite, "
@@ -424,6 +452,7 @@ def main():
             args.checkpoint_dir or f"{args.output}/_checkpoints",
             n_buckets=args.n_buckets,
             publish_strategy=args.publish_strategy,
+            marker_strategy=args.marker_strategy,
         )
         if args.compact_after:
             manifest["compacted"] = compact_published(
@@ -436,6 +465,7 @@ def main():
             n_buckets=args.n_buckets,
             osm_filenames=osm_filenames,
             publish_table=args.publish_table,
+            write_indexes=args.write_indexes,
         )
     import json
 
@@ -479,41 +509,63 @@ def incremental_resplit(
     checkpoint_dir: str,
     n_buckets: int | None = None,
     publish_strategy: str = "mor",
+    marker_strategy: str = "auto",
 ) -> dict:
     """Incremental softcut against a PUBLISHED previous split: recompute
     only what a world update changed, and commit it atomically per
     entity (the CDC path the reference covers by re-running the whole
     binary on a new planet dump).
 
-    Membership markers are recomputed in full — they are narrow
-    ``(id, extract)`` tables, orders of magnitude smaller than the
-    output materialization, and membership is global (one moved node
-    can flip a way that flips a relation; there is no sound way to
-    diff-propagate markers without recomputing them). The EXPENSIVE
-    parts are incremental:
+    Two marker paths, selected by ``marker_strategy``:
 
-    1. *membership diff*: new vs previous checkpointed markers, both
-       directions — ids whose (id, extract) membership changed;
-    2. *data diff*: (id, version) pairs added to or redacted from the
-       world vs the published table — ids whose output rows changed
-       with membership intact;
+    - **indexed** (taken by ``"auto"`` when the previous checkpoint
+      carries the per-id signature + reverse-reference index stages —
+      operators/incremental.py): pass 1 itself is O(churn). Per-id
+      signatures diff the two worlds into exact changed-id sets, reverse
+      indexes bound which ways/relations a flipped node can affect, the
+      extra-node set is maintained by contribution counts, and relation
+      affectedness closes upward through the rel→rel graph before a
+      subgraph-only closure recompute. The signature diff subsumes the
+      published-table data diff (changed ids ∩ members), so no published
+      scan happens at all. Falls back to **full** if churn exceeds the
+      broadcast budget (at massive churn a clean rebuild wins anyway).
+    - **full** (``"auto"`` fallback, or forced): membership markers
+      recomputed in full — narrow ``(id, extract)`` tables, orders of
+      magnitude smaller than the output materialization. Steps:
+
+      1. *membership diff*: new vs previous checkpointed markers, both
+         directions — ids whose (id, extract) membership changed;
+      2. *data diff*: (id, version) pairs added to or redacted from the
+         world vs the published table — ids whose output rows changed
+         with membership intact;
+
+      and it finishes by bootstrapping the index stages into the new
+      checkpoint, so the NEXT tick takes the indexed path (migration is
+      automatic: full seed → full first tick → indexed thereafter).
+
+    Both paths share the tail:
+
     3. *pass 2 over affected ids only*: entity rows are joined against
-       the union of (1) and (2), then against the new markers;
+       the affected-id set, then against the new markers;
     4. *one atomic commit per entity*: ``merge(merge_key=id,
        also_delete=affected_ids)`` — affected ids' old rows vanish,
        their recomputed rows land, untouched ids' rows ride along
        unrecomputed; history stays time-travelable.
 
     Precondition (the OSM history model): rows are immutable per
-    ``(id, version)`` — an edit is always a NEW version. The data diff
-    compares (id, version) existence, so an in-place mutation of an
+    ``(id, version)`` — an edit is always a NEW version. Both diffs
+    compare (id, version) existence, so an in-place mutation of an
     existing version with membership intact would not be detected; no
-    well-formed history contains one.
+    well-formed history contains one. The indexed path additionally
+    requires the published head to be the one produced from
+    ``prev_checkpoint_dir`` (the CLI/fetch contract) — a hand-edited
+    published table needs ``marker_strategy="full"``.
 
-    Returns per-entity ``{version, affected_ids, upserted_rows}``. The
-    new markers are checkpointed under ``checkpoint_dir`` for the next
-    increment. Equivalence with a from-scratch split is asserted in
-    tests/test_incremental.py.
+    Returns per-entity ``{version, affected_ids, upserted_rows}`` plus
+    ``marker_strategy`` (which path ran). The new markers + indexes are
+    checkpointed under ``checkpoint_dir`` for the next increment.
+    Equivalence with a from-scratch split is asserted in
+    tests/test_incremental.py (both paths, randomized worlds).
     """
     from pyspark.sql import functions as F
 
@@ -548,6 +600,63 @@ def incremental_resplit(
     nodes_same = sigs["nodes"] == old_sigs.get("nodes")
     ways_same = sigs["ways"] == old_sigs.get("ways")
     rels_same = sigs["relations"] == old_sigs.get("relations")
+
+    # --- indexed path: pass 1 in O(churn) ---------------------------------
+    from .operators.incremental import (
+        INDEX_STAGES,
+        ChurnTooLarge,
+        incremental_markers,
+        save_index_stages,
+    )
+
+    indexed_ready = all(
+        old_store.has(s) for s in MARKER_STAGES + INDEX_STAGES
+    )
+    if marker_strategy == "indexed" and not indexed_ready:
+        raise ValueError(
+            "marker_strategy='indexed' but the previous checkpoint lacks "
+            "the index stages (seed with run_split(write_indexes=True) or "
+            "run one 'auto' tick to bootstrap them)"
+        )
+    inc = None
+    if marker_strategy != "full" and indexed_ready:
+        try:
+            inc = incremental_markers(
+                spark, nodes, ways, relations, catalog,
+                old_store, new_store,
+                entity_same={
+                    "nodes": nodes_same,
+                    "ways": ways_same,
+                    "relations": rels_same,
+                },
+            )
+        except ChurnTooLarge:
+            if marker_strategy == "indexed":
+                raise
+            inc = None  # massive churn: the full rebuild is the right plan
+    if inc is not None:
+        report = {"marker_strategy": "indexed"}
+        for entity, df in (
+            ("nodes", nodes), ("ways", ways), ("relations", relations)
+        ):
+            t = VersionedTable(spark, f"{publish_dir}/{entity}")
+            affected = inc["affected"][entity]
+            n_aff = inc["n_affected"][entity]
+            if n_aff == 0:
+                report[entity] = {
+                    "version": (t.versions() or [None])[-1],
+                    "affected_ids": 0,
+                    "upserted_rows": 0,
+                }
+                continue
+            new_m = _load_markers(new_store, entity)
+            report[entity] = _commit_affected(
+                t, df, new_m, affected, n_aff, n_buckets, publish_strategy
+            )
+        for f in inc["cleanup"]:
+            f.unpersist()
+        report["checkpoints"] = new_store.manifest()
+        return report
 
     _m = []
 
@@ -612,21 +721,6 @@ def incremental_resplit(
         "relations": rels_reused,
     }
 
-    def markers(store, entity):
-        if entity == "nodes":
-            # plain loads: a union of two bucketed scans + distinct is
-            # planner-unsafe (checkpoint.load_plain docstring)
-            return (
-                store.load_plain("node_members")
-                .unionByName(store.load_plain("extra_nodes"))
-                .distinct()
-            )
-        # single-stage markers load BUCKETED (id): the pass-2-style joins
-        # on id below see the bucketing and skip the marker-side Exchange
-        return store.load(
-            "way_members" if entity == "ways" else "relation_members"
-        )
-
     def _marker_rows(store, entity):
         """Total checkpointed marker rows from _DONE metadata — O(1)
         driver-side, no job."""
@@ -637,7 +731,7 @@ def incremental_resplit(
         )
         return sum(store._meta(n).get("rows", 0) for n in names)
 
-    report = {}
+    report = {"marker_strategy": "full"}
     for entity, df in (
         ("nodes", nodes), ("ways", ways), ("relations", relations)
     ):
@@ -655,8 +749,8 @@ def incremental_resplit(
                 "upserted_rows": 0,
             }
             continue
-        new_m = markers(new_store, entity)
-        old_m = markers(old_store, entity)
+        new_m = _load_markers(new_store, entity)
+        old_m = _load_markers(old_store, entity)
         # (1) membership diff, both directions, at (id, extract) grain
         flipped = (
             new_m.join(old_m, ["id", "extract"], "left_anti")
@@ -703,49 +797,87 @@ def incremental_resplit(
                 "upserted_rows": 0,
             }
             continue
-        # (3) pass 2 over affected ids only; consumed twice (count +
-        # commit write) — persist so the world is scanned once. The
-        # affected set is the tiny side by construction (the churn):
-        # broadcast it so the world scan never shuffles
-        rows = (
-            df.join(F.broadcast(affected), "id").join(new_m, "id").persist()
+        report[entity] = _commit_affected(
+            t, df, new_m, affected, n_aff, n_buckets, publish_strategy
         )
-        n_rows = rows.count()
-        # (4) one atomic delete-and-upsert commit. Merge-on-read: the
-        # commit writes ONLY the recomputed rows plus an equality-delete
-        # key file for the affected ids — O(delta), never a rewrite of
-        # the untouched 99% (plans/table.py; compact() folds the state
-        # when read amplification matters more than commit latency)
-        # layout of the delta: range-clustering matters for file-stats
-        # pruning only once the delta spans multiple files — for small
-        # deltas a single sorted file skips repartitionByRange's extra
-        # sampling job
-        nparts = min(n_buckets, n_rows // 500_000 + 1)
-        if nparts == 1:
-            clustered = rows.repartition(1).sortWithinPartitions(
-                "extract", "id", "version"
-            )
-        else:
-            clustered = rows.repartitionByRange(
-                nparts, "extract", "id", "version"
-            ).sortWithinPartitions("extract", "id", "version")
-        version = t.commit(
-            clustered,
-            mode="merge",
-            merge_key=["id"],
-            also_delete=affected,
-            stats_cols=["extract", "id"],
-            strategy=publish_strategy,
-        )
-        rows.unpersist()
         affected.unpersist()
-        report[entity] = {
-            "version": version,
-            "affected_ids": n_aff,
-            "upserted_rows": n_rows,
-        }
+    # bootstrap the index stages into the new checkpoint so the NEXT tick
+    # takes the indexed O(churn) path (idempotent; reuses the membership
+    # build's persisted refs explode when it ran this tick)
+    save_index_stages(
+        new_store, nodes, ways, relations,
+        way_refs=_m[0].way_refs if _m else None,
+    )
     report["checkpoints"] = new_store.manifest()
     return report
+
+
+def _load_markers(store: StageStore, entity: str) -> DataFrame:
+    """An entity's pass-2 marker table from a checkpoint store."""
+    if entity == "nodes":
+        # plain loads: a union of two bucketed scans + distinct is
+        # planner-unsafe (checkpoint.load_plain docstring)
+        return (
+            store.load_plain("node_members")
+            .unionByName(store.load_plain("extra_nodes"))
+            .distinct()
+        )
+    # single-stage markers load BUCKETED (id): the pass-2-style joins
+    # on id see the bucketing and skip the marker-side Exchange
+    return store.load(
+        "way_members" if entity == "ways" else "relation_members"
+    )
+
+
+def _commit_affected(
+    t, df: DataFrame, new_m: DataFrame, affected: DataFrame,
+    n_aff: int, n_buckets: int, publish_strategy: str,
+) -> dict:
+    """Steps (3)+(4) of ``incremental_resplit``, shared by both marker
+    paths: pass 2 over the affected ids, one atomic delete-and-upsert
+    commit."""
+    from pyspark.sql import functions as F
+
+    # (3) pass 2 over affected ids only; consumed twice (count + commit
+    # write) — persist so the world is scanned once. The affected set is
+    # the tiny side by construction (the churn): broadcast it so the
+    # world scan never shuffles
+    rows = (
+        df.join(F.broadcast(affected), "id").join(new_m, "id").persist()
+    )
+    n_rows = rows.count()
+    # (4) one atomic delete-and-upsert commit. Merge-on-read: the
+    # commit writes ONLY the recomputed rows plus an equality-delete
+    # key file for the affected ids — O(delta), never a rewrite of
+    # the untouched 99% (plans/table.py; compact() folds the state
+    # when read amplification matters more than commit latency)
+    # layout of the delta: range-clustering matters for file-stats
+    # pruning only once the delta spans multiple files — for small
+    # deltas a single sorted file skips repartitionByRange's extra
+    # sampling job
+    nparts = min(n_buckets, n_rows // 500_000 + 1)
+    if nparts == 1:
+        clustered = rows.repartition(1).sortWithinPartitions(
+            "extract", "id", "version"
+        )
+    else:
+        clustered = rows.repartitionByRange(
+            nparts, "extract", "id", "version"
+        ).sortWithinPartitions("extract", "id", "version")
+    version = t.commit(
+        clustered,
+        mode="merge",
+        merge_key=["id"],
+        also_delete=affected,
+        stats_cols=["extract", "id"],
+        strategy=publish_strategy,
+    )
+    rows.unpersist()
+    return {
+        "version": version,
+        "affected_ids": n_aff,
+        "upserted_rows": n_rows,
+    }
 
 
 def emit_osm_from_published(
