@@ -236,7 +236,16 @@ def _sink_throughput(spark, sf_dir: str, replicate: int = 16) -> dict:
     return out
 
 
-def _cdc_speedup(spark, sf_dir: str, replicate: int = 16) -> dict:
+_CDC_PATHS = ("full", "inc", "idx", "stf", "sti")
+
+
+def _cdc_speedup(
+    spark,
+    sf_dir: str,
+    replicate: int = 16,
+    churn_mod: int = 100,
+    paths: tuple = _CDC_PATHS,
+) -> dict:
     """Incremental re-split (CDC) vs from-scratch at ~1% churn — the
     headline CDC number. A replicated entity world (part→nodes with a
     ~2 KB tag payload, orders→ways) is split+published once; then the
@@ -307,7 +316,7 @@ def _cdc_speedup(spark, sf_dir: str, replicate: int = 16) -> dict:
         # recompute); nodes3 is tag-only churn (new version, same
         # geometry -- the most common OSM edit) where the signature gate
         # adopts every way/relation marker stage wholesale
-        upd = nodes1.filter(F.col("id") % 100 == 0).withColumn(
+        upd = nodes1.filter(F.col("id") % churn_mod == 0).withColumn(
             "version", F.lit(2)
         )
         nodes2 = nodes1.unionByName(upd.withColumn("lat", F.col("lat") + 0.001))
@@ -348,51 +357,74 @@ def _cdc_speedup(spark, sf_dir: str, replicate: int = 16) -> dict:
     )
     repeats = int(os.environ.get("SPARK_GRAFT_CDC_REPEAT", "2"))
     try:
-        # tick 1 (setup, untimed): full split + publish + checkpoints
+        # tick 1 (setup, untimed): full split + publish + checkpoints,
+        # seeded with the CDC index stages (the fetch service's shape) so
+        # the indexed ticks below have a previous tick to diff against
         run_split(
             spark, nodes1, ways, rels, cat, f"{work}/o1", mode="softcut",
             checkpoint_dir=f"{work}/ck1", publish_table=f"{work}/pub",
+            write_indexes=True,
         )
+
         # best-of-N per path (single-window walls swing ±2-5x under VM
         # steal — BENCH.md "Suite-bench noise"); each incremental run
         # gets its OWN copy of the published tables + checkpoints (the
         # CDC commit advances the head, a re-run against it would no-op)
-        full_wall, inc_wall = [], []
-        for i in range(repeats):
-            t0 = time.perf_counter()
-            run_split(
-                spark, nodes2, ways, rels, cat, f"{work}/o2_{i}",
-                mode="softcut", checkpoint_dir=f"{work}/ck2full_{i}",
-                publish_table=f"{work}/pub_full_{i}",
-            )
-            full_wall.append(time.perf_counter() - t0)
-            shutil.copytree(f"{work}/pub", f"{work}/pub_{i}")
+        def tick(world, i, tag, strategy):
+            shutil.copytree(f"{work}/pub", f"{work}/pub_{tag}{i}")
             t0 = time.perf_counter()
             incremental_resplit(
-                spark, nodes2, ways, rels, cat, f"{work}/pub_{i}",
-                f"{work}/ck1", f"{work}/ck2_{i}",
+                spark, world, ways, rels, cat, f"{work}/pub_{tag}{i}",
+                f"{work}/ck1", f"{work}/ck2{tag}_{i}",
+                marker_strategy=strategy,
             )
-            inc_wall.append(time.perf_counter() - t0)
-        # tag-only churn tick (signature fast path: way/relation markers
-        # adopted, only the nodes delta lands)
-        stable_wall = []
+            return time.perf_counter() - t0
+
+        walls = {k: [] for k in paths}
         for i in range(repeats):
-            shutil.copytree(f"{work}/pub", f"{work}/pub_s{i}")
-            t0 = time.perf_counter()
-            incremental_resplit(
-                spark, nodes3, ways, rels, cat, f"{work}/pub_s{i}",
-                f"{work}/ck1", f"{work}/ck2s_{i}",
-            )
-            stable_wall.append(time.perf_counter() - t0)
-        best_full, best_inc = min(full_wall), min(inc_wall)
-        best_stable = min(stable_wall)
-        return {
-            "cdc_full_sec": round(best_full, 2),
-            "cdc_incremental_sec": round(best_inc, 2),
-            "incremental_speedup": round(best_full / best_inc, 2),
-            "cdc_stable_incremental_sec": round(best_stable, 2),
-            "stable_incremental_speedup": round(best_full / best_stable, 2),
+            if "full" in walls:
+                t0 = time.perf_counter()
+                run_split(
+                    spark, nodes2, ways, rels, cat, f"{work}/o2_{i}",
+                    mode="softcut", checkpoint_dir=f"{work}/ck2full_{i}",
+                    publish_table=f"{work}/pub_full_{i}",
+                )
+                walls["full"].append(time.perf_counter() - t0)
+            # geometry churn, both marker paths: full recompute (plus its
+            # index bootstrap — the migration cost a real tick pays) vs
+            # the indexed O(churn) pass 1 (operators/incremental.py)
+            if "inc" in walls:
+                walls["inc"].append(tick(nodes2, i, "f", "full"))
+            if "idx" in walls:
+                walls["idx"].append(tick(nodes2, i, "x", "indexed"))
+            # tag-only churn (the most common OSM edit): the signature
+            # gate adopts every way/relation stage in BOTH paths; the
+            # paths differ only in the node-marker rebuild (full PIP vs
+            # PIP over the churned ids)
+            if "stf" in walls:
+                walls["stf"].append(tick(nodes3, i, "sf", "full"))
+            if "sti" in walls:
+                walls["sti"].append(tick(nodes3, i, "sx", "indexed"))
+        best = {k: min(v) for k, v in walls.items()}
+        names = {
+            "full": "cdc_full_sec",
+            "inc": "cdc_incremental_sec",
+            "idx": "cdc_indexed_sec",
+            "stf": "cdc_stable_incremental_sec",
+            "sti": "cdc_stable_indexed_sec",
         }
+        speedups = {
+            "inc": "incremental_speedup",
+            "idx": "indexed_speedup",
+            "stf": "stable_incremental_speedup",
+            "sti": "stable_indexed_speedup",
+        }
+        out = {names[k]: round(best[k], 2) for k in best}
+        if "full" in best:
+            for k, name in speedups.items():
+                if k in best:
+                    out[name] = round(best["full"] / best[k], 2)
+        return out
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
