@@ -116,4 +116,13 @@ def relation_closure(
             break
         seen = seen.unionByName(parents).localCheckpoint(eager=True)
         frontier = parents
+    else:
+        # a truncated closure is silently-wrong membership — fail loudly
+        # (real rel→rel nesting is single-digit deep; the reference's
+        # cascading_relations recursion runs to fixpoint, softcut.hpp:269)
+        raise RuntimeError(
+            f"relation closure did not converge in {max_iterations} "
+            "iterations — rel→rel nesting deeper than the cap; raise "
+            "max_iterations"
+        )
     return seen

@@ -619,4 +619,10 @@ def _upward(seeds: DataFrame, edges: DataFrame, max_iterations: int = 50) -> Dat
             break
         seen = seen.unionByName(parents).localCheckpoint(eager=True)
         frontier = parents
+    else:
+        # truncation would under-close affectedness → stale markers
+        raise RuntimeError(
+            f"upward affectedness closure did not converge in "
+            f"{max_iterations} iterations; raise max_iterations"
+        )
     return seen

@@ -76,6 +76,41 @@ def test_closure_pair_blowup_uses_distributed_loop(spark):
     assert got == [(i, "x") for i in range(n + 1)]
 
 
+def test_closure_nonconvergence_raises(spark):
+    """A distributed-loop closure deeper than max_iterations must fail
+    loudly — a truncated closure is silently-wrong membership."""
+    import pytest
+
+    from osm_history_splitter_spark.operators.closure import relation_closure
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "child long, parent long"
+    )
+    direct = spark.createDataFrame([(0, "x")], "id long, extract string")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        # driver_threshold=0 forces the distributed semi-naive loop
+        relation_closure(direct, edges, max_iterations=3, driver_threshold=0)
+    # at sufficient depth the same call converges
+    got = relation_closure(direct, edges, max_iterations=6, driver_threshold=0)
+    assert got.count() == 6
+
+
+def test_upward_nonconvergence_raises(spark):
+    """The indexed-CDC upward affectedness closure shares the loud-failure
+    contract (truncation would under-close the recompute set)."""
+    import pytest
+
+    from osm_history_splitter_spark.operators.incremental import _upward
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "child long, parent long"
+    )
+    seeds = spark.createDataFrame([(0,)], "id long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _upward(seeds, edges, max_iterations=2)
+    assert _upward(seeds, edges, max_iterations=6).count() == 6
+
+
 def test_knn_skewed_cluster(spark):
     """>=50% of points in one cell (FIXTURES §7 skew case) — the expansion
     must still terminate and agree with the exact result."""
