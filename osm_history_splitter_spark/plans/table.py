@@ -472,6 +472,14 @@ class VersionedTable:
             out = out.unionByName(p)
         return out
 
+    def stream_changes(self, starting_version: int = 0) -> DataFrame:
+        """Streaming twin of :meth:`changes`: a Structured Streaming
+        DataFrame that follows this table's commits live (offsets are
+        snapshot versions; see ``streaming/table_feed.py``)."""
+        from ..streaming.table_feed import stream_changes
+
+        return stream_changes(self.spark, str(self.path), starting_version)
+
     def deleted_keys(self, version: int) -> DataFrame | None:
         """Equality-delete keys a merge-on-read commit recorded at
         ``version`` (None if that commit carries none): the delete half
