@@ -40,6 +40,8 @@ _DRIVER_EXCLUDE = {
     "ann_topk",  # brute-force baseline; ivf_topk certifies the scale path
     "events_hourly",  # plain rollup; sessionize covers the stateful half
     "quality_topk",  # quality_score + tfidf_topk cover score + window-topk
+    "semdedup",  # window full at 50; DuckDB twin certified by
+    # tests/test_driver_excluded.py — rotate in when a slot frees up
     "bm25_topk",  # ln() ulps differ across engines — pytest compares
     # rounded scores (tests/test_bm25.py); the exact-hash gate would
     # flake on the last decimal

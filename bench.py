@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "pack_sequences_bucketed",
     "mixture_sample",
     "domain_stats",
+    "semdedup",
 ]
 
 

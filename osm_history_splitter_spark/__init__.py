@@ -54,6 +54,9 @@ _EXPORTS = {
     "write_extracts_osm": "plans.osm_writer",
     "write_extracts_pbf": "plans.pbf_writer",
     "VersionedTable": "plans.table",
+    "stream_changes": "streaming.table_feed",
+    "follow_into": "streaming.feed_consumer",
+    "semdedup": "operators.semdedup",
     "run_hierarchy": "plans.hierarchy",
     "fetch_and_split": "fetch",
     "get_spark": "session",

@@ -112,6 +112,7 @@ class VersionedTable:
         stats_cols: list[str] | None = None,
         also_delete: DataFrame | None = None,
         strategy: str = "cow",
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """Atomically commit ``df`` as the next version. Modes:
 
@@ -136,6 +137,13 @@ class VersionedTable:
           than each delete. Commits cost O(delta) — the shape an
           incremental CDC pipeline needs — at the price of read-side
           anti-joins that grow until :meth:`compact`.
+
+        ``txn=(app_id, txn_id)`` stamps the manifest with an application
+        transaction (the Delta ``txnAppId``/``txnVersion`` idempotence
+        pattern): a writer that may REPLAY work (a Structured Streaming
+        ``foreachBatch``, a retried job) checks :meth:`last_txn` first
+        and skips batches it already committed — exactly-once sinks on
+        top of at-least-once delivery.
         """
         if strategy not in ("cow", "mor"):
             raise ValueError(f"strategy must be cow|mor: {strategy!r}")
@@ -263,6 +271,8 @@ class VersionedTable:
                 "bytes": sum(os.path.getsize(f) for f in files),
                 "committed_at": time.time(),
             }
+            if txn is not None:
+                manifest["txn"] = {"app": str(txn[0]), "id": int(txn[1])}
             if stats:
                 manifest["stats"] = stats
             if delete_entries:
@@ -471,6 +481,16 @@ class VersionedTable:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    def last_txn(self, app: str) -> int | None:
+        """Highest transaction id ``app`` has committed (None if never) —
+        manifest metadata only, newest first. The check half of the
+        ``txn=`` idempotence contract on :meth:`commit`."""
+        for v in reversed(self.versions()):
+            t = self._manifest(v).get("txn")
+            if t and t.get("app") == app:
+                return int(t["id"])
+        return None
 
     def stream_changes(self, starting_version: int = 0) -> DataFrame:
         """Streaming twin of :meth:`changes`: a Structured Streaming

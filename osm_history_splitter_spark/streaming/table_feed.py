@@ -86,6 +86,30 @@ def _new_files(path: Path, since: int, until: int) -> Iterator[tuple[int, str]]:
         prev = set(files)
 
 
+def _arrow_spark_safe(t):
+    """Normalize an arrow type to one Spark's Arrow bridge accepts:
+    nanosecond timestamps (INT96 parquet, the Spark writer default) drop
+    to microseconds, recursively through nested types."""
+    import pyarrow as pa
+
+    if pa.types.is_timestamp(t) and t.unit == "ns":
+        return pa.timestamp("us", t.tz)
+    if pa.types.is_list(t):
+        return pa.list_(_arrow_spark_safe(t.value_type))
+    if pa.types.is_map(t):
+        return pa.map_(
+            _arrow_spark_safe(t.key_type), _arrow_spark_safe(t.item_type)
+        )
+    if pa.types.is_struct(t):
+        return pa.struct(
+            [
+                pa.field(f.name, _arrow_spark_safe(f.type), f.nullable)
+                for f in t
+            ]
+        )
+    return t
+
+
 class _ChangeFilePartition(InputPartition):
     def __init__(self, file: str, version: int):
         self.file = file
@@ -130,7 +154,13 @@ class _TableChangeFeedReader(DataSourceStreamReader):
         pf = pq.ParquetFile(partition.file)
         for batch in pf.iter_batches():
             n = batch.num_rows
-            arrays = [batch.column(c) for c in self._base_cols]
+            arrays = [
+                col
+                if col.type == (safe := _arrow_spark_safe(col.type))
+                else col.cast(safe)
+                for c in self._base_cols
+                for col in (batch.column(c),)
+            ]
             arrays.append(pa.repeat(pa.scalar(partition.version, pa.int64()), n))
             arrays.append(pa.repeat(pa.scalar("insert", pa.string()), n))
             yield pa.RecordBatch.from_arrays(
@@ -175,7 +205,16 @@ class TableChangeFeedSource(DataSource):
                 f"head snapshot v{vs[-1]} at {path} references no data "
                 "files — the feed's row schema is undefined"
             )
-        base = from_arrow_schema(pq.read_schema(files[0]))
+        import pyarrow as pa
+
+        raw = pq.read_schema(files[0])
+        safe = pa.schema(
+            [
+                pa.field(f.name, _arrow_spark_safe(f.type), f.nullable)
+                for f in raw
+            ]
+        )
+        base = from_arrow_schema(safe)
         return StructType(list(base.fields) + list(_CHANGE_COLS))
 
     def streamReader(self, schema: StructType) -> _TableChangeFeedReader:

@@ -1618,12 +1618,10 @@ def q_kmeans(spark, sf_dir):
     )
 
 
-Q_KMEANS_SQL = f"""WITH e AS (
-  SELECT vec_id AS vid,
-         list_transform(embedding,
-                        x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS q
-  FROM embeddings),
-c0 AS (
+#: the 2-iteration integer k-means CTE chain (c0 → a3, final
+#: assignment = ``a3 WHERE rn = 1``) over a prior CTE ``e(vid, q)`` —
+#: shared by the kmeans oracle and the semdedup twin below
+_KMEANS_CHAIN = """c0 AS (
   SELECT row_number() OVER (ORDER BY vid) - 1 AS cl, q AS c
   FROM e ORDER BY vid LIMIT 8),
 d1 AS (
@@ -1681,9 +1679,78 @@ d3 AS (
 a3 AS (
   SELECT vid, cl, dist2,
          row_number() OVER (PARTITION BY vid ORDER BY dist2, cl) AS rn
-  FROM d3)
+  FROM d3)"""
+
+Q_KMEANS_SQL = f"""WITH e AS (
+  SELECT vec_id AS vid,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS q
+  FROM embeddings),
+{_KMEANS_CHAIN}
 SELECT vid AS vec_id, CAST(cl AS INT) AS cluster, dist2
 FROM a3 WHERE rn = 1"""
+
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (operators/semdedup.py): k-means the
+    embedding space (the same deterministic 2-iteration chain as
+    ``kmeans``), then within each cluster drop every vector dominated by
+    a lower-vid vector at cosine >= 0.9 — per-cluster Arrow GEMM, never a
+    corpus-wide pairwise join. Plants the ``embedding_neardup`` copies so
+    the answer is non-vacuous (the synthetic corpus has no natural pairs
+    above ~0.51 cosine); the planted twins land in their originals'
+    clusters and are dropped, originals kept."""
+    from .operators.semdedup import semdedup
+
+    base = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("vid"), _quantized("embedding").alias("q")
+    )
+    plant = base.filter(F.col("vid") < NEARDUP_PLANT).select(
+        (F.col("vid") + NEARDUP_OFFSET).alias("vid"),
+        F.expr(
+            f"transform(q, (x, i) -> IF(i = 0, x + {NEARDUP_PERTURB}L, x))"
+        ).alias("q"),
+    )
+    out = semdedup(
+        base.unionByName(plant),
+        k=8,
+        num_iter=2,
+        threshold=float(NEARDUP_THRESH),
+    )
+    return out.select(
+        F.col("vid").alias("vec_id"), "cluster", "kept", "attempted"
+    )
+
+
+Q_SEMDEDUP_SQL = f"""WITH eb AS (
+  SELECT vec_id AS vid,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS q
+  FROM embeddings),
+pl AS (
+  SELECT vid + {NEARDUP_OFFSET} AS vid,
+         list_concat([q[1] + {NEARDUP_PERTURB}], q[2:]) AS q
+  FROM eb WHERE vid < {NEARDUP_PLANT}),
+e AS (SELECT * FROM eb UNION ALL SELECT * FROM pl),
+{_KMEANS_CHAIN},
+asg AS (SELECT vid, cl FROM a3 WHERE rn = 1),
+v AS (
+  SELECT a.vid, a.cl, e.q,
+         CAST(list_sum(list_transform(range(1, 65), d -> e.q[d] * e.q[d]))
+              AS BIGINT) AS n2
+  FROM asg a JOIN e ON e.vid = a.vid),
+dup AS (
+  SELECT b.vid
+  FROM v b JOIN v a ON a.cl = b.cl AND a.vid < b.vid
+  WHERE CAST(list_dot_product(a.q, b.q) AS BIGINT) > 0
+    AND CAST(CAST(list_dot_product(a.q, b.q) AS BIGINT) AS DOUBLE)
+        / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE))
+        >= {NEARDUP_THRESH}
+  GROUP BY b.vid)
+SELECT v.vid AS vec_id, CAST(v.cl AS INT) AS cluster,
+       (dup.vid IS NULL) AS kept, TRUE AS attempted
+FROM v LEFT JOIN dup ON dup.vid = v.vid"""
 
 
 #: corpus_clean quality cutoff (the sf-corpus median sits near 330)
@@ -2306,6 +2373,7 @@ TEXT_QUERIES = {
     "interval_counts": (q_interval_counts, Q_INTERVAL_COUNTS_SQL),
     "pagerank": (q_pagerank, Q_PAGERANK_SQL),
     "kmeans": (q_kmeans, Q_KMEANS_SQL),
+    "semdedup": (q_semdedup, Q_SEMDEDUP_SQL),
     "pack_sequences": (q_pack_sequences, Q_PACK_SEQUENCES_SQL),
     "pack_sequences_bucketed": (
         q_pack_sequences_bucketed,

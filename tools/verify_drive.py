@@ -128,6 +128,22 @@ def main() -> None:
     } == {(4, 1), (4, 2)}
     print("CDC drive OK (MOR commit + signature reuse + change feed)")
 
+    # streaming half of the CDF: the feed source replays the same commits
+    q = (
+        t2.stream_changes()
+        .writeStream.format("memory")
+        .queryName("verify_feed")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        ns, nb = spark.table("verify_feed").count(), t2.changes(0).count()
+        assert ns == nb, (ns, nb)
+    finally:
+        q.stop()
+    print(f"streaming change feed OK ({ns} rows == batch)")
+
 
 if __name__ == "__main__":
     main()
