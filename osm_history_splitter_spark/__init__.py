@@ -54,6 +54,7 @@ _EXPORTS = {
     "write_extracts_osm": "plans.osm_writer",
     "write_extracts_pbf": "plans.pbf_writer",
     "VersionedTable": "plans.table",
+    "TableGroup": "plans.table",
     "stream_changes": "streaming.table_feed",
     "follow_into": "streaming.feed_consumer",
     "semdedup": "operators.semdedup",

@@ -44,7 +44,7 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["VersionedTable", "ConcurrentCommitError"]
+__all__ = ["VersionedTable", "TableGroup", "ConcurrentCommitError"]
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -113,6 +113,8 @@ class VersionedTable:
         also_delete: DataFrame | None = None,
         strategy: str = "cow",
         txn: tuple[str, int] | None = None,
+        cluster_by: str | list[str] | None = None,
+        target_files: int | None = None,
     ) -> int:
         """Atomically commit ``df`` as the next version. Modes:
 
@@ -138,6 +140,15 @@ class VersionedTable:
           incremental CDC pipeline needs — at the price of read-side
           anti-joins that grow until :meth:`compact`.
 
+        ``cluster_by`` (column name or list) range-partitions and sorts
+        the commit's rows by those columns before writing (into
+        ``target_files`` files when given, else the shuffle-partition
+        default) — the OPTIMIZE ZORDER idea: each file covers a tight
+        [min, max] slice of the clustering key, so the per-file stats
+        (``stats_cols`` defaults to the clustering columns) actually
+        prune on ``read(between=…)``. For geographic clustering, add a
+        ``zorder_expr`` key column first and cluster by it.
+
         ``txn=(app_id, txn_id)`` stamps the manifest with an application
         transaction (the Delta ``txnAppId``/``txnVersion`` idempotence
         pattern): a writer that may REPLAY work (a Structured Streaming
@@ -147,6 +158,12 @@ class VersionedTable:
         """
         if strategy not in ("cow", "mor"):
             raise ValueError(f"strategy must be cow|mor: {strategy!r}")
+        if cluster_by is not None:
+            cluster_by = (
+                [cluster_by] if isinstance(cluster_by, str) else list(cluster_by)
+            )
+            if stats_cols is None:
+                stats_cols = cluster_by  # clustering exists FOR the stats
         vs = self.versions()
         nxt = (vs[-1] + 1) if vs else 1
         # commit-dir ids are decoupled from manifest versions: a crashed
@@ -234,6 +251,13 @@ class VersionedTable:
         final = self.path / "_manifests" / f"v{nxt}.json"
         try:
             if df is not None:
+                if cluster_by is not None:
+                    n = target_files or df.sparkSession.conf.get(
+                        "spark.sql.shuffle.partitions"
+                    )
+                    df = df.repartitionByRange(
+                        int(n), *cluster_by
+                    ).sortWithinPartitions(*cluster_by)
                 df.write.mode("errorifexists").parquet(str(cdir))
             files = sorted(
                 str(f) for f in cdir.glob("*.parquet") if f.stat().st_size > 0
@@ -515,14 +539,25 @@ class VersionedTable:
             return None
         return self.spark.read.parquet(*files).distinct()
 
-    def compact(self, stats_cols: list[str] | None = None) -> int:
+    def compact(
+        self,
+        stats_cols: list[str] | None = None,
+        cluster_by: str | list[str] | None = None,
+        target_files: int | None = None,
+    ) -> int:
         """Fold accumulated merge-on-read state into a clean snapshot:
         one overwrite commit of the current resolved view. Read cost
         returns to a plain scan; older MOR snapshots stay
         time-travelable (their delete files remain referenced by their
-        manifests, so vacuum keeps them)."""
+        manifests, so vacuum keeps them). With ``cluster_by`` this is the
+        full OPTIMIZE ZORDER maintenance op: fold + re-cluster + tight
+        per-file stats in one atomic commit."""
         return self.commit(
-            self.read(), mode="overwrite", stats_cols=stats_cols
+            self.read(),
+            mode="overwrite",
+            stats_cols=stats_cols,
+            cluster_by=cluster_by,
+            target_files=target_files,
         )
 
     def vacuum(self) -> list[str]:
@@ -576,3 +611,93 @@ class VersionedTable:
             if not any(cdir.iterdir()):
                 cdir.rmdir()
         return deleted
+
+
+class TableGroup:
+    """Snapshot-consistent SET of VersionedTables under one root — the
+    multi-table transaction neither Iceberg nor Delta gives you.
+
+    A split publishes three entity tables; their per-table commits are
+    atomic individually, but a crash (or a reader racing the writer)
+    between the nodes commit and the ways commit exposes a MIXED state:
+    nodes from the new dump joined against ways from the old one. The
+    group closes that window with one more level of the same manifest
+    trick: after every member table committed, ``pin`` writes
+    ``<root>/_group/g<N>.json`` mapping member name → table version and
+    atomically renames it into place. Group readers resolve member
+    versions through the latest pin and NEVER see a half-published set —
+    a crash before the pin leaves the previous pin (and its fully
+    consistent member versions) in force, and the retry's re-commits
+    land as newer, unpinned table versions. Pins are immutable, so group
+    reads time-travel consistently (``group_version=…`` pins all members
+    at once, unlike per-table ``version=`` which can't know that tables
+    advance at different rates — an unchanged entity skips commits
+    entirely).
+
+    Metadata-only: a pin is one tiny JSON rename; no data is read or
+    written. Claims give writers the same optimistic concurrency as
+    table commits.
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = Path(path)
+        (self.path / "_group").mkdir(parents=True, exist_ok=True)
+
+    def versions(self) -> list[int]:
+        return sorted(
+            int(p.stem[1:]) for p in (self.path / "_group").glob("g*.json")
+        )
+
+    def pin(self, members: dict[str, int]) -> int:
+        """Atomically record ``{table name: table version}`` as the next
+        consistent group snapshot. Call AFTER every member commit landed."""
+        vs = self.versions()
+        nxt = (vs[-1] + 1) if vs else 1
+        claim = self.path / "_group" / f"g{nxt}.json.claim"
+        try:
+            os.close(os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"group version {nxt} already claimed at {self.path}"
+            ) from None
+        final = self.path / "_group" / f"g{nxt}.json"
+        tmp = self.path / "_group" / f".g{nxt}.json.tmp"
+        tmp.write_text(
+            json.dumps(
+                {
+                    "version": nxt,
+                    "members": {k: int(v) for k, v in members.items()},
+                    "committed_at": time.time(),
+                },
+                indent=1,
+            )
+        )
+        os.rename(tmp, final)  # atomic flip, claim kept as the record
+        return nxt
+
+    def members(self, group_version: int | None = None) -> dict[str, int]:
+        """The pinned member→version map (latest pin by default)."""
+        vs = self.versions()
+        if not vs:
+            raise FileNotFoundError(f"no group pin at {self.path}")
+        v = group_version if group_version is not None else vs[-1]
+        if v not in vs:
+            raise FileNotFoundError(f"group version {v} not in {vs}")
+        m = json.loads((self.path / "_group" / f"g{v}.json").read_text())
+        return {k: int(x) for k, x in m["members"].items()}
+
+    def table(self, name: str) -> VersionedTable:
+        return VersionedTable(self.spark, str(self.path / name))
+
+    def read(
+        self,
+        name: str,
+        group_version: int | None = None,
+        between: tuple[str, object, object] | None = None,
+    ) -> DataFrame:
+        """Member read pinned to a consistent group snapshot (stats
+        pruning via ``between`` passes straight through)."""
+        return self.table(name).read(
+            version=self.members(group_version)[name], between=between
+        )

@@ -209,8 +209,14 @@ def _publish(spark, outs: dict, publish_dir: str) -> dict:
     the merge snapshot equals the split output exactly — without this a
     vanished row would silently survive every subsequent dump. (The
     incremental path computes its own, narrower ``also_delete`` from
-    affected ids — ``incremental_resplit``.)"""
-    from .plans.table import VersionedTable
+    affected ids — ``incremental_resplit``.)
+
+    The three entity commits are atomic individually but not as a SET;
+    after all three land, one :class:`TableGroup` pin records their
+    versions as the consistent snapshot (a crash mid-publish leaves the
+    previous pin in force — group readers never see nodes from one dump
+    joined to ways from another)."""
+    from .plans.table import TableGroup, VersionedTable
 
     n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     key = ["id", "version", "extract"]
@@ -234,6 +240,9 @@ def _publish(spark, outs: dict, publish_dir: str) -> dict:
             )
         else:
             versions[entity] = t.commit(df, stats_cols=["extract", "id"])
+    versions["group"] = TableGroup(spark, publish_dir).pin(
+        {e: versions[e] for e in ("nodes", "ways", "relations")}
+    )
     return versions
 
 
@@ -495,6 +504,14 @@ def compact_published(
             continue
         if len(t._manifest(vs[-1]).get("deletes", [])) >= threshold:
             out[entity] = t.compact(stats_cols=["extract", "id"])
+    if out:
+        # compaction preserves content, so re-pinning compacted versions
+        # next to the others' pins keeps the group snapshot consistent
+        from .plans.table import TableGroup
+
+        g = TableGroup(spark, publish_dir)
+        if g.versions():
+            out["group"] = g.pin({**g.members(), **out})
     return out
 
 
@@ -808,6 +825,13 @@ def incremental_resplit(
         new_store, nodes, ways, relations,
         way_refs=_m[0].way_refs if _m else None,
     )
+    # every entity's commit (or provable no-op) landed: pin the set as
+    # one consistent group snapshot (see _publish)
+    from .plans.table import TableGroup
+
+    report["group"] = TableGroup(spark, publish_dir).pin(
+        {e: report[e]["version"] for e in ("nodes", "ways", "relations")}
+    )
     report["checkpoints"] = new_store.manifest()
     return report
 
@@ -888,12 +912,18 @@ def emit_osm_from_published(
     extracts: list[str] | None = None,
     filenames: dict[str, str] | None = None,
     version: int | None = None,
+    group_version: int | None = None,
 ) -> dict:
     """Reference-format file emission with the PUBLISHED tables as the
     source of truth — the refresh step after an incremental re-split
     (only the extracts whose rows changed need their `.osm/.osh[.pbf]`
-    files rebuilt; pass them as ``extracts``). ``version`` time-travels:
-    emit the files exactly as of an earlier split.
+    files rebuilt; pass them as ``extracts``). Time travel:
+    ``group_version`` pins all three entity tables to one consistent
+    published SET (the TableGroup pin a publish/CDC run records) — the
+    right axis, since unchanged entities skip commits and per-table
+    version numbers drift apart; ``version`` remains the raw per-table
+    override. With neither, reads resolve through the LATEST group pin
+    when one exists (never a half-published set), else per-table heads.
 
     The per-extract reads go through the table's stats pruning
     (``read(between=("extract", name, name))``) — on the
@@ -902,7 +932,7 @@ def emit_osm_from_published(
     from pyspark.sql import functions as F
 
     from .plans.osm_writer import write_extracts_osm
-    from .plans.table import VersionedTable
+    from .plans.table import TableGroup, VersionedTable
 
     names = extracts or [e.name for e in catalog]
     sub_catalog = ExtractCatalog([e for e in catalog if e.name in names])
@@ -910,11 +940,18 @@ def emit_osm_from_published(
         missing = set(names) - {e.name for e in sub_catalog}
         raise ValueError(f"extracts not in catalog: {sorted(missing)}")
 
+    pinned: dict[str, int] = {}
+    if version is None:
+        g = TableGroup(spark, publish_dir)
+        if g.versions() or group_version is not None:
+            pinned = g.members(group_version)
+
     frames = {}
     for entity in ("nodes", "ways", "relations"):
         t = VersionedTable(spark, f"{publish_dir}/{entity}")
+        v = pinned.get(entity, version)
         parts = [
-            t.read(version=version, between=("extract", n, n)) for n in names
+            t.read(version=v, between=("extract", n, n)) for n in names
         ]
         df = parts[0]
         for p in parts[1:]:

@@ -43,7 +43,9 @@ def test_cli_split_with_emit_osm_and_publish(spark, tmp_path, monkeypatch, capsy
     main()
     manifest = json.loads(capsys.readouterr().out)
     assert manifest["nodes"]["rows"] == 6
-    assert manifest["published"] == {"nodes": 1, "ways": 1, "relations": 1}
+    assert manifest["published"] == {
+            "nodes": 1, "ways": 1, "relations": 1, "group": 1,
+        }
     # the config dest kept its relative dir and .osh format
     path = manifest["osm_files"]["test"]
     assert path.endswith("/osm/o/test.osh")

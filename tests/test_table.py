@@ -451,3 +451,39 @@ def test_changes_feed_and_history(spark, tmp_path):
     assert [x["version"] for x in h] == [1, 2, 3]
     assert h[2]["mode"] == "merge" and h[2]["deletes"] == 1
     assert h[0]["parent"] is None and h[1]["parent"] == 1
+
+
+def test_clustered_commit_prunes_files(spark, tmp_path):
+    """cluster_by range-partitions + sorts the commit so per-file [min,
+    max] slices are tight: a narrow read(between=...) skips most files,
+    while the same data committed unclustered prunes nothing."""
+    data = _df(spark, 0, 10_000, "a").repartition(8)  # scattered layout
+
+    un = VersionedTable(spark, str(tmp_path / "un"))
+    un.commit(data, stats_cols=["id"])
+    kept_u, total_u = un.pruned_files(("id", 100, 200))
+    assert kept_u == total_u == 8  # every file spans the whole id range
+
+    cl = VersionedTable(spark, str(tmp_path / "cl"))
+    cl.commit(data, cluster_by="id", target_files=8)  # stats default to id
+    kept_c, total_c = cl.pruned_files(("id", 100, 200))
+    assert total_c == 8 and kept_c <= 2
+    assert cl.read(between=("id", 100, 200)).count() == 101
+    assert cl.read().count() == 10_000
+
+
+def test_compact_reclusters_mor_state(spark, tmp_path):
+    """compact(cluster_by=...) is the OPTIMIZE ZORDER maintenance op:
+    fold accumulated MOR deletes AND restore pruning in one commit."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_df(spark, 0, 4_000, "a").repartition(4), stats_cols=["id"])
+    t.commit(
+        _df(spark, 1_000, 1_100, "b"),
+        mode="merge", merge_key="id", strategy="mor",
+    )
+    before = sorted((r["id"], r["tag"]) for r in t.read().collect())
+    v = t.compact(cluster_by="id", target_files=4)
+    after = sorted((r["id"], r["tag"]) for r in t.read(version=v).collect())
+    assert after == before
+    kept, total = t.pruned_files(("id", 0, 500), version=v)
+    assert total == 4 and kept == 1
