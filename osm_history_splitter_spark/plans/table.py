@@ -642,16 +642,19 @@ class TableGroup:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = Path(path)
-        (self.path / "_group").mkdir(parents=True, exist_ok=True)
+        # no mkdir here: readers must work off a read-only mount of the
+        # published dir — pin() (the only writer) creates the dir
 
     def versions(self) -> list[int]:
-        return sorted(
-            int(p.stem[1:]) for p in (self.path / "_group").glob("g*.json")
-        )
+        gdir = self.path / "_group"
+        if not gdir.is_dir():
+            return []
+        return sorted(int(p.stem[1:]) for p in gdir.glob("g*.json"))
 
     def pin(self, members: dict[str, int]) -> int:
         """Atomically record ``{table name: table version}`` as the next
         consistent group snapshot. Call AFTER every member commit landed."""
+        (self.path / "_group").mkdir(parents=True, exist_ok=True)
         vs = self.versions()
         nxt = (vs[-1] + 1) if vs else 1
         claim = self.path / "_group" / f"g{nxt}.json.claim"
@@ -662,19 +665,40 @@ class TableGroup:
                 f"group version {nxt} already claimed at {self.path}"
             ) from None
         final = self.path / "_group" / f"g{nxt}.json"
-        tmp = self.path / "_group" / f".g{nxt}.json.tmp"
-        tmp.write_text(
-            json.dumps(
-                {
-                    "version": nxt,
-                    "members": {k: int(v) for k, v in members.items()},
-                    "committed_at": time.time(),
-                },
-                indent=1,
+        try:
+            tmp = self.path / "_group" / f".g{nxt}.json.tmp"
+            tmp.write_text(
+                json.dumps(
+                    {
+                        "version": nxt,
+                        "members": {k: int(v) for k, v in members.items()},
+                        "committed_at": time.time(),
+                    },
+                    indent=1,
+                )
             )
-        )
-        os.rename(tmp, final)  # atomic flip, claim kept as the record
+            os.rename(tmp, final)  # atomic flip, claim kept as the record
+        except BaseException:
+            # same contract as VersionedTable.commit: a failed ATTEMPT
+            # (bad members dict, full disk) releases its own claim so the
+            # retry isn't wedged; only a hard crash between claim and
+            # flip needs the explicit recover()
+            if not final.exists():
+                claim.unlink(missing_ok=True)
+            raise
         return nxt
+
+    def recover(self, version: int) -> bool:
+        """Release a stale pin claim left by a writer that crashed between
+        claiming ``version`` and flipping its manifest (mirror of
+        ``VersionedTable.recover``)."""
+        if (self.path / "_group" / f"g{version}.json").exists():
+            return False
+        claim = self.path / "_group" / f"g{version}.json.claim"
+        if claim.exists():
+            claim.unlink()
+            return True
+        return False
 
     def members(self, group_version: int | None = None) -> dict[str, int]:
         """The pinned member→version map (latest pin by default)."""

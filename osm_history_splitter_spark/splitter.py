@@ -494,24 +494,30 @@ def compact_published(
     time-travelable). Returns {entity: new version} for the tables
     compacted. Threshold check is manifest metadata only — untouched
     tables cost zero jobs."""
-    from .plans.table import VersionedTable
+    from .plans.table import TableGroup, VersionedTable
 
+    g = TableGroup(spark, publish_dir)
+    pinned = g.members() if g.versions() else None
     out = {}
     for entity in ("nodes", "ways", "relations"):
         t = VersionedTable(spark, f"{publish_dir}/{entity}")
         vs = t.versions()
         if not vs:
             continue
+        if pinned is not None and pinned.get(entity) != vs[-1]:
+            # head ≠ pinned: an unpinned commit exists (a publisher
+            # crashed mid-set). Compacting the head and re-pinning it
+            # would promote that half-published state into the group —
+            # the exact mixed snapshot pins exist to prevent. Leave this
+            # entity for after the publisher's retry completes the set.
+            continue
         if len(t._manifest(vs[-1]).get("deletes", [])) >= threshold:
             out[entity] = t.compact(stats_cols=["extract", "id"])
-    if out:
-        # compaction preserves content, so re-pinning compacted versions
+    if out and pinned is not None:
+        # compaction preserves content AND compacted from the pinned
+        # head (checked above), so re-pinning the compacted versions
         # next to the others' pins keeps the group snapshot consistent
-        from .plans.table import TableGroup
-
-        g = TableGroup(spark, publish_dir)
-        if g.versions():
-            out["group"] = g.pin({**g.members(), **out})
+        out["group"] = g.pin({**pinned, **out})
     return out
 
 
@@ -826,11 +832,16 @@ def incremental_resplit(
         way_refs=_m[0].way_refs if _m else None,
     )
     # every entity's commit (or provable no-op) landed: pin the set as
-    # one consistent group snapshot (see _publish)
+    # one consistent group snapshot (see _publish). An entity whose table
+    # has NO committed version (possible only for an all-empty no-op
+    # entity against a hand-built publish dir) has nothing to pin.
     from .plans.table import TableGroup
 
-    report["group"] = TableGroup(spark, publish_dir).pin(
-        {e: report[e]["version"] for e in ("nodes", "ways", "relations")}
+    vers = {e: report[e]["version"] for e in ("nodes", "ways", "relations")}
+    report["group"] = (
+        TableGroup(spark, publish_dir).pin(vers)
+        if all(v is not None for v in vers.values())
+        else None
     )
     report["checkpoints"] = new_store.manifest()
     return report
@@ -940,6 +951,11 @@ def emit_osm_from_published(
         missing = set(names) - {e.name for e in sub_catalog}
         raise ValueError(f"extracts not in catalog: {sorted(missing)}")
 
+    if version is not None and group_version is not None:
+        raise ValueError(
+            "version= (raw per-table) and group_version= (consistent set) "
+            "are mutually exclusive"
+        )
     pinned: dict[str, int] = {}
     if version is None:
         g = TableGroup(spark, publish_dir)

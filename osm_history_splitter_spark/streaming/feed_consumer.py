@@ -47,7 +47,7 @@ def follow_into(
     transform: Callable[[DataFrame], DataFrame],
     merge_key: str | list[str],
     checkpoint_dir: str,
-    app_id: str = "follow_into",
+    app_id: str | None = None,
     starting_version: int = 0,
     strategy: str = "mor",
 ):
@@ -56,12 +56,31 @@ def follow_into(
     committed rows, ``transform(batch)`` is upserted into ``target`` by
     ``merge_key`` (first batch bootstraps with an append). The returned
     query is live — drive it with ``processAllAvailable()`` /
-    ``awaitTermination()`` and ``stop()``.
+    ``awaitTermination()`` and ``stop()``. The source must already carry
+    its first commit (the feed's row schema comes from its head
+    snapshot).
 
     Restart-safe end to end: offsets live in ``checkpoint_dir``, replayed
     batches are skipped via the ``txn`` stamp, and both sides of the hop
     re-plan deterministically from immutable manifests.
+
+    The txn stamp and the checkpoint live and die TOGETHER: batch ids
+    are checkpoint-relative, so ``app_id`` defaults to a digest of the
+    (resolved) checkpoint path — two streams feeding one target then
+    stamp under different apps instead of silently skipping each other's
+    batches. Corollary: deleting ``checkpoint_dir`` but keeping the
+    target resets batch ids UNDER THE SAME app and the old stamp would
+    silently skip everything — on a checkpoint reset, reset (or re-name)
+    the app by passing a fresh explicit ``app_id``.
     """
+    if app_id is None:
+        import hashlib
+        from pathlib import Path
+
+        digest = hashlib.md5(
+            str(Path(checkpoint_dir).resolve()).encode()
+        ).hexdigest()[:12]
+        app_id = f"follow_into-{digest}"
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():

@@ -230,7 +230,11 @@ def stream_changes(
     """Streaming DataFrame of the table's change feed — one row per row
     each commit after ``starting_version`` added, in commit order, with
     ``_change_version`` / ``_change_type`` columns (the streaming twin of
-    ``VersionedTable.changes``)."""
+    ``VersionedTable.changes``). The table must already carry at least
+    one commit referencing data files: the feed's row schema is read
+    from the head snapshot at ``load()`` time (raises, rather than
+    idling, on an empty table — start consumers after the first
+    publish)."""
     spark.dataSource.register(TableChangeFeedSource)
     return (
         spark.readStream.format("table_changes")

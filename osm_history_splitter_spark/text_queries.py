@@ -1692,6 +1692,12 @@ FROM a3 WHERE rn = 1"""
 
 
 
+#: the operator's oversized-cluster passthrough is part of the certified
+#: semantics: both engines gate dedup on cluster size <= this cap and
+#: flag attempted accordingly, so the twins agree even when it fires
+SEMDEDUP_CLUSTER_CAP = 10_000
+
+
 def q_semdedup(spark, sf_dir):
     """SemDeDup-style semantic dedup (operators/semdedup.py): k-means the
     embedding space (the same deterministic 2-iteration chain as
@@ -1717,6 +1723,7 @@ def q_semdedup(spark, sf_dir):
         k=8,
         num_iter=2,
         threshold=float(NEARDUP_THRESH),
+        cluster_cap=SEMDEDUP_CLUSTER_CAP,
     )
     return out.select(
         F.col("vid").alias("vec_id"), "cluster", "kept", "attempted"
@@ -1737,19 +1744,20 @@ e AS (SELECT * FROM eb UNION ALL SELECT * FROM pl),
 asg AS (SELECT vid, cl FROM a3 WHERE rn = 1),
 v AS (
   SELECT a.vid, a.cl, e.q,
-         CAST(list_sum(list_transform(range(1, 65), d -> e.q[d] * e.q[d]))
-              AS BIGINT) AS n2
+         CAST(list_dot_product(e.q, e.q) AS BIGINT) AS n2,
+         count(*) OVER (PARTITION BY a.cl) AS csz
   FROM asg a JOIN e ON e.vid = a.vid),
 dup AS (
   SELECT b.vid
   FROM v b JOIN v a ON a.cl = b.cl AND a.vid < b.vid
-  WHERE CAST(list_dot_product(a.q, b.q) AS BIGINT) > 0
+  WHERE b.csz <= {SEMDEDUP_CLUSTER_CAP}
+    AND CAST(list_dot_product(a.q, b.q) AS BIGINT) > 0
     AND CAST(CAST(list_dot_product(a.q, b.q) AS BIGINT) AS DOUBLE)
         / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE))
         >= {NEARDUP_THRESH}
   GROUP BY b.vid)
 SELECT v.vid AS vec_id, CAST(v.cl AS INT) AS cluster,
-       (dup.vid IS NULL) AS kept, TRUE AS attempted
+       (dup.vid IS NULL) AS kept, (v.csz <= {SEMDEDUP_CLUSTER_CAP}) AS attempted
 FROM v LEFT JOIN dup ON dup.vid = v.vid"""
 
 

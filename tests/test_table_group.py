@@ -131,3 +131,56 @@ def test_splitter_publish_and_cdc_pin_groups(spark, tmp_path):
         spark, str(tmp_path / "e2" / "t2.osm")
     )[0].count()
     assert (n1, n2) == (6, 7), (out1, out2)
+
+
+def test_pin_claim_crash_recovery(spark, tmp_path):
+    """A claim left by a pin that died before the flip wedges the next
+    pin (ConcurrentCommitError) until recover(); a FAILED attempt (bad
+    members) releases its own claim."""
+    from osm_history_splitter_spark.plans.table import ConcurrentCommitError
+
+    g = TableGroup(spark, str(tmp_path))
+    a = g.table("a")
+    v = a.commit(_df(spark, 0, 2, "x"))
+    g.pin({"a": v})
+    # failed ATTEMPT: int(None) raises inside pin -> claim auto-released
+    with pytest.raises(TypeError):
+        g.pin({"a": None})
+    assert g.pin({"a": v}) == 2
+    # hard crash: claim exists, no manifest
+    (tmp_path / "_group" / "g3.json.claim").touch()
+    with pytest.raises(ConcurrentCommitError):
+        g.pin({"a": v})
+    assert g.recover(3) is True
+    assert g.pin({"a": v}) == 3
+    assert g.recover(3) is False  # committed pins are not recoverable
+
+
+def test_compact_published_skips_unpinned_heads(spark, tmp_path):
+    """compact_published must not fold an UNPINNED head (a crashed
+    publisher's half-set) into the group — pinned-at-head tables compact
+    and re-pin, the drifted one is left for the publisher's retry."""
+    from osm_history_splitter_spark.splitter import compact_published
+
+    g = TableGroup(spark, str(tmp_path))
+    vers = {}
+    for e in ("nodes", "ways", "relations"):
+        t = g.table(e)
+        t.commit(_df(spark, 0, 6, "v1"))
+        vers[e] = t.commit(
+            _df(spark, 0, 2, "v2"), mode="merge", merge_key="id",
+            strategy="mor",
+        )
+    g.pin(vers)
+    # crashed publisher: nodes advances past the pin, no new pin
+    g.table("nodes").commit(
+        _df(spark, 2, 4, "v3"), mode="merge", merge_key="id", strategy="mor"
+    )
+    out = compact_published(spark, str(tmp_path), threshold=1)
+    assert "nodes" not in out  # head != pinned -> left alone
+    assert set(out) == {"ways", "relations", "group"}
+    m = g.members()
+    assert m["nodes"] == vers["nodes"]  # group still on the pinned state
+    assert m["ways"] == out["ways"] and m["relations"] == out["relations"]
+    # group truth unchanged by compaction
+    assert g.read("ways").count() == 6
