@@ -2184,6 +2184,89 @@ SELECT w AS term, doc_id, CAST(rk AS BIGINT) AS rk,
 FROM r WHERE rk <= 5"""
 
 
+#: PII scrubbing (the C4/Dolma redaction stage). Patterns restricted to
+#: constructs Java regex and RE2 (DuckDB) interpret identically: literal
+#: classes, bounded quantifiers, \\b word boundaries — no lookaround, no
+#: backrefs, no ambiguous alternation. Mirrored verbatim in the twin.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE = r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b"
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction over the documents table: count and replace emails,
+    IPv4 addresses, and xxx-xxx-xxxx phone numbers with typed tokens —
+    the standard pre-training scrub stage. At 100 TB this is one
+    codegen'd projection per row, no shuffle. The synthetic corpus
+    carries no natural PII, so deterministic PII is PLANTED on a doc_id
+    grid on BOTH engines (the ``embedding_neardup`` planting idea):
+    every 7th doc gains an email, every 11th an IP, every 13th a phone —
+    the scrub then has real matches to find, overlap cases included."""
+    d = _t(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com now")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.lit(" host 10.0."), F.col("doc_id") % 256, F.lit(".1 up")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(F.lit(" call 555-01"), F.format_string("%d", F.col("doc_id") % 10), F.lit("-4321 today")),
+        ).otherwise(F.lit("")),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(planted, PII_EMAIL, "<EMAIL>"),
+            PII_IPV4,
+            "<IP>",
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(planted, F.lit(PII_EMAIL)).cast("long").alias("n_email"),
+        F.regexp_count(planted, F.lit(PII_IPV4)).cast("long").alias("n_ip"),
+        F.regexp_count(planted, F.lit(PII_PHONE)).cast("long").alias("n_phone"),
+        F.length(scrubbed).cast("long").alias("clean_len"),
+        F.md5(scrubbed).alias("clean_md5"),
+    )
+
+
+def _pii_sql() -> str:
+    # DuckDB standard strings keep backslashes raw — patterns pass as-is
+    plant = (
+        "text || "
+        "CASE WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id || '@example.com now' ELSE '' END || "
+        "CASE WHEN doc_id % 11 = 0 THEN ' host 10.0.' || (doc_id % 256) || '.1 up' ELSE '' END || "
+        "CASE WHEN doc_id % 13 = 0 THEN ' call 555-01' || (doc_id % 10) || '-4321 today' ELSE '' END"
+    )
+    return f"""WITH p AS (
+  SELECT doc_id, {plant} AS t FROM documents),
+s AS (
+  SELECT doc_id, t,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(t, '{PII_EMAIL}', '<EMAIL>', 'g'),
+             '{PII_IPV4}', '<IP>', 'g'),
+           '{PII_PHONE}', '<PHONE>', 'g') AS clean
+  FROM p)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{PII_EMAIL}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(t, '{PII_IPV4}')) AS BIGINT) AS n_ip,
+       CAST(len(regexp_extract_all(t, '{PII_PHONE}')) AS BIGINT) AS n_phone,
+       CAST(length(clean) AS BIGINT) AS clean_len,
+       md5(clean) AS clean_md5
+FROM s"""
+
+
+Q_PII_SCRUB_SQL = _pii_sql()
+
+
 def q_c4_filter(spark, sf_dir):
     """C4-style heuristic page cleaning (the published rules of Raffel
     et al. 2020, re-expressed as Catalyst string ops): sentence count
@@ -2382,6 +2465,7 @@ TEXT_QUERIES = {
     "pagerank": (q_pagerank, Q_PAGERANK_SQL),
     "kmeans": (q_kmeans, Q_KMEANS_SQL),
     "semdedup": (q_semdedup, Q_SEMDEDUP_SQL),
+    "pii_scrub": (q_pii_scrub, Q_PII_SCRUB_SQL),
     "pack_sequences": (q_pack_sequences, Q_PACK_SEQUENCES_SQL),
     "pack_sequences_bucketed": (
         q_pack_sequences_bucketed,
