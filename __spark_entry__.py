@@ -43,6 +43,7 @@ _DRIVER_EXCLUDE = {
     "semdedup",  # window full at 50; DuckDB twin certified by
     # tests/test_driver_excluded.py — rotate in when a slot frees up
     "pii_scrub",  # same: window full; twin certified by the same test
+    "oov_rate",  # same: window full; twin certified by the same test
     "bm25_topk",  # ln() ulps differ across engines — pytest compares
     # rounded scores (tests/test_bm25.py); the exact-hash gate would
     # flake on the last decimal

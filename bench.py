@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "mixture_sample",
     "domain_stats",
     "semdedup",
+    "pii_scrub",
+    "oov_rate",
 ]
 
 

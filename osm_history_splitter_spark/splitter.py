@@ -678,6 +678,17 @@ def incremental_resplit(
             )
         for f in inc["cleanup"]:
             f.unpersist()
+        # pin the consistent set exactly as the full path does below
+        from .plans.table import TableGroup
+
+        vers = {
+            e: report[e]["version"] for e in ("nodes", "ways", "relations")
+        }
+        report["group"] = (
+            TableGroup(spark, publish_dir).pin(vers)
+            if all(v is not None for v in vers.values())
+            else None
+        )
         report["checkpoints"] = new_store.manifest()
         return report
 

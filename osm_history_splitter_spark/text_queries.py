@@ -2184,6 +2184,55 @@ SELECT w AS term, doc_id, CAST(rk AS BIGINT) AS rk,
 FROM r WHERE rk <= 5"""
 
 
+def q_oov_rate(spark, sf_dir):
+    """Out-of-vocabulary rate against an in-corpus reference sample — the
+    integer-exact stand-in for LM-perplexity quality scoring (KenLM-style
+    scorers rank docs by how 'expected' their tokens are; the OOV
+    fraction against a held-in vocabulary captures the same tail without
+    float logs, so the oracle hash is exact). Reference vocabulary =
+    distinct words of every 10th doc; ``oov_heavy`` flags docs with >30%%
+    unseen tokens via an integer cross-multiply.
+
+    Scale shape: one tokenize shuffle (same cost class as minhash_sig),
+    a distinct over the sample's words, and an anti-join on the word key
+    — all map-side combinable; the vocabulary never needs the driver."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    vocab = words.filter(F.col("doc_id") % 10 == 0).select("w").distinct()
+    tot = words.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    oov = (
+        words.join(vocab, "w", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_oov"))
+    )
+    return tot.join(oov, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
+        (
+            F.coalesce("n_oov", F.lit(0)) * 10 > F.col("n_tokens") * 3
+        ).alias("oov_heavy"),
+    )
+
+
+Q_OOV_RATE_SQL = """WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+wf AS (SELECT * FROM w WHERE w <> ''),
+vocab AS (SELECT DISTINCT w FROM wf WHERE doc_id % 10 = 0),
+tot AS (SELECT doc_id, count(*) AS n_tokens FROM wf GROUP BY 1),
+oov AS (
+  SELECT doc_id, count(*) AS n_oov
+  FROM wf ANTI JOIN vocab USING (w)
+  GROUP BY 1)
+SELECT t.doc_id,
+       CAST(t.n_tokens AS BIGINT) AS n_tokens,
+       CAST(COALESCE(o.n_oov, 0) AS BIGINT) AS n_oov,
+       (COALESCE(o.n_oov, 0) * 10 > t.n_tokens * 3) AS oov_heavy
+FROM tot t LEFT JOIN oov o ON o.doc_id = t.doc_id"""
+
+
 #: PII scrubbing (the C4/Dolma redaction stage). Patterns restricted to
 #: constructs Java regex and RE2 (DuckDB) interpret identically: literal
 #: classes, bounded quantifiers, \\b word boundaries — no lookaround, no
@@ -2466,6 +2515,7 @@ TEXT_QUERIES = {
     "kmeans": (q_kmeans, Q_KMEANS_SQL),
     "semdedup": (q_semdedup, Q_SEMDEDUP_SQL),
     "pii_scrub": (q_pii_scrub, Q_PII_SCRUB_SQL),
+    "oov_rate": (q_oov_rate, Q_OOV_RATE_SQL),
     "pack_sequences": (q_pack_sequences, Q_PACK_SEQUENCES_SQL),
     "pack_sequences_bucketed": (
         q_pack_sequences_bucketed,

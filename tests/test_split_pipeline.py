@@ -239,7 +239,9 @@ def test_run_split_publish_table_time_travels(spark, tmp_path):
         )
 
     m1 = split(golden_nodes(spark), "out1")
-    assert m1["published"] == {"nodes": 1, "ways": 1, "relations": 1}
+    assert m1["published"] == {
+        "nodes": 1, "ways": 1, "relations": 1, "group": 1,
+    }
     # world update: same ids/versions, changed user attribution
     updated = golden_nodes(spark).withColumn("user", F.lit("someone-else"))
     m2 = split(updated, "out2")
