@@ -33,6 +33,8 @@ __all__ = [
     "cell_ids_np",
     "cover_rings",
     "cover_bbox",
+    "compact_cover",
+    "uncompact_cells",
     "neighbor_ring",
 ]
 
@@ -283,6 +285,87 @@ def cover_bbox(
     fully = (lo_x > minlon) & (hi_x < maxlon) & (lo_y > minlat) & (hi_y < maxlat)
     cells = gx.astype(np.int64) * CELL_SHIFT + gy.astype(np.int64)
     return cells, fully
+
+
+def compact_cover(
+    cells: np.ndarray, fully: np.ndarray, res: int, levels: int = 3
+) -> list[tuple[int, np.ndarray, np.ndarray]]:
+    """H3-``compact`` analog: merge fully-inside 2x2 sibling cells into their
+    parent, recursively, up to ``levels`` coarser resolutions.
+
+    The cover of a large extract is dominated by its *interior* cells —
+    O(area / w^2) rows — while only the O(perimeter / w) boundary cells do
+    real refine work. Compaction rewrites the interior as a multi-resolution
+    set covering exactly the same area (a parent cell at res r-1 is the
+    exact union of its 4 children: both axis indices halve,
+    :func:`parent-cell <osm_history_splitter_spark.operators.raster.parent_cell_expr>`
+    semantics), shrinking the broadcast index toward O(perimeter) with zero
+    semantic change: merged cells are fully-inside at every level, boundary
+    cells are never merged and keep their exact-refine flag at the original
+    resolution.
+
+    ``levels`` bounds the number of distinct resolutions in the result
+    (each extra level is one more ladder rung in the join — see
+    ``assign_extracts``); 3 levels captures up to a 64x interior reduction.
+
+    Returns ``[(res_level, cells, fully), ...]`` coarsest-first; levels with
+    no cells are omitted. Area-equivalence is property-tested
+    (``tests/test_compact_cover.py``).
+    """
+    if levels < 0:
+        raise ValueError(f"levels must be >= 0, got {levels}")
+    out: list[tuple[int, np.ndarray, np.ndarray]] = []
+    boundary = cells[~fully]
+    ix = cells[fully] // CELL_SHIFT
+    iy = cells[fully] % CELL_SHIFT
+    r = res
+    for _ in range(levels):
+        if r == 0 or ix.size < 4:
+            break
+        parent = (ix >> 1) * CELL_SHIFT + (iy >> 1)
+        uniq, inverse, counts = np.unique(
+            parent, return_inverse=True, return_counts=True
+        )
+        merged = counts == 4
+        if not merged.any():
+            break
+        keep = ~merged[inverse]  # children whose parent is incomplete
+        kept = ix[keep] * CELL_SHIFT + iy[keep]
+        if kept.size:
+            out.append((r, kept, np.ones(kept.size, dtype=bool)))
+        promoted = uniq[merged]
+        ix, iy = promoted // CELL_SHIFT, promoted % CELL_SHIFT
+        r -= 1
+    if ix.size:
+        top = ix * CELL_SHIFT + iy
+        out.append((r, top, np.ones(top.size, dtype=bool)))
+    if boundary.size:
+        out.append((res, boundary, np.zeros(boundary.size, dtype=bool)))
+    # coalesce the two res-level entries (kept fine fully + boundary)
+    by_res: dict[int, list[tuple[np.ndarray, np.ndarray]]] = {}
+    for rr, cc, ff in out:
+        by_res.setdefault(rr, []).append((cc, ff))
+    return [
+        (rr, np.concatenate([c for c, _ in parts]),
+         np.concatenate([f for _, f in parts]))
+        for rr, parts in sorted(by_res.items())
+    ]
+
+
+def uncompact_cells(cell: np.ndarray, res: int, to_res: int) -> np.ndarray:
+    """Expand cells at ``res`` to their exact descendant set at the finer
+    ``to_res`` (H3 ``uncompact`` analog; test/verification helper)."""
+    if to_res < res:
+        raise ValueError(f"to_res {to_res} must be >= res {res}")
+    k = to_res - res
+    cell = np.asarray(cell, np.int64)
+    ix = (cell // CELL_SHIFT) << k
+    iy = (cell % CELL_SHIFT) << k
+    d = np.arange(1 << k, dtype=np.int64)
+    n, K = cell.size, 1 << k
+    gx = np.broadcast_to(ix[:, None, None] + d[None, :, None], (n, K, K))
+    gy = np.broadcast_to(iy[:, None, None] + d[None, None, :], (n, K, K))
+    return (gx * CELL_SHIFT + gy).ravel()
 
 
 def neighbor_ring(cell: int, k: int) -> np.ndarray:

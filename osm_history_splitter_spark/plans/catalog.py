@@ -67,6 +67,13 @@ class ExtractCatalog:
     #: per-extract resolution uniformly until the total fits (coarser
     #: cover = more exact-refine work per boundary cell, never wrong).
     max_total_cover_cells: int = 2_000_000
+    #: H3-``compact``-style interior merge depth (``grid.compact_cover``):
+    #: 0 = single-resolution covers (the certified baseline); k > 0 merges
+    #: fully-inside 2x2 sibling blocks into parents up to k levels coarser,
+    #: shrinking the broadcast index toward O(perimeter) per extract.
+    #: Membership is provably unchanged (area-identical multi-res cover);
+    #: the join runs one ladder rung per distinct resolution instead.
+    compact_levels: int = 0
 
     def add(self, e: Extract) -> "ExtractCatalog":
         self.extracts.append(e)
@@ -139,17 +146,29 @@ class ExtractCatalog:
                 )
             else:
                 cells, fully = grid.cover_rings(e.rings, res, holes=e.holes)
-            out.extend(
-                (
-                    e.name, res, int(c), bool(f), e.kind,
-                    float(e.minlon), float(e.minlat),
-                    float(e.maxlon), float(e.maxlat),
+            if self.compact_levels > 0:
+                leveled = grid.compact_cover(
+                    cells, fully, res, levels=self.compact_levels
                 )
-                for c, f in zip(cells, fully)
-            )
+            else:
+                leveled = [(res, cells, fully)]
+            for lr, lc, lf in leveled:
+                out.extend(
+                    (
+                        e.name, lr, int(c), bool(f), e.kind,
+                        float(e.minlon), float(e.minlat),
+                        float(e.maxlon), float(e.maxlat),
+                    )
+                    for c, f in zip(lc, lf)
+                )
         return out
 
-    def cover_df(self, spark: SparkSession) -> DataFrame:
+    def cover_df(
+        self, spark: SparkSession, _rows: list[tuple] | None = None
+    ) -> DataFrame:
+        """Cover rows as a broadcastable DataFrame. ``_rows`` lets a caller
+        that already materialized :meth:`cover_rows` (to inspect the
+        resolution set) avoid rebuilding every cover."""
         schema = T.StructType(
             [
                 T.StructField("extract", T.StringType(), False),
@@ -163,7 +182,9 @@ class ExtractCatalog:
                 T.StructField("maxlat", T.DoubleType(), False),
             ]
         )
-        return spark.createDataFrame(self.cover_rows(), schema=schema)
+        return spark.createDataFrame(
+            self.cover_rows() if _rows is None else _rows, schema=schema
+        )
 
     # -- geometry payload for the refine UDF -------------------------------
 
