@@ -44,6 +44,8 @@ _DRIVER_EXCLUDE = {
     # tests/test_driver_excluded.py — rotate in when a slot frees up
     "pii_scrub",  # same: window full; twin certified by the same test
     "oov_rate",  # same: window full; twin certified by the same test
+    "polygonize_edges",  # same: window full; twin certified by the same
+    # test (ring stitching itself is pytest-only: tests/test_polygonize.py)
     "bm25_topk",  # ln() ulps differ across engines — pytest compares
     # rounded scores (tests/test_bm25.py); the exact-hash gate would
     # flake on the last decimal

@@ -642,8 +642,58 @@ FROM events, b WHERE event_id BETWEEN b.lo AND b.hi
 GROUP BY event_type"""
 
 
+def q_polygonize_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster→vector polygonization, relational half (operators/raster.py:
+    region_labels + boundary_edges): rasterize customer points, class each
+    cell by clamped count, label 4-adjacent same-class regions via
+    distributed connected components, and emit every region's directed
+    boundary segments in integer corner coordinates. The sequential ring
+    stitching on top of these edges is pytest-certified separately
+    (tests/test_polygonize.py — PIP roundtrip); the edge set is the
+    SQL-expressible contract the oracle can pin exactly."""
+    from .operators.raster import boundary_edges, rasterize
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    pts = c.select(
+        (((k * 7919) % 36000) / F.lit(100.0) - F.lit(180.0)).alias("lon"),
+        (((k * 104729) % 18000) / F.lit(100.0) - F.lit(90.0)).alias("lat"),
+    )
+    classed = rasterize(pts, RASTER_RES).select(
+        "cell", F.least(F.col("n"), F.lit(3)).cast("int").alias("cls")
+    )
+    return boundary_edges(classed, "cls")
+
+
+_S = grid.CELL_SHIFT
+Q_POLYGONIZE_EDGES_SQL = f"""WITH RECURSIVE pts AS ({_CUST_PTS_SQL}),
+r AS (SELECT {grid.cell_id_sql('lon', 'lat', RASTER_RES)} AS cell,
+      count(*) AS n FROM pts GROUP BY 1),
+c AS (SELECT cell, CAST(least(n, 3) AS INT) AS cls FROM r),
+e AS (SELECT a.cell AS ca, b.cell AS cb FROM c a JOIN c b
+      ON (b.cell = a.cell + {_S} OR b.cell = a.cell + 1) AND b.cls = a.cls),
+ud AS (SELECT ca, cb FROM e UNION SELECT cb AS ca, ca AS cb FROM e),
+reach(cell, rlbl) AS (
+  SELECT cell, cell FROM c
+  UNION
+  SELECT ud.ca, reach.rlbl FROM ud JOIN reach ON reach.cell = ud.cb),
+lbl AS (SELECT cell, min(rlbl) AS region FROM reach GROUP BY cell),
+sides(delta, sx0, sy0, sx1, sy1) AS (VALUES
+  (-1, 0, 0, 1, 0), ({_S}, 1, 0, 1, 1), (1, 1, 1, 0, 1), (-{_S}, 0, 1, 0, 0)),
+b AS (
+  SELECT l.region, c.cls,
+         (c.cell // {_S}) + s.sx0 AS x0, (c.cell % {_S}) + s.sy0 AS y0,
+         (c.cell // {_S}) + s.sx1 AS x1, (c.cell % {_S}) + s.sy1 AS y1
+  FROM c JOIN lbl l USING (cell) CROSS JOIN sides s
+  WHERE NOT EXISTS (SELECT 1 FROM c nb
+                    WHERE nb.cell = c.cell + s.delta AND nb.cls = c.cls))
+SELECT region, cls, CAST(x0 AS BIGINT) AS x0, CAST(y0 AS BIGINT) AS y0,
+       CAST(x1 AS BIGINT) AS x1, CAST(y1 AS BIGINT) AS y1 FROM b"""
+
+
 SPATIAL_QUERIES = {
     "table_read": (q_table_read, Q_TABLE_READ_SQL),
+    "polygonize_edges": (q_polygonize_edges, Q_POLYGONIZE_EDGES_SQL),
     "node_membership": (q_node_membership, Q_NODE_MEMBERSHIP_SQL),
     "rasterize": (q_rasterize, Q_RASTERIZE_SQL),
     "zonal_stats": (q_zonal_stats, Q_ZONAL_STATS_SQL),
