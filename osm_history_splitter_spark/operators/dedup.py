@@ -25,7 +25,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "dedup_clusters"]
+__all__ = [
+    "connected_components",
+    "dedup_clusters",
+    "exact_substring_spans",
+]
 
 
 def connected_components(
@@ -104,4 +108,91 @@ def dedup_clusters(pairs: DataFrame) -> DataFrame:
         "doc_id",
         "cluster_id",
         (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+def exact_substring_spans(
+    docs: DataFrame,
+    min_tokens: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ExactSubstr dedup (the suffix-array "deduplicating training data"
+    operator, re-expressed for Spark): find every maximal token span that
+    appears at least twice in the corpus — across documents OR within one —
+    at granularity ``min_tokens``.
+
+    Returns one row per (document, maximal duplicated span):
+    ``(id_col, span_start, span_end, span_tokens, dup_grams)`` with 1-based
+    inclusive token positions.
+
+    Spark-first shape (the suffix array is inherently sequential; the
+    distributed equivalent is gram fingerprinting):
+
+    1. every ``min_tokens``-gram is fingerprinted (md5 over the joined
+       slice) — pure Catalyst ``transform``/``slice``, no UDF;
+    2. ONE window count partitioned by fingerprint marks grams occurring
+       >= 2 times. No pair enumeration anywhere — a boilerplate gram shared
+       by a million pages costs one count, not 10^12 pairs, so there is no
+       hot-key blowup to cap;
+    3. duplicated gram positions merge into maximal spans per document
+       (gaps-and-islands: running max of span end, one window per doc).
+
+    Total cost: one O(total tokens) shuffle on content hash (evenly
+    distributed by construction) + one narrow per-document window.
+    """
+    L = int(min_tokens)
+    if L < 2:
+        raise ValueError(f"min_tokens must be >= 2, got {L}")
+    ws = F.split(F.col(text_col), " ")
+    n = F.size(ws)
+    positions = F.when(
+        n >= L, F.sequence(F.lit(1), n - F.lit(L) + 1)
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    grams = docs.select(
+        F.col(id_col), ws.alias("__ws"), F.explode(positions).alias("pos")
+    ).select(
+        id_col,
+        "pos",
+        F.md5(F.array_join(F.slice("__ws", F.col("pos"), L), " ")).alias("h"),
+    )
+    from pyspark.sql import Window
+
+    dup = (
+        grams.withColumn(
+            "c", F.count(F.lit(1)).over(Window.partitionBy("h"))
+        )
+        .filter(F.col("c") >= 2)
+        .select(id_col, "pos")
+    )
+    wdoc = Window.partitionBy(id_col).orderBy("pos")
+    prev_max = (
+        F.max(F.col("pos") + F.lit(L - 1))
+        .over(wdoc.rowsBetween(Window.unboundedPreceding, -1))
+    )
+    spans = dup.withColumn(
+        "is_new",
+        F.when(
+            prev_max.isNull() | (F.col("pos") > prev_max + 1), 1
+        ).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("is_new").over(wdoc.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        spans.groupBy(id_col, "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(L - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("dup_grams"),
+        )
+        .select(
+            id_col,
+            F.col("span_start").cast("int").alias("span_start"),
+            F.col("span_end").cast("int").alias("span_end"),
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("int")
+            .alias("span_tokens"),
+            F.col("dup_grams").cast("long").alias("dup_grams"),
+        )
     )

@@ -2483,7 +2483,53 @@ Q_STRATIFIED_SAMPLE_SQL = f"""WITH r AS (
 SELECT lang, doc_id, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= {STRAT_K}"""
 
 
+EXSUB_L = 8  # gram length in tokens (the paper's 50 scaled to testdata docs)
+
+
+def q_exact_substr(spark, sf_dir):
+    """ExactSubstr dedup (operators/dedup.py:exact_substring_spans): every
+    maximal token span occurring >= 2 times corpus-wide (across documents
+    or within one), at 8-token granularity. No pair enumeration — one
+    window count per gram fingerprint, then gaps-and-islands span merge
+    per document (see the operator docstring for the 100-TB shape)."""
+    from .operators.dedup import exact_substring_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return exact_substring_spans(d, min_tokens=EXSUB_L)
+
+
+Q_EXACT_SUBSTR_SQL = f"""WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), g AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         md5(array_to_string(ws[i : i + {EXSUB_L - 1}], ' ')) AS h
+  FROM w, LATERAL (
+    SELECT unnest(range(1, len(ws) - {EXSUB_L} + 2)) AS i)
+), d AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS c FROM g)
+  WHERE c >= 2
+), sp AS (
+  SELECT doc_id, pos,
+         max(pos + {EXSUB_L - 1}) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+  FROM d
+), isl AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN pmax IS NULL OR pos > pmax + 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM sp
+)
+SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+  CAST(max(pos) + {EXSUB_L - 1} AS INT) AS span_end,
+  CAST(max(pos) + {EXSUB_L - 1} - min(pos) + 1 AS INT) AS span_tokens,
+  CAST(count(*) AS BIGINT) AS dup_grams
+FROM isl GROUP BY doc_id, island"""
+
+
 TEXT_QUERIES = {
+    "exact_substr": (q_exact_substr, Q_EXACT_SUBSTR_SQL),
     "regex_tokens": (q_regex_tokens, Q_REGEX_TOKENS_SQL),
     "simhash": (q_simhash, Q_SIMHASH_SQL),
     "dedup_exact": (q_dedup_exact, Q_DEDUP_EXACT_SQL),
