@@ -431,12 +431,22 @@ def main():
         help="after a CDC run, fold any published table carrying >= N "
         "merge-on-read delete entries into a clean snapshot (0 = never)",
     )
+    ap.add_argument(
+        "--compact-cover", type=int, default=0, metavar="LEVELS",
+        help="H3-style cover compaction depth: merge fully-inside 2x2 "
+        "sibling cells into parents up to LEVELS coarser resolutions, "
+        "shrinking the broadcast spatial index toward O(perimeter) per "
+        "extract (membership unchanged; the join switches to the "
+        "single-scan ladder strategy automatically). 0 = off",
+    )
     args = ap.parse_args()
 
     from .session import get_spark
 
     spark = get_spark("splitter")
     catalog = parse_config(args.config)
+    if args.compact_cover:
+        catalog.compact_levels = args.compact_cover
     nodes = spark.read.parquet(f"{args.input}/nodes")
     ways = spark.read.parquet(f"{args.input}/ways")
     relations = spark.read.parquet(f"{args.input}/relations")

@@ -116,3 +116,44 @@ def test_cli_incremental_mode(spark, tmp_path, monkeypatch, capsys):
     t = VersionedTable(spark, f"{pub}/nodes")
     assert t.read().count() == 11
     assert (0, 2) in {(r["id"], r["version"]) for r in t.read().collect()}
+
+
+def test_cli_compact_cover_split_identical(
+    spark, tmp_path, monkeypatch, capsys
+):
+    """--compact-cover must not change split output — only the broadcast
+    index layout (the membership-equivalence is also property-tested in
+    tests/test_compact_cover.py; this pins the CLI wiring)."""
+    import json as _json
+
+    from osm_history_splitter_spark.splitter import main
+    from osm_history_splitter_spark.sources.osm_xml import load_osm_dataframes
+
+    nodes, ways, rels = load_osm_dataframes(
+        spark, "/root/reference/test/version-two-node-after.osh"
+    )
+    world = tmp_path / "world"
+    nodes.write.parquet(str(world / "nodes"))
+    ways.write.parquet(str(world / "ways"))
+    rels.write.parquet(str(world / "relations"))
+    cfg = tmp_path / "test.config"
+    cfg.write_text("o/test.osh  BBOX  -1,-1,1,1\n")
+
+    counts = {}
+    for tag, extra in (("plain", []), ("compact", ["--compact-cover", "2"])):
+        out = tmp_path / f"out_{tag}"
+        monkeypatch.setattr(
+            sys, "argv",
+            ["splitter", "--input", str(world), "--config", str(cfg),
+             "--output", str(out), "--mode", "softcut", *extra],
+        )
+        main()
+        manifest = _json.loads(capsys.readouterr().out)
+        counts[tag] = {
+            k: manifest[k]["rows"] for k in ("nodes", "ways", "relations")
+        }
+        got = spark.read.parquet(str(out / "nodes")).select("id", "version")
+        counts[tag]["node_rows"] = sorted(
+            (r.id, r.version) for r in got.collect()
+        )
+    assert counts["plain"] == counts["compact"]
