@@ -47,6 +47,8 @@ _DRIVER_EXCLUDE = {
     "polygonize_edges",  # same: window full; twin certified by the same
     # test (ring stitching itself is pytest-only: tests/test_polygonize.py)
     "exact_substr",  # same: window full; twin certified by the same test
+    "neighbor_pairs",  # same: window full; twin certified by the same test
+    "spatial_clusters",  # same: window full; twin certified by the same
     "bm25_topk",  # ln() ulps differ across engines — pytest compares
     # rounded scores (tests/test_bm25.py); the exact-hash gate would
     # flake on the last decimal

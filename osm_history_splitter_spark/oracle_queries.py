@@ -691,8 +691,98 @@ SELECT region, cls, CAST(x0 AS BIGINT) AS x0, CAST(y0 AS BIGINT) AS y0,
        CAST(x1 AS BIGINT) AS x1, CAST(y1 AS BIGINT) AS y1 FROM b"""
 
 
+#: ε-join / DBSCAN point cloud: orders → integer centidegree lattice,
+#: SHIFTED NON-NEGATIVE (xs ∈ [0, 36000), ys ∈ [0, 18000)) so floor
+#: division is truncation in every engine. Integer end-to-end — the
+#: oracle hash never sees a float.
+NEIGHBOR_RADIUS = 300  # centidegrees (3°): the synthesis lattice's min
+# pairwise distance is ~221, so 300 yields ~557 pairs at sf0.001 (smaller
+# radii are vacuous — lattice points anti-cluster, unlike a Poisson cloud)
+DBSCAN_EPS = 1200  # 12° cells → multi-cell dense components at sf0.001
+DBSCAN_MIN_PTS = 3
+
+
+def _order_pts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = F.col("o_orderkey")
+    return _t(spark, sf_dir, "orders").select(
+        k.alias("id"),
+        ((k * 7919) % 36000).cast("long").alias("xs"),
+        ((k * 104729) % 18000).cast("long").alias("ys"),
+    )
+
+
+_ORDER_PTS_SQL = (
+    "SELECT o_orderkey AS id, (o_orderkey*7919)%36000 AS xs, "
+    "(o_orderkey*104729)%18000 AS ys FROM orders"
+)
+
+
+def q_neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-bounded spatial self-join (operators/neighbors.py:
+    within_distance_pairs): all point pairs within 3° planar — the
+    ε-join under POI conflation and near-duplicate geotag detection.
+    Grid-bucketed cell equi-join (×9 one-sided replication), exactly-once
+    pair emission via the home-cell/id-order predicate — NO CartesianProduct
+    and NO post-join distinct (plan-asserted in tests/test_neighbors.py)."""
+    from .operators.neighbors import within_distance_pairs
+
+    return within_distance_pairs(_order_pts(spark, sf_dir), NEIGHBOR_RADIUS)
+
+
+Q_NEIGHBOR_PAIRS_SQL = f"""WITH pts AS ({_ORDER_PTS_SQL}),
+cells AS (SELECT id, xs, ys,
+  (xs // {NEIGHBOR_RADIUS}) * 4294967296 + (ys // {NEIGHBOR_RADIUS}) AS cell
+  FROM pts),
+deltas(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                          (1,-1),(1,0),(1,1)),
+rep AS (SELECT id, xs, ys, cell + dx * 4294967296 + dy AS cell
+        FROM cells CROSS JOIN deltas)
+SELECT a.id AS id_a, b.id AS id_b,
+  CAST((a.xs-b.xs)*(a.xs-b.xs) + (a.ys-b.ys)*(a.ys-b.ys) AS BIGINT) AS dist2
+FROM cells a JOIN rep b USING (cell)
+WHERE a.id < b.id
+  AND (a.xs-b.xs)*(a.xs-b.xs) + (a.ys-b.ys)*(a.ys-b.ys)
+      <= {NEIGHBOR_RADIUS * NEIGHBOR_RADIUS}"""
+
+
+def q_spatial_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-DBSCAN density clustering (operators/neighbors.py:
+    grid_dbscan_cells): dense ε-cells (≥3 points) 8-connected into
+    components; every point in a dense cell gets its component's cluster
+    id (min dense-cell id — deterministic). Sparse-cell points are noise
+    and dropped. The component loop runs on the dense-CELL graph (already
+    aggregated, ≪ point count) via the dedup layer's min-label
+    propagation + pointer jumping."""
+    from .operators.neighbors import grid_dbscan_cells
+
+    return grid_dbscan_cells(
+        _order_pts(spark, sf_dir), DBSCAN_EPS, DBSCAN_MIN_PTS
+    )
+
+
+Q_SPATIAL_CLUSTERS_SQL = f"""WITH RECURSIVE pts AS ({_ORDER_PTS_SQL}),
+cells AS (SELECT id,
+  (xs // {DBSCAN_EPS}) * 4294967296 + (ys // {DBSCAN_EPS}) AS cell FROM pts),
+dense AS (SELECT cell FROM cells GROUP BY cell
+          HAVING count(*) >= {DBSCAN_MIN_PTS}),
+deltas(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),
+                          (1,-1),(1,0),(1,1)),
+e AS (SELECT d.cell AS src, d.cell + dx * 4294967296 + dy AS dst
+      FROM dense d CROSS JOIN deltas),
+edges AS (SELECT src, dst FROM e WHERE dst IN (SELECT cell FROM dense)),
+reach(cell, rlbl) AS (
+  SELECT cell, cell FROM dense
+  UNION
+  SELECT edges.src, reach.rlbl FROM edges JOIN reach ON reach.cell = edges.dst),
+lbl AS (SELECT cell, min(rlbl) AS cluster FROM reach GROUP BY cell)
+SELECT c.id, c.cell, l.cluster
+FROM cells c JOIN lbl l USING (cell)"""
+
+
 SPATIAL_QUERIES = {
     "table_read": (q_table_read, Q_TABLE_READ_SQL),
+    "neighbor_pairs": (q_neighbor_pairs, Q_NEIGHBOR_PAIRS_SQL),
+    "spatial_clusters": (q_spatial_clusters, Q_SPATIAL_CLUSTERS_SQL),
     "polygonize_edges": (q_polygonize_edges, Q_POLYGONIZE_EDGES_SQL),
     "node_membership": (q_node_membership, Q_NODE_MEMBERSHIP_SQL),
     "rasterize": (q_rasterize, Q_RASTERIZE_SQL),

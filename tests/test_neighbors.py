@@ -1,0 +1,150 @@
+"""ε-neighbor spatial self-join + grid-DBSCAN (operators/neighbors.py).
+
+Property strategy: the distributed grid-bucketed join must equal the
+O(n²) brute force on random integer point clouds — completeness (no pair
+within ε missed by the cell decomposition) AND exactly-once emission (no
+post-join distinct hides a double count). The oracle twin parity runs in
+tests/test_driver_excluded.py; these tests pin the operator itself plus
+the plan shape (no CartesianProduct — the whole point of the operator).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osm_history_splitter_spark.operators.neighbors import (
+    grid_dbscan_cells,
+    within_distance_pairs,
+)
+
+W, H = 36000, 18000  # shifted centidegree domain
+
+
+def _cloud(spark, n: int, seed: int):
+    rng = np.random.default_rng(seed)
+    xs = rng.integers(0, W, n)
+    ys = rng.integers(0, H, n)
+    rows = [(i, int(x), int(y)) for i, (x, y) in enumerate(zip(xs, ys))]
+    return rows, spark.createDataFrame(rows, "id long, xs long, ys long")
+
+
+def _brute_pairs(rows, r: int) -> set[tuple[int, int, int]]:
+    out = set()
+    pts = np.array([(x, y) for _, x, y in rows], dtype=np.int64)
+    ids = np.array([i for i, _, _ in rows], dtype=np.int64)
+    for j in range(len(rows)):
+        d2 = (pts[:, 0] - pts[j, 0]) ** 2 + (pts[:, 1] - pts[j, 1]) ** 2
+        for k in np.nonzero(d2 <= r * r)[0]:
+            if ids[j] < ids[k]:
+                out.add((int(ids[j]), int(ids[k]), int(d2[k])))
+    return out
+
+
+@pytest.mark.parametrize("seed,n,r", [(1, 300, 900), (2, 500, 400), (3, 80, 3000)])
+def test_pairs_match_brute_force(spark, seed, n, r):
+    rows, df = _cloud(spark, n, seed)
+    got = within_distance_pairs(df, r).collect()
+    got_set = {(x.id_a, x.id_b, x.dist2) for x in got}
+    assert len(got) == len(got_set), "pair emitted more than once"
+    assert got_set == _brute_pairs(rows, r)
+
+
+def test_pairs_duplicate_coordinates(spark):
+    # coincident points (dist2 = 0) and same-cell pairs emit exactly once
+    rows = [(1, 100, 100), (2, 100, 100), (3, 105, 100), (4, 5000, 5000)]
+    df = spark.createDataFrame(rows, "id long, xs long, ys long")
+    got = sorted(
+        (x.id_a, x.id_b, x.dist2)
+        for x in within_distance_pairs(df, 10).collect()
+    )
+    assert got == [(1, 2, 0), (1, 3, 25), (2, 3, 25)]
+
+
+def test_pairs_cross_cell_boundary(spark):
+    # points in ADJACENT cells but within r — the replication ring must
+    # carry the partner over the boundary (r=100 → cells [0,100),[100,200))
+    df = spark.createDataFrame(
+        [(1, 99, 50), (2, 101, 50)], "id long, xs long, ys long"
+    )
+    got = within_distance_pairs(df, 100).collect()
+    assert [(x.id_a, x.id_b, x.dist2) for x in got] == [(1, 2, 4)]
+
+
+def test_pairs_plan_no_cartesian(spark):
+    _, df = _cloud(spark, 50, 9)
+    plan = (
+        within_distance_pairs(df, 500)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pairs_rejects_bad_radius(spark):
+    _, df = _cloud(spark, 5, 0)
+    with pytest.raises(ValueError):
+        within_distance_pairs(df, 0)
+
+
+def _brute_clusters(rows, eps: int, min_pts: int):
+    """Reference grid-DBSCAN: dict id -> (cell, cluster)."""
+    cell_of = {}
+    for i, x, y in rows:
+        cell_of[i] = (x // eps) * 2**32 + (y // eps)
+    counts: dict[int, int] = {}
+    for c in cell_of.values():
+        counts[c] = counts.get(c, 0) + 1
+    dense = {c for c, n in counts.items() if n >= min_pts}
+    # union-find over 8-adjacency
+    parent = {c: c for c in dense}
+
+    def find(c):
+        while parent[c] != c:
+            parent[c] = parent[parent[c]]
+            c = parent[c]
+        return c
+
+    for c in dense:
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                nb = c + dx * 2**32 + dy
+                if nb in dense:
+                    ra, rb = find(c), find(nb)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+    label = {c: find(c) for c in dense}
+    # min-id canonical labels (find() already yields the component min
+    # because unions always point the larger root at the smaller)
+    return {
+        i: (c, label[c])
+        for i, c in cell_of.items()
+        if c in dense
+    }
+
+
+@pytest.mark.parametrize("seed,n,eps,minp", [(7, 400, 2000, 3), (8, 800, 1500, 4)])
+def test_dbscan_matches_reference(spark, seed, n, eps, minp):
+    rows, df = _cloud(spark, n, seed)
+    got = {
+        r.id: (r.cell, r.cluster)
+        for r in grid_dbscan_cells(df, eps, minp).collect()
+    }
+    assert got == _brute_clusters(rows, eps, minp)
+
+
+def test_dbscan_isolated_dense_cell_is_own_cluster(spark):
+    # 3 points in one far-away cell, no dense neighbors: the component
+    # step sees zero edges for it, yet it must still be a cluster
+    rows = [(1, 10, 10), (2, 11, 10), (3, 10, 11),
+            (4, 30000, 17000), (5, 30001, 17000), (6, 30000, 17001),
+            (7, 15000, 9000)]  # noise: sparse cell
+    df = spark.createDataFrame(rows, "id long, xs long, ys long")
+    got = {r.id: r.cluster for r in grid_dbscan_cells(df, 100, 3).collect()}
+    assert set(got) == {1, 2, 3, 4, 5, 6}  # 7 is noise
+    assert len({got[1], got[4]}) == 2  # two distinct clusters
+    assert got[1] == got[2] == got[3]
+    assert got[4] == got[5] == got[6]
