@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "semdedup",
     "pii_scrub",
     "oov_rate",
+    "neighbor_pairs",
+    "spatial_clusters",
 ]
 
 
