@@ -34,10 +34,12 @@ the oracle hash gate never sees a float.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["within_distance_pairs", "grid_dbscan_cells"]
+__all__ = ["within_distance_pairs", "grid_dbscan_cells", "geodesic_pairs"]
 
 #: cell-key packing stride: cells are (xs // r, ys // r) with
 #: xs ∈ [0, 36000), so xs // r < 2**16 for any r ≥ 1 — 2**32 packing can
@@ -172,3 +174,99 @@ def grid_dbscan_cells(
         "cell", F.coalesce("comp", "cell").alias("cluster")
     )
     return cells.join(labeled, "cell").select("id", "cell", "cluster")
+
+
+#: IUGG mean Earth radius, meters
+EARTH_RADIUS_M = 6_371_008.8
+
+#: unit-sphere quantization: 1e7 quanta per radius ≈ 0.64 m resolution;
+#: squared 3-D distances top out at 3·(2e7)² ≈ 1.2e15 ≪ int64
+_SPHERE_SCALE = 10_000_000
+
+
+def geodesic_pairs(
+    pts: DataFrame, radius_m: float, id_col: str = "id"
+) -> DataFrame:
+    """Great-circle ε-join with NO pole or antimeridian special cases.
+
+    A 2-D lon/lat grid needs ghost columns at ±180° and degenerates at
+    the poles (every meridian converges). Lifting each point onto the
+    unit sphere dissolves both: great-circle distance is MONOTONE in the
+    3-D chord (``chord = 2·sin(d/2R)``), so "within ``radius_m`` along
+    the surface" is EXACTLY "within the chord threshold through the
+    Earth" — and the chord is plain Euclidean geometry, handled by the
+    same grid-bucket pattern as :func:`within_distance_pairs`, one
+    dimension up (×27 one-sided replication instead of ×9).
+
+    Coordinates quantize to int64 sphere quanta (~0.64 m), so the accept
+    decision is integer-exact and partition-order-independent; the trig
+    runs once per row in whole-stage codegen (no UDF). Returns
+    ``(id_a, id_b, dist2)`` with ``id_a < id_b`` — ``dist2`` in squared
+    quanta (callers wanting meters: ``2·R·asin(√dist2 / (2·scale))``).
+
+    Quantization blurs the threshold by ≤ ~2 quanta (~1.3 m); pairs
+    farther than ``radius_m + 2 m`` never appear, pairs within
+    ``radius_m - 2 m`` always do (the property tests pin this envelope).
+    """
+    if radius_m <= 0:
+        raise ValueError(f"radius_m must be positive, got {radius_m}")
+    chord = 2.0 * math.sin(min(radius_m / EARTH_RADIUS_M, math.pi) / 2.0)
+    t = chord * _SPHERE_SCALE  # threshold in quanta
+    thr2 = int(math.floor(t * t))
+    edge = max(1, math.ceil(t))  # cell edge ≥ threshold → 27 cells suffice
+    # shifted non-negative quantized sphere coords (range [0, 2·scale])
+    lonr, latr = F.radians(F.col("lon")), F.radians(F.col("lat"))
+    S = F.lit(_SPHERE_SCALE)
+    qx = (F.round(F.cos(latr) * F.cos(lonr) * S) + S).cast("long")
+    qy = (F.round(F.cos(latr) * F.sin(lonr) * S) + S).cast("long")
+    qz = (F.round(F.sin(latr) * S) + S).cast("long")
+
+    # the 3-D cell is a THREE-COLUMN join key: per-axis indexes reach
+    # 2·scale/edge (25 bits at metre radii), so a single packed int64
+    # would overflow — Catalyst hashes composite keys natively anyway
+    def fdiv(c: Column) -> Column:
+        return ((c - c % F.lit(edge)) / F.lit(edge)).cast("long")
+
+    base = pts.select(
+        F.col(id_col).alias("_id"), qx.alias("qx"), qy.alias("qy"),
+        qz.alias("qz"),
+    )
+    left = base.select(
+        F.col("_id").alias("id_a"),
+        F.col("qx").alias("xa"), F.col("qy").alias("ya"),
+        F.col("qz").alias("za"),
+        fdiv(F.col("qx")).alias("cx"),
+        fdiv(F.col("qy")).alias("cy"),
+        fdiv(F.col("qz")).alias("cz"),
+    )
+    ring = F.array(*[F.lit(d) for d in (-1, 0, 1)])
+    right = (
+        base.select(
+            F.col("_id").alias("id_b"),
+            F.col("qx").alias("xb"), F.col("qy").alias("yb"),
+            F.col("qz").alias("zb"),
+            fdiv(F.col("qx")).alias("hx"),
+            fdiv(F.col("qy")).alias("hy"),
+            fdiv(F.col("qz")).alias("hz"),
+        )
+        .withColumn("dx", F.explode(ring))
+        .withColumn("dy", F.explode(ring))
+        .withColumn("dz", F.explode(ring))
+        .select(
+            "id_b", "xb", "yb", "zb",
+            (F.col("hx") + F.col("dx")).alias("cx"),
+            (F.col("hy") + F.col("dy")).alias("cy"),
+            (F.col("hz") + F.col("dz")).alias("cz"),
+        )
+    )
+    d2 = (
+        (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+        + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb"))
+        + (F.col("za") - F.col("zb")) * (F.col("za") - F.col("zb"))
+    )
+    return (
+        left.join(right, ["cx", "cy", "cz"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(d2 <= F.lit(thr2))
+        .select("id_a", "id_b", d2.cast("long").alias("dist2"))
+    )

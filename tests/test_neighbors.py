@@ -148,3 +148,102 @@ def test_dbscan_isolated_dense_cell_is_own_cluster(spark):
     assert len({got[1], got[4]}) == 2  # two distinct clusters
     assert got[1] == got[2] == got[3]
     assert got[4] == got[5] == got[6]
+
+
+# ---------------------------------------------------------------------------
+# geodesic ε-join (3-D sphere lift)
+
+import math
+
+from osm_history_splitter_spark.operators.neighbors import (  # noqa: E402
+    EARTH_RADIUS_M,
+    _SPHERE_SCALE,
+    geodesic_pairs,
+)
+
+
+def _quantized_brute(rows, radius_m):
+    """Reference mirroring the implementation's quantized-chord criterion
+    (numpy trig; 1-ulp divergence from JVM StrictMath would need a sin()
+    value within 1e-9 of a quantum midpoint — not reachable from these
+    fixed seeds)."""
+    chord = 2.0 * math.sin(min(radius_m / EARTH_RADIUS_M, math.pi) / 2.0)
+    thr2 = int(math.floor((chord * _SPHERE_SCALE) ** 2))
+    lon = np.radians(np.array([r[1] for r in rows]))
+    lat = np.radians(np.array([r[2] for r in rows]))
+    q = np.stack(
+        [
+            np.round(np.cos(lat) * np.cos(lon) * _SPHERE_SCALE),
+            np.round(np.cos(lat) * np.sin(lon) * _SPHERE_SCALE),
+            np.round(np.sin(lat) * _SPHERE_SCALE),
+        ],
+        axis=1,
+    ).astype(np.int64)
+    ids = [r[0] for r in rows]
+    out = set()
+    for i in range(len(rows)):
+        d2 = ((q - q[i]) ** 2).sum(axis=1)
+        for j in np.nonzero(d2 <= thr2)[0]:
+            if ids[i] < ids[int(j)]:
+                out.add((ids[i], ids[int(j)], int(d2[j])))
+    return out
+
+
+def _geo_cloud(n, seed, lon0=0.0, lat0=0.0, spread=2.0):
+    rng = np.random.default_rng(seed)
+    return [
+        (i, float(lon0 + rng.uniform(-spread, spread)),
+         float(lat0 + rng.uniform(-spread, spread)))
+        for i in range(n)
+    ]
+
+
+@pytest.mark.parametrize(
+    "seed,n,radius_m,lat0",
+    [(31, 300, 50_000, 0.0), (32, 300, 20_000, 60.0), (33, 150, 120_000, -45.0)],
+)
+def test_geodesic_matches_quantized_brute(spark, seed, n, radius_m, lat0):
+    rows = _geo_cloud(n, seed, lat0=lat0)
+    df = spark.createDataFrame(rows, "id long, lon double, lat double")
+    got = {(r.id_a, r.id_b, r.dist2) for r in geodesic_pairs(df, radius_m).collect()}
+    want = _quantized_brute(rows, radius_m)
+    assert len(want) > 0, "vacuous fixture"
+    assert got == want
+
+
+def test_geodesic_antimeridian_pair(spark):
+    # ~222 m apart across the ±180° seam — a lon/lat grid needs a ghost
+    # column for this; the sphere lift does not
+    rows = [(1, 179.999, 0.0), (2, -179.999, 0.0), (3, 0.0, 0.0)]
+    df = spark.createDataFrame(rows, "id long, lon double, lat double")
+    got = [(r.id_a, r.id_b) for r in geodesic_pairs(df, 300.0).collect()]
+    assert got == [(1, 2)]
+
+
+def test_geodesic_polar_pair(spark):
+    # two points straddling the north pole on opposite meridians:
+    # planar lon distance says "half the planet", the sphere says 222 m
+    rows = [(1, 0.0, 89.999), (2, 180.0, 89.999), (3, 90.0, 45.0)]
+    df = spark.createDataFrame(rows, "id long, lon double, lat double")
+    got = [(r.id_a, r.id_b) for r in geodesic_pairs(df, 300.0).collect()]
+    assert got == [(1, 2)]
+
+
+def test_geodesic_whole_planet_radius(spark):
+    # radius ≥ πR: chord saturates at the diameter → every pair qualifies
+    rows = [(1, 0.0, 0.0), (2, 180.0, 0.0), (3, 90.0, 90.0)]
+    df = spark.createDataFrame(rows, "id long, lon double, lat double")
+    assert geodesic_pairs(df, 2.1e7).count() == 3
+
+
+def test_geodesic_plan_and_validation(spark):
+    rows = _geo_cloud(40, 99)
+    df = spark.createDataFrame(rows, "id long, lon double, lat double")
+    plan = (
+        geodesic_pairs(df, 10_000)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    with pytest.raises(ValueError):
+        geodesic_pairs(df, 0)
