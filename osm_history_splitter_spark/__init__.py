@@ -58,6 +58,17 @@ _EXPORTS = {
     "stream_changes": "streaming.table_feed",
     "follow_into": "streaming.feed_consumer",
     "semdedup": "operators.semdedup",
+    "within_distance_pairs": "operators.neighbors",
+    "within_distance_join": "operators.neighbors",
+    "knn_join": "operators.neighbors",
+    "geodesic_pairs": "operators.neighbors",
+    "geodesic_join": "operators.neighbors",
+    "geodesic_knn_join": "operators.neighbors",
+    "grid_dbscan_cells": "operators.neighbors",
+    "simplify_lines": "operators.simplify",
+    "simplify_ways": "operators.simplify",
+    "quadtree_partitioner": "operators.partitioner",
+    "QuadtreePartitioner": "operators.partitioner",
     "run_hierarchy": "plans.hierarchy",
     "fetch_and_split": "fetch",
     "get_spark": "session",

@@ -39,7 +39,15 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["within_distance_pairs", "grid_dbscan_cells", "geodesic_pairs"]
+__all__ = [
+    "within_distance_pairs",
+    "within_distance_join",
+    "knn_join",
+    "grid_dbscan_cells",
+    "geodesic_pairs",
+    "geodesic_join",
+    "geodesic_knn_join",
+]
 
 #: cell-key packing stride: cells are (xs // r, ys // r) with
 #: xs ∈ [0, 36000), so xs // r < 2**16 for any r ≥ 1 — 2**32 packing can
@@ -208,18 +216,45 @@ def geodesic_pairs(
     farther than ``radius_m + 2 m`` never appear, pairs within
     ``radius_m - 2 m`` always do (the property tests pin this envelope).
     """
+    return _geodesic_candidates(
+        pts, pts, radius_m, id_col, id_col, self_join=True
+    ).select(
+        F.col("id_l").alias("id_a"), F.col("id_r").alias("id_b"), "dist2"
+    )
+
+
+def _geodesic_candidates(
+    left: DataFrame,
+    right: DataFrame,
+    radius_m: float,
+    left_id: str,
+    right_id: str,
+    self_join: bool = False,
+) -> DataFrame:
+    """Shared core of the geodesic joins: quantized sphere lift, 3-D cell
+    equi-join (left home cells × right ×27 replicas), integer chord
+    accept. ``self_join`` adds the ``id_l < id_r`` exactly-once predicate
+    (same argument as :func:`within_distance_pairs`, one dimension up).
+    Returns ``(id_l, id_r, dist2)``."""
     if radius_m <= 0:
         raise ValueError(f"radius_m must be positive, got {radius_m}")
     chord = 2.0 * math.sin(min(radius_m / EARTH_RADIUS_M, math.pi) / 2.0)
     t = chord * _SPHERE_SCALE  # threshold in quanta
     thr2 = int(math.floor(t * t))
     edge = max(1, math.ceil(t))  # cell edge ≥ threshold → 27 cells suffice
-    # shifted non-negative quantized sphere coords (range [0, 2·scale])
-    lonr, latr = F.radians(F.col("lon")), F.radians(F.col("lat"))
-    S = F.lit(_SPHERE_SCALE)
-    qx = (F.round(F.cos(latr) * F.cos(lonr) * S) + S).cast("long")
-    qy = (F.round(F.cos(latr) * F.sin(lonr) * S) + S).cast("long")
-    qz = (F.round(F.sin(latr) * S) + S).cast("long")
+
+    def quant(df: DataFrame, id_col: str) -> DataFrame:
+        # shifted non-negative quantized sphere coords (range [0, 2·scale])
+        lonr, latr = F.radians(F.col("lon")), F.radians(F.col("lat"))
+        S = F.lit(_SPHERE_SCALE)
+        return df.select(
+            F.col(id_col).alias("_id"),
+            (F.round(F.cos(latr) * F.cos(lonr) * S) + S)
+            .cast("long").alias("qx"),
+            (F.round(F.cos(latr) * F.sin(lonr) * S) + S)
+            .cast("long").alias("qy"),
+            (F.round(F.sin(latr) * S) + S).cast("long").alias("qz"),
+        )
 
     # the 3-D cell is a THREE-COLUMN join key: per-axis indexes reach
     # 2·scale/edge (25 bits at metre radii), so a single packed int64
@@ -227,12 +262,8 @@ def geodesic_pairs(
     def fdiv(c: Column) -> Column:
         return ((c - c % F.lit(edge)) / F.lit(edge)).cast("long")
 
-    base = pts.select(
-        F.col(id_col).alias("_id"), qx.alias("qx"), qy.alias("qy"),
-        qz.alias("qz"),
-    )
-    left = base.select(
-        F.col("_id").alias("id_a"),
+    lhs = quant(left, left_id).select(
+        F.col("_id").alias("id_l"),
         F.col("qx").alias("xa"), F.col("qy").alias("ya"),
         F.col("qz").alias("za"),
         fdiv(F.col("qx")).alias("cx"),
@@ -240,9 +271,10 @@ def geodesic_pairs(
         fdiv(F.col("qz")).alias("cz"),
     )
     ring = F.array(*[F.lit(d) for d in (-1, 0, 1)])
-    right = (
-        base.select(
-            F.col("_id").alias("id_b"),
+    rhs = (
+        quant(right, right_id)
+        .select(
+            F.col("_id").alias("id_r"),
             F.col("qx").alias("xb"), F.col("qy").alias("yb"),
             F.col("qz").alias("zb"),
             fdiv(F.col("qx")).alias("hx"),
@@ -253,7 +285,7 @@ def geodesic_pairs(
         .withColumn("dy", F.explode(ring))
         .withColumn("dz", F.explode(ring))
         .select(
-            "id_b", "xb", "yb", "zb",
+            "id_r", "xb", "yb", "zb",
             (F.col("hx") + F.col("dx")).alias("cx"),
             (F.col("hy") + F.col("dy")).alias("cy"),
             (F.col("hz") + F.col("dz")).alias("cz"),
@@ -264,9 +296,208 @@ def geodesic_pairs(
         + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb"))
         + (F.col("za") - F.col("zb")) * (F.col("za") - F.col("zb"))
     )
+    out = lhs.join(rhs, ["cx", "cy", "cz"])
+    if self_join:
+        out = out.filter(F.col("id_l") < F.col("id_r"))
+    return out.filter(d2 <= F.lit(thr2)).select(
+        "id_l", "id_r", d2.cast("long").alias("dist2")
+    )
+
+
+def geodesic_join(
+    left: DataFrame,
+    right: DataFrame,
+    radius_m: float,
+    left_id: str = "id",
+    right_id: str = "id",
+) -> DataFrame:
+    """Two-relation great-circle ε-join (``(id_l, id_r, dist2)`` with
+    ``dist2`` in squared sphere quanta): the geodesic counterpart of
+    :func:`within_distance_join`, built on the same 3-D sphere lift as
+    :func:`geodesic_pairs` — so poles and the antimeridian need no
+    special cases here either. The RIGHT side is replicated ×27; pass
+    the smaller/static relation there. The left side may be streaming
+    (stream-static inner equi-join)."""
+    return _geodesic_candidates(left, right, radius_m, left_id, right_id)
+
+
+def geodesic_knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int,
+    init_radius_m: float,
+    left_id: str = "id",
+    right_id: str = "id",
+) -> DataFrame:
+    """Geodesic kNN join: each left point's ``k`` nearest right points in
+    great-circle distance, via the same radius-doubling escalation as
+    :func:`knn_join` (chord monotonicity makes the resolution rule carry
+    over verbatim: a disc holding ≥ k candidates contains the true kNN).
+    The final fallback radius is half the circumference — the whole
+    planet — so points with < k reachable neighbors return all of them.
+    Returns ``(id_l, id_r, dist2, rk)``; ties break by ``id_r``."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if init_radius_m <= 0:
+        raise ValueError(
+            f"init_radius_m must be positive, got {init_radius_m}"
+        )
+    from pyspark.sql.window import Window
+
+    max_radius = math.pi * EARTH_RADIUS_M
+    lhs = left.select(F.col(left_id).alias("_lid"), "lon", "lat")
+    out: DataFrame | None = None
+    r = float(init_radius_m)
+    while True:
+        r = min(r, max_radius)
+        cand = geodesic_join(
+            lhs, right, r, left_id="_lid", right_id=right_id
+        )
+        win = Window.partitionBy("id_l").orderBy(
+            F.col("dist2").asc(), F.col("id_r").asc()
+        )
+        ranked = cand.withColumn("rk", F.row_number().over(win))
+        if r >= max_radius:
+            out_r = ranked.filter(F.col("rk") <= k)
+            out = out_r if out is None else out.unionByName(out_r)
+            break
+        full = ranked.filter(F.col("rk") == k).select(
+            F.col("id_l").alias("_lid")
+        )
+        resolved = ranked.filter(F.col("rk") <= k).join(
+            full, ranked["id_l"] == full["_lid"], "left_semi"
+        )
+        out = resolved if out is None else out.unionByName(resolved)
+        lhs = lhs.join(full, "_lid", "left_anti").localCheckpoint(eager=True)
+        if lhs.limit(1).count() == 0:  # bounded probe, metadata-scale
+            break
+        r *= 2
+    return out.select(
+        "id_l", "id_r", "dist2", F.col("rk").cast("int").alias("rk")
+    )
+
+
+def within_distance_join(
+    left: DataFrame,
+    right: DataFrame,
+    radius: int,
+    left_id: str = "id",
+    right_id: str = "id",
+) -> DataFrame:
+    """Two-relation ε-join: every (left, right) pair within ``radius``
+    (planar integer units; both sides carry non-negative ``xs``/``ys``
+    like :func:`within_distance_pairs`). Returns
+    ``(id_l, id_r, dist2)`` — all qualifying pairs, no ordering predicate
+    needed (the relations are distinct, so there is no double-match to
+    dedup: a pair matches only in the left row's home cell).
+
+    The RIGHT side is the one replicated ×9, so pass the smaller /
+    static relation there. The left side may be a STREAMING DataFrame:
+    stream-static inner equi-joins are natively supported, making this
+    the ingest-time "arriving geotagged pages × static POI set" operator
+    with zero state store (the static side broadcasts or re-scans per
+    microbatch; no watermark needed).
+    """
+    if radius < 1:
+        raise ValueError(f"radius must be a positive integer, got {radius}")
+    xs, ys = F.col("xs").cast("long"), F.col("ys").cast("long")
+    lhs = left.select(
+        F.col(left_id).alias("id_l"),
+        xs.alias("xl"),
+        ys.alias("yl"),
+        _cell(xs, ys, radius).alias("cell"),
+    )
+    ring = F.array(*[F.lit(d) for d in (-1, 0, 1)])
+    rhs = (
+        right.select(
+            F.col(right_id).alias("id_r"),
+            xs.alias("xr"),
+            ys.alias("yr"),
+            _cell(xs, ys, radius).alias("home"),
+        )
+        .withColumn("dx", F.explode(ring))
+        .withColumn("dy", F.explode(ring))
+        .withColumn(
+            "cell", F.col("home") + F.col("dx") * F.lit(_PACK) + F.col("dy")
+        )
+        .drop("home", "dx", "dy")
+    )
+    d2 = (F.col("xl") - F.col("xr")) * (F.col("xl") - F.col("xr")) + (
+        F.col("yl") - F.col("yr")
+    ) * (F.col("yl") - F.col("yr"))
     return (
-        left.join(right, ["cx", "cy", "cz"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(d2 <= F.lit(thr2))
-        .select("id_a", "id_b", d2.cast("long").alias("dist2"))
+        lhs.join(rhs, "cell")
+        .filter(d2 <= F.lit(radius * radius))
+        .select("id_l", "id_r", d2.cast("long").alias("dist2"))
+    )
+
+
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int,
+    init_radius: int,
+    max_radius: int = 46_000,
+    left_id: str = "id",
+    right_id: str = "id",
+) -> DataFrame:
+    """k-nearest-neighbors join: for every left point, its ``k`` nearest
+    right points — without a cross join, via ITERATIVE RADIUS DOUBLING
+    over the ε-join.
+
+    Round i runs :func:`within_distance_join` at radius ``init_radius·2ⁱ``
+    for the points still unresolved; a left point RESOLVES when the disc
+    holds ≥ k candidates (its true kNN are then inside — every closer
+    point is also in the disc) or when the radius reaches ``max_radius``
+    (the domain diameter: everything reachable has been seen, so points
+    with < k neighbors get all they have). Ties on distance break by
+    ``id_r`` ascending, so results are deterministic and partition-order
+    independent.
+
+    Scale: dense regions resolve in round 1 at the cheap radius; only
+    stragglers (sparse deserts — few rows by definition) escalate, each
+    escalation an equi-join restricted to the unresolved residue. The
+    driver loop runs O(log(max/init)) bounded-count actions. The
+    known trade: a round's candidates are re-derived rather than carried
+    (carrying ALL candidates across rounds would shuffle the full
+    candidate set every round; re-deriving touches only the residue).
+
+    Returns ``(id_l, id_r, dist2, rk)`` with ``rk`` 1-based.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if init_radius < 1:
+        raise ValueError(f"init_radius must be >= 1, got {init_radius}")
+    from pyspark.sql.window import Window
+
+    lhs = left.select(F.col(left_id).alias("_lid"), "xs", "ys")
+    out: DataFrame | None = None
+    r = init_radius
+    while True:
+        r = min(r, max_radius)
+        cand = within_distance_join(
+            lhs, right, r, left_id="_lid", right_id=right_id
+        )
+        win = Window.partitionBy("id_l").orderBy(
+            F.col("dist2").asc(), F.col("id_r").asc()
+        )
+        ranked = cand.withColumn("rk", F.row_number().over(win))
+        if r >= max_radius:
+            resolved = ranked.filter(F.col("rk") <= k)
+            out = resolved if out is None else out.unionByName(resolved)
+            break
+        # a point resolves when its disc holds >= k candidates
+        full = ranked.filter(F.col("rk") == k).select(
+            F.col("id_l").alias("_lid")
+        )
+        resolved = ranked.filter(F.col("rk") <= k).join(
+            full, ranked["id_l"] == full["_lid"], "left_semi"
+        )
+        out = resolved if out is None else out.unionByName(resolved)
+        lhs = lhs.join(full, "_lid", "left_anti").localCheckpoint(eager=True)
+        if lhs.limit(1).count() == 0:  # bounded probe, metadata-scale
+            break
+        r *= 2
+    return out.select(
+        F.col("id_l"), F.col("id_r"), F.col("dist2"), F.col("rk").cast("int")
     )

@@ -132,6 +132,8 @@ def quadtree_partitioner(
         return QuadtreePartitioner(res=res, starts=())
     frac = min(1.0, _SAMPLE_CAP / total)
     z = grid.zorder_expr(F.col(lon), F.col(lat), res)
+    # bounded driver-side collect: ≈_SAMPLE_CAP int64 keys (~1.6 MB)
+    # regardless of input size — the quadtree needs counts, not data
     sample = (
         pts.sample(fraction=frac, seed=seed)
         .select(z.alias("z"))

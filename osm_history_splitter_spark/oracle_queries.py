@@ -779,10 +779,53 @@ SELECT c.id, c.cell, l.cluster
 FROM cells c JOIN lbl l USING (cell)"""
 
 
+KNN_JOIN_K = 3
+KNN_JOIN_R0 = 200  # first-round radius; sparse lefts escalate ×2 per round
+
+_CUST_PTS_INT_SQL = (
+    "SELECT c_custkey AS id, (c_custkey*12553)%36000 AS xs, "
+    "(c_custkey*30011)%18000 AS ys FROM customer"
+)
+
+
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN join (operators/neighbors.py:knn_join): each order point's 3
+    nearest customer points via iterative radius doubling over the ε-join
+    — dense lefts resolve at the cheap first radius, sparse stragglers
+    escalate; no CartesianProduct at any round. The DuckDB twin is the
+    brute-force window over the full cross product — exact at oracle
+    scale, which is precisely what the distributed path must reproduce."""
+    from .operators.neighbors import knn_join
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    right = c.select(
+        k.alias("id"),
+        ((k * 12553) % 36000).cast("long").alias("xs"),
+        ((k * 30011) % 18000).cast("long").alias("ys"),
+    )
+    return knn_join(
+        _order_pts(spark, sf_dir), right, KNN_JOIN_K, KNN_JOIN_R0
+    )
+
+
+Q_KNN_JOIN_SQL = f"""WITH l AS ({_ORDER_PTS_SQL}),
+r AS ({_CUST_PTS_INT_SQL}),
+d AS (SELECT l.id AS id_l, r.id AS id_r,
+        (l.xs-r.xs)*(l.xs-r.xs) + (l.ys-r.ys)*(l.ys-r.ys) AS dist2
+      FROM l CROSS JOIN r),
+w AS (SELECT id_l, id_r, CAST(dist2 AS BIGINT) AS dist2,
+        row_number() OVER (PARTITION BY id_l ORDER BY dist2, id_r) AS rk
+      FROM d)
+SELECT id_l, id_r, dist2, CAST(rk AS INT) AS rk FROM w
+WHERE rk <= {KNN_JOIN_K}"""
+
+
 SPATIAL_QUERIES = {
     "table_read": (q_table_read, Q_TABLE_READ_SQL),
     "neighbor_pairs": (q_neighbor_pairs, Q_NEIGHBOR_PAIRS_SQL),
     "spatial_clusters": (q_spatial_clusters, Q_SPATIAL_CLUSTERS_SQL),
+    "knn_join": (q_knn_join, Q_KNN_JOIN_SQL),
     "polygonize_edges": (q_polygonize_edges, Q_POLYGONIZE_EDGES_SQL),
     "node_membership": (q_node_membership, Q_NODE_MEMBERSHIP_SQL),
     "rasterize": (q_rasterize, Q_RASTERIZE_SQL),

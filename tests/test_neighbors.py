@@ -247,3 +247,210 @@ def test_geodesic_plan_and_validation(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     with pytest.raises(ValueError):
         geodesic_pairs(df, 0)
+
+
+# ---------------------------------------------------------------------------
+# two-relation ε-join (batch + stream-static)
+
+from osm_history_splitter_spark.operators.neighbors import (  # noqa: E402
+    within_distance_join,
+)
+
+
+def _brute_join(lrows, rrows, r):
+    out = set()
+    for i, xl, yl in lrows:
+        for j, xr, yr in rrows:
+            d2 = (xl - xr) ** 2 + (yl - yr) ** 2
+            if d2 <= r * r:
+                out.add((i, j, d2))
+    return out
+
+
+def test_join_matches_brute_force(spark):
+    rng = np.random.default_rng(17)
+    lrows = [(i, int(x), int(y)) for i, (x, y) in enumerate(
+        zip(rng.integers(0, 4000, 250), rng.integers(0, 4000, 250)))]
+    rrows = [(i, int(x), int(y)) for i, (x, y) in enumerate(
+        zip(rng.integers(0, 4000, 100), rng.integers(0, 4000, 100)))]
+    ldf = spark.createDataFrame(lrows, "id long, xs long, ys long")
+    rdf = spark.createDataFrame(rrows, "id long, xs long, ys long")
+    got = {
+        (r.id_l, r.id_r, r.dist2)
+        for r in within_distance_join(ldf, rdf, 300).collect()
+    }
+    want = _brute_join(lrows, rrows, 300)
+    assert len(want) > 0 and got == want
+
+
+def test_join_stream_static_matches_batch(spark, tmp_path):
+    """Arriving points × static POI set: the ε-join runs unchanged on a
+    streaming left side (stream-static inner equi-join, zero state
+    store); an availableNow drain over the backlog == the batch join."""
+    rng = np.random.default_rng(23)
+    lrows = [(i, int(x), int(y)) for i, (x, y) in enumerate(
+        zip(rng.integers(0, 3000, 120), rng.integers(0, 3000, 120)))]
+    rrows = [(1000 + i, int(x), int(y)) for i, (x, y) in enumerate(
+        zip(rng.integers(0, 3000, 40), rng.integers(0, 3000, 40)))]
+    ldf = spark.createDataFrame(lrows, "id long, xs long, ys long")
+    rdf = spark.createDataFrame(rrows, "id long, xs long, ys long")
+    backlog = str(tmp_path / "backlog")
+    ldf.write.parquet(backlog)
+    want = {
+        (r.id_l, r.id_r, r.dist2)
+        for r in within_distance_join(ldf, rdf, 400).collect()
+    }
+    stream = spark.readStream.schema("id long, xs long, ys long").parquet(
+        backlog
+    )
+    q = (
+        within_distance_join(stream, rdf, 400)
+        .writeStream.format("memory")
+        .queryName("nbr_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_nbr"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.id_l, r.id_r, r.dist2)
+        for r in spark.sql("SELECT * FROM nbr_sink").collect()
+    }
+    assert got == want and got
+
+
+# ---------------------------------------------------------------------------
+# kNN join (radius-doubling over the ε-join)
+
+from osm_history_splitter_spark.operators.neighbors import knn_join  # noqa: E402
+
+
+def _brute_knn(lrows, rrows, k):
+    want = set()
+    for i, xl, yl in lrows:
+        ds = sorted(
+            ((xl - xr) ** 2 + (yl - yr) ** 2, j) for j, xr, yr in rrows
+        )
+        for rk, (d2, j) in enumerate(ds[:k], start=1):
+            want.add((i, j, d2, rk))
+    return want
+
+
+@pytest.mark.parametrize("seed,nl,nr,k,r0", [(41, 150, 200, 5, 50), (42, 60, 25, 40, 10)])
+def test_knn_join_matches_brute(spark, seed, nl, nr, k, r0):
+    # seed 42 exercises k > |right|: every left point resolves only at
+    # max_radius and gets all 25 neighbors
+    rng = np.random.default_rng(seed)
+    lrows = [(i, int(x), int(y)) for i, (x, y) in enumerate(
+        zip(rng.integers(0, 5000, nl), rng.integers(0, 5000, nl)))]
+    rrows = [(i, int(x), int(y)) for i, (x, y) in enumerate(
+        zip(rng.integers(0, 5000, nr), rng.integers(0, 5000, nr)))]
+    ldf = spark.createDataFrame(lrows, "id long, xs long, ys long")
+    rdf = spark.createDataFrame(rrows, "id long, xs long, ys long")
+    got = {
+        (r.id_l, r.id_r, r.dist2, r.rk)
+        for r in knn_join(ldf, rdf, k, r0).collect()
+    }
+    assert got == _brute_knn(lrows, rrows, k)
+
+
+def test_knn_join_deterministic_ties(spark):
+    # four right points equidistant from the left point: ties break by
+    # id_r ascending, reproducibly
+    ldf = spark.createDataFrame([(0, 100, 100)], "id long, xs long, ys long")
+    rdf = spark.createDataFrame(
+        [(7, 110, 100), (3, 90, 100), (9, 100, 110), (5, 100, 90)],
+        "id long, xs long, ys long",
+    )
+    got = [(r.id_r, r.rk) for r in
+           knn_join(ldf, rdf, 3, 5).orderBy("rk").collect()]
+    assert got == [(3, 1), (5, 2), (7, 3)]
+
+
+def test_knn_join_validation(spark):
+    df = spark.createDataFrame([(0, 1, 1)], "id long, xs long, ys long")
+    with pytest.raises(ValueError):
+        knn_join(df, df, 0, 10)
+    with pytest.raises(ValueError):
+        knn_join(df, df, 1, 0)
+
+
+# ---------------------------------------------------------------------------
+# geodesic two-relation join + geodesic kNN
+
+from osm_history_splitter_spark.operators.neighbors import (  # noqa: E402
+    geodesic_join,
+    geodesic_knn_join,
+)
+
+
+def _quantize(rows):
+    lon = np.radians(np.array([r[1] for r in rows]))
+    lat = np.radians(np.array([r[2] for r in rows]))
+    return np.stack(
+        [
+            np.round(np.cos(lat) * np.cos(lon) * _SPHERE_SCALE),
+            np.round(np.cos(lat) * np.sin(lon) * _SPHERE_SCALE),
+            np.round(np.sin(lat) * _SPHERE_SCALE),
+        ],
+        axis=1,
+    ).astype(np.int64)
+
+
+def test_geodesic_join_matches_quantized_brute(spark):
+    lrows = _geo_cloud(200, 51, lat0=30.0)
+    rrows = [(1000 + i, lo, la) for i, lo, la in _geo_cloud(80, 52, lat0=30.0)]
+    ldf = spark.createDataFrame(lrows, "id long, lon double, lat double")
+    rdf = spark.createDataFrame(rrows, "id long, lon double, lat double")
+    radius_m = 60_000
+    got = {
+        (r.id_l, r.id_r, r.dist2)
+        for r in geodesic_join(ldf, rdf, radius_m).collect()
+    }
+    chord = 2.0 * math.sin(radius_m / EARTH_RADIUS_M / 2.0)
+    thr2 = int(math.floor((chord * _SPHERE_SCALE) ** 2))
+    ql, qr = _quantize(lrows), _quantize(rrows)
+    want = set()
+    for i, lrow in enumerate(lrows):
+        d2 = ((qr - ql[i]) ** 2).sum(axis=1)
+        for j in np.nonzero(d2 <= thr2)[0]:
+            want.add((lrow[0], rrows[int(j)][0], int(d2[j])))
+    assert len(want) > 0 and got == want
+
+
+def test_geodesic_knn_matches_brute(spark):
+    lrows = _geo_cloud(60, 61, lon0=170.0, lat0=70.0, spread=15.0)
+    rrows = [(1000 + i, lo, la)
+             for i, lo, la in _geo_cloud(40, 62, lon0=-175.0, lat0=75.0,
+                                         spread=15.0)]
+    ldf = spark.createDataFrame(lrows, "id long, lon double, lat double")
+    rdf = spark.createDataFrame(rrows, "id long, lon double, lat double")
+    k = 4
+    got = {
+        (r.id_l, r.id_r, r.dist2, r.rk)
+        for r in geodesic_knn_join(ldf, rdf, k, 50_000).collect()
+    }
+    ql, qr = _quantize(lrows), _quantize(rrows)
+    want = set()
+    for i, lrow in enumerate(lrows):
+        d2 = ((qr - ql[i]) ** 2).sum(axis=1)
+        order = sorted((int(d), rrows[j][0]) for j, d in enumerate(d2))
+        for rk, (d, rid) in enumerate(order[:k], start=1):
+            want.add((lrow[0], rid, d, rk))
+    assert got == want
+
+
+def test_geodesic_knn_fewer_than_k(spark):
+    # only 2 POIs on the planet, k=5: both come back, by escalation to
+    # the half-circumference fallback
+    ldf = spark.createDataFrame(
+        [(1, 10.0, 10.0)], "id long, lon double, lat double"
+    )
+    rdf = spark.createDataFrame(
+        [(8, -170.0, -60.0), (9, 11.0, 10.0)],
+        "id long, lon double, lat double",
+    )
+    got = [(r.id_r, r.rk) for r in
+           geodesic_knn_join(ldf, rdf, 5, 1000.0).orderBy("rk").collect()]
+    assert got == [(9, 1), (8, 2)]

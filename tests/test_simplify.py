@@ -166,3 +166,63 @@ def test_simplify_ways_projects_refs(spark):
         (8, 1, 6),
         (8, 2, 7),
     ]
+
+
+# ---------------------------------------------------------------------------
+# hypothesis differential: iterative int64 kernel vs an independent
+# recursive big-int reference (different control flow, pure Python ints)
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _dp_recursive_ref(pts, eps):
+    """Clean-room recursive DP with unbounded Python ints."""
+    n = len(pts)
+    if n == 0:
+        return []
+    keep = [False] * n
+    keep[0] = keep[-1] = True
+
+    def rec(lo, hi):
+        if hi - lo < 2:
+            return
+        x1, y1 = pts[lo]
+        x2, y2 = pts[hi]
+        dx, dy = x2 - x1, y2 - y1
+        best_j, best_num = -1, -1
+        for j in range(lo + 1, hi):
+            x, y = pts[j]
+            if dx == 0 and dy == 0:
+                num = (x - x1) ** 2 + (y - y1) ** 2
+            else:
+                num = (dx * (y - y1) - dy * (x - x1)) ** 2
+            # strictly-greater argmax at the LOWEST index, like the kernel
+            if num > best_num:
+                best_j, best_num = j, num
+        den = 1 if (dx == 0 and dy == 0) else dx * dx + dy * dy
+        if best_num > eps * eps * den:
+            keep[best_j] = True
+            rec(lo, best_j)
+            rec(best_j, hi)
+
+    rec(0, n - 1)
+    return keep
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(-20000, 20000), st.integers(-20000, 20000)
+        ),
+        min_size=0,
+        max_size=40,
+    ),
+    eps=st.integers(0, 500),
+)
+def test_kernel_matches_recursive_reference(pts, eps):
+    xs = np.array([p[0] for p in pts], dtype=np.int64)
+    ys = np.array([p[1] for p in pts], dtype=np.int64)
+    got = list(dp_simplify_py(xs, ys, eps))
+    assert got == _dp_recursive_ref(pts, eps)
