@@ -192,6 +192,21 @@ EARTH_RADIUS_M = 6_371_008.8
 _SPHERE_SCALE = 10_000_000
 
 
+def _sphere_quant(df: DataFrame, id_col: str) -> DataFrame:
+    """Lift ``(lon, lat)`` degrees onto the unit sphere and quantize to
+    SHIFTED NON-NEGATIVE int64 quanta (range [0, 2·scale] per axis) —
+    the shared first stage of every geodesic join. Pure Catalyst trig,
+    one pass, no UDF. Returns ``(_id, qx, qy, qz)``."""
+    lonr, latr = F.radians(F.col("lon")), F.radians(F.col("lat"))
+    S = F.lit(_SPHERE_SCALE)
+    return df.select(
+        F.col(id_col).alias("_id"),
+        (F.round(F.cos(latr) * F.cos(lonr) * S) + S).cast("long").alias("qx"),
+        (F.round(F.cos(latr) * F.sin(lonr) * S) + S).cast("long").alias("qy"),
+        (F.round(F.sin(latr) * S) + S).cast("long").alias("qz"),
+    )
+
+
 def geodesic_pairs(
     pts: DataFrame, radius_m: float, id_col: str = "id"
 ) -> DataFrame:
@@ -243,26 +258,13 @@ def _geodesic_candidates(
     thr2 = int(math.floor(t * t))
     edge = max(1, math.ceil(t))  # cell edge ≥ threshold → 27 cells suffice
 
-    def quant(df: DataFrame, id_col: str) -> DataFrame:
-        # shifted non-negative quantized sphere coords (range [0, 2·scale])
-        lonr, latr = F.radians(F.col("lon")), F.radians(F.col("lat"))
-        S = F.lit(_SPHERE_SCALE)
-        return df.select(
-            F.col(id_col).alias("_id"),
-            (F.round(F.cos(latr) * F.cos(lonr) * S) + S)
-            .cast("long").alias("qx"),
-            (F.round(F.cos(latr) * F.sin(lonr) * S) + S)
-            .cast("long").alias("qy"),
-            (F.round(F.sin(latr) * S) + S).cast("long").alias("qz"),
-        )
-
     # the 3-D cell is a THREE-COLUMN join key: per-axis indexes reach
     # 2·scale/edge (25 bits at metre radii), so a single packed int64
     # would overflow — Catalyst hashes composite keys natively anyway
     def fdiv(c: Column) -> Column:
         return ((c - c % F.lit(edge)) / F.lit(edge)).cast("long")
 
-    lhs = quant(left, left_id).select(
+    lhs = _sphere_quant(left, left_id).select(
         F.col("_id").alias("id_l"),
         F.col("qx").alias("xa"), F.col("qy").alias("ya"),
         F.col("qz").alias("za"),
@@ -272,7 +274,7 @@ def _geodesic_candidates(
     )
     ring = F.array(*[F.lit(d) for d in (-1, 0, 1)])
     rhs = (
-        quant(right, right_id)
+        _sphere_quant(right, right_id)
         .select(
             F.col("_id").alias("id_r"),
             F.col("qx").alias("xb"), F.col("qy").alias("yb"),
