@@ -50,6 +50,8 @@ _DRIVER_EXCLUDE = {
     "neighbor_pairs",  # same: window full; twin certified by the same test
     "spatial_clusters",  # same: window full; twin certified by the same
     "knn_join",  # same: window full; twin certified by the same test
+    "way_ring_stats",  # same: window full; twin certified by the same test
+    "segment_join",  # same: window full; twin certified by the same test
     "bm25_topk",  # ln() ulps differ across engines — pytest compares
     # rounded scores (tests/test_bm25.py); the exact-hash gate would
     # flake on the last decimal

@@ -821,11 +821,154 @@ SELECT id_l, id_r, dist2, CAST(rk AS INT) AS rk FROM w
 WHERE rk <= {KNN_JOIN_K}"""
 
 
+#: integer node coordinates for the shoelace stats (same shifted
+#: centidegree convention as the ε-join cloud, keyed by partkey so the
+#: order_ways refs resolve)
+_PART_PTS_INT_SQL = (
+    "SELECT p_partkey AS id, (p_partkey*7919)%36000 AS xs, "
+    "(p_partkey*104729)%18000 AS ys FROM part"
+)
+
+
+def q_way_ring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-way shoelace statistics (operators/polygon_stats.py:
+    way_ring_stats): twice-signed-area and centroid numerators of every
+    order-way's implicit ring, integer-exact end to end. One ref-coord
+    equi-join, one per-way window to close the ring, one groupBy — the
+    per-feature geometry aggregate the reference never computes
+    (its ways never leave id-list form, softcut.hpp:179-212)."""
+    from .operators.polygon_stats import way_ring_stats
+
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    nodes = p.select(
+        k.alias("id"),
+        ((k * 7919) % 36000).cast("long").alias("xs"),
+        ((k * 104729) % 18000).cast("long").alias("ys"),
+    )
+    ways = order_ways(spark, sf_dir).select("id", "refs")
+    return way_ring_stats(ways, nodes)
+
+
+Q_WAY_RING_STATS_SQL = f"""WITH pts AS ({_PART_PTS_INT_SQL}),
+e AS (SELECT l_orderkey AS id,
+        row_number() OVER (PARTITION BY l_orderkey
+                           ORDER BY l_linenumber, l_partkey) AS pos,
+        l_partkey AS ref
+      FROM lineitem),
+v AS (SELECT e.id, e.pos, p.xs AS x, p.ys AS y
+      FROM e JOIN pts p ON p.id = e.ref),
+c AS (SELECT id, x, y,
+        coalesce(lead(x) OVER w, first_value(x) OVER wf) AS xn,
+        coalesce(lead(y) OVER w, first_value(y) OVER wf) AS yn
+      FROM v
+      WINDOW w AS (PARTITION BY id ORDER BY pos),
+             wf AS (PARTITION BY id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND UNBOUNDED FOLLOWING))
+SELECT id, CAST(count(*) AS BIGINT) AS nvert,
+       CAST(sum(x*yn - xn*y) AS BIGINT) AS area2,
+       CAST(sum((x + xn) * (x*yn - xn*y)) AS BIGINT) AS cx_num,
+       CAST(sum((y + yn) * (x*yn - xn*y)) AS BIGINT) AS cy_num
+FROM c GROUP BY id"""
+
+
+#: segment-join synthesis: short segments (|Δ| ≤ 500 < cell 512) around
+#: the lattice centers, endpoints clamped into the non-negative domain —
+#: realistic road-segment scale, so the grid replication stays 1-4 cells
+SEGJOIN_CELL = 512
+
+_ORDER_SEGS_SQL = (
+    "SELECT o_orderkey AS id, (o_orderkey*7919)%36000 AS x1, "
+    "(o_orderkey*104729)%18000 AS y1, "
+    "greatest(0, least(35999, (o_orderkey*7919)%36000 "
+    "+ (o_orderkey*31)%1001 - 500)) AS x2, "
+    "greatest(0, least(17999, (o_orderkey*104729)%18000 "
+    "+ (o_orderkey*57)%1001 - 500)) AS y2 FROM orders"
+)
+
+_CUST_SEGS_SQL = (
+    "SELECT c_custkey AS id, (c_custkey*12553)%36000 AS x1, "
+    "(c_custkey*30011)%18000 AS y1, "
+    "greatest(0, least(35999, (c_custkey*12553)%36000 "
+    "+ (c_custkey*43)%1001 - 500)) AS x2, "
+    "greatest(0, least(17999, (c_custkey*30011)%18000 "
+    "+ (c_custkey*71)%1001 - 500)) AS y2 FROM customer"
+)
+
+
+def _segs(df: DataFrame, key: str, m1: int, m2: int, d1: int, d2: int):
+    k = F.col(key)
+    x1 = ((k * m1) % 36000).cast("long")
+    y1 = ((k * m2) % 18000).cast("long")
+    return df.select(
+        k.cast("long").alias("id"),
+        x1.alias("x1"),
+        y1.alias("y1"),
+        F.greatest(
+            F.lit(0), F.least(F.lit(35999), x1 + (k * d1) % 1001 - 500)
+        ).cast("long").alias("x2"),
+        F.greatest(
+            F.lit(0), F.least(F.lit(17999), y1 + (k * d2) % 1001 - 500)
+        ).cast("long").alias("y2"),
+    )
+
+
+def q_segment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-intersection join (operators/segjoin.py): order segments ×
+    customer segments sharing at least one point — bbox-grid candidate
+    generation (map-side sequence explode), ONE cell equi-join,
+    exactly-once emission from the canonical cell (lower-left corner of
+    the bbox intersection), integer orientation refine. The DuckDB twin
+    is the brute cross join with the identical integer predicate — exact
+    at oracle scale, no CartesianProduct in the Spark plan."""
+    from .operators.segjoin import segment_intersections
+
+    a = _segs(_t(spark, sf_dir, "orders"), "o_orderkey", 7919, 104729, 31, 57)
+    b = _segs(_t(spark, sf_dir, "customer"), "c_custkey", 12553, 30011, 43, 71)
+    return segment_intersections(a, b, SEGJOIN_CELL)
+
+
+# NOTE: the bbox bounds are PRECOMPUTED columns in the a/b CTEs — a
+# least()/greatest() expression placed directly in the cross-join filter
+# trips a DuckDB internal error ("requires a flat vector") in its
+# range-join planner.
+Q_SEGMENT_JOIN_SQL = f"""WITH a0 AS ({_ORDER_SEGS_SQL}),
+b0 AS ({_CUST_SEGS_SQL}),
+a AS (SELECT *, least(x1, x2) AS lox, greatest(x1, x2) AS hix,
+             least(y1, y2) AS loy, greatest(y1, y2) AS hiy FROM a0),
+b AS (SELECT *, least(x1, x2) AS lox, greatest(x1, x2) AS hix,
+             least(y1, y2) AS loy, greatest(y1, y2) AS hiy FROM b0),
+d AS (SELECT a.id AS id_a, b.id AS id_b,
+        a.x1 AS ax1, a.y1 AS ay1, a.x2 AS ax2, a.y2 AS ay2,
+        b.x1 AS bx1, b.y1 AS by1, b.x2 AS bx2, b.y2 AS by2,
+        a.lox AS alox, a.hix AS ahix, a.loy AS aloy, a.hiy AS ahiy,
+        b.lox AS blox, b.hix AS bhix, b.loy AS bloy, b.hiy AS bhiy
+      FROM a CROSS JOIN b
+      WHERE a.lox <= b.hix AND b.lox <= a.hix
+        AND a.loy <= b.hiy AND b.loy <= a.hiy),
+o AS (SELECT *,
+        (bx2-bx1)*(ay1-by1) - (by2-by1)*(ax1-bx1) AS d1,
+        (bx2-bx1)*(ay2-by1) - (by2-by1)*(ax2-bx1) AS d2,
+        (ax2-ax1)*(by1-ay1) - (ay2-ay1)*(bx1-ax1) AS d3,
+        (ax2-ax1)*(by2-ay1) - (ay2-ay1)*(bx2-ax1) AS d4
+      FROM d)
+SELECT id_a, id_b FROM o
+WHERE ((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0))
+      AND ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0))
+   OR d1 = 0 AND ax1 BETWEEN blox AND bhix AND ay1 BETWEEN bloy AND bhiy
+   OR d2 = 0 AND ax2 BETWEEN blox AND bhix AND ay2 BETWEEN bloy AND bhiy
+   OR d3 = 0 AND bx1 BETWEEN alox AND ahix AND by1 BETWEEN aloy AND ahiy
+   OR d4 = 0 AND bx2 BETWEEN alox AND ahix AND by2 BETWEEN aloy AND ahiy"""
+
+
 SPATIAL_QUERIES = {
     "table_read": (q_table_read, Q_TABLE_READ_SQL),
     "neighbor_pairs": (q_neighbor_pairs, Q_NEIGHBOR_PAIRS_SQL),
     "spatial_clusters": (q_spatial_clusters, Q_SPATIAL_CLUSTERS_SQL),
     "knn_join": (q_knn_join, Q_KNN_JOIN_SQL),
+    "way_ring_stats": (q_way_ring_stats, Q_WAY_RING_STATS_SQL),
+    "segment_join": (q_segment_join, Q_SEGMENT_JOIN_SQL),
     "polygonize_edges": (q_polygonize_edges, Q_POLYGONIZE_EDGES_SQL),
     "node_membership": (q_node_membership, Q_NODE_MEMBERSHIP_SQL),
     "rasterize": (q_rasterize, Q_RASTERIZE_SQL),
