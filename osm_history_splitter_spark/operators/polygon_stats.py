@@ -60,8 +60,12 @@ def way_ring_stats(ways: DataFrame, nodes: DataFrame) -> DataFrame:
 
     Returns ``(id, nvert, area2, cx_num, cy_num)``, all BIGINT.
     """
+    # the DECLARED vertex count rides along with the explode, so the
+    # dropped-vertex check below needs no second scan/join of `ways`
     edges = ways.select(
-        F.col("id"), F.posexplode("refs").alias("pos", "ref")
+        F.col("id"),
+        F.size("refs").alias("nvert"),
+        F.posexplode("refs").alias("pos", "ref"),
     ).join(
         nodes.select(
             F.col("id").alias("ref"),
@@ -74,28 +78,26 @@ def way_ring_stats(ways: DataFrame, nodes: DataFrame) -> DataFrame:
     full = Window.partitionBy("id").orderBy("pos").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
-    # drop ways that lost ANY vertex to the inner join: joined count must
-    # equal the declared ref count
-    nref = ways.select("id", F.size("refs").alias("nvert"))
     closed = (
         edges.withColumn("xn", F.coalesce(F.lead("x").over(w), F.first("x").over(full)))
         .withColumn("yn", F.coalesce(F.lead("y").over(w), F.first("y").over(full)))
     )
     cross = F.col("x") * F.col("yn") - F.col("xn") * F.col("y")
+    # the window already co-located each way's edges on `id`, so this
+    # groupBy is Exchange-free (plan-asserted in tests)
     stats = closed.groupBy("id").agg(
         F.count("*").alias("njoined"),
+        F.first("nvert").alias("nvert"),
         F.sum(cross).alias("area2"),
         F.sum((F.col("x") + F.col("xn")) * cross).alias("cx_num"),
         F.sum((F.col("y") + F.col("yn")) * cross).alias("cy_num"),
     )
-    return (
-        stats.join(nref, "id")
-        .filter(F.col("njoined") == F.col("nvert"))
-        .select(
-            "id",
-            F.col("nvert").cast("long").alias("nvert"),
-            F.col("area2").cast("long").alias("area2"),
-            F.col("cx_num").cast("long").alias("cx_num"),
-            F.col("cy_num").cast("long").alias("cy_num"),
-        )
+    # drop ways that lost ANY vertex to the inner join: joined count must
+    # equal the declared ref count (a partial ring's area is meaningless)
+    return stats.filter(F.col("njoined") == F.col("nvert")).select(
+        "id",
+        F.col("nvert").cast("long").alias("nvert"),
+        F.col("area2").cast("long").alias("area2"),
+        F.col("cx_num").cast("long").alias("cx_num"),
+        F.col("cy_num").cast("long").alias("cy_num"),
     )

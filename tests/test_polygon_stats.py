@@ -93,3 +93,21 @@ def test_random_differential(spark, seed):
     for w, refs in ways:
         want = _ref_stats([by_id[r] for r in refs])
         assert out[w] == (len(refs),) + want, w
+
+
+def test_plan_shape(spark):
+    """No cross join anywhere, and the groupBy reuses the window's hash
+    partitioning: exactly ONE id-keyed Exchange in the whole plan (the
+    ref-keyed exchanges of the coordinate join are intrinsic)."""
+    import re
+
+    wdf = spark.createDataFrame([(1, [1, 2, 3])], "id long, refs array<long>")
+    ndf = spark.createDataFrame(SQUARE, "id long, xs long, ys long")
+    plan = (
+        way_ring_stats(wdf, ndf)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"hashpartitioning\(id#", plan)) == 1

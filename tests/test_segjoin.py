@@ -130,3 +130,18 @@ def test_bad_cell_raises(spark):
     df = spark.createDataFrame([(1, 0, 0, 1, 1)], SCHEMA)
     with pytest.raises(ValueError):
         segment_intersections(df, df, 0)
+
+
+def test_plan_shape(spark):
+    """The candidate join is ONE hash equi-join on the cell key — never
+    a CartesianProduct, never a nested-loop join."""
+    a = spark.createDataFrame([(1, 0, 0, 10, 10)], SCHEMA)
+    b = spark.createDataFrame([(2, 0, 10, 10, 0)], SCHEMA)
+    plan = (
+        segment_intersections(a, b, 8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
