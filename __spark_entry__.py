@@ -52,6 +52,7 @@ _DRIVER_EXCLUDE = {
     "knn_join",  # same: window full; twin certified by the same test
     "way_ring_stats",  # same: window full; twin certified by the same test
     "segment_join",  # same: window full; twin certified by the same test
+    "gopher_filter",  # same: window full; twin certified by the same test
     "bm25_topk",  # ln() ulps differ across engines — pytest compares
     # rounded scores (tests/test_bm25.py); the exact-hash gate would
     # flake on the last decimal

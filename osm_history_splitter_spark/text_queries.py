@@ -2528,8 +2528,90 @@ SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
 FROM isl GROUP BY doc_id, island"""
 
 
+#: Gopher quality-rule thresholds (Rae et al. 2021, published table):
+#: expressed as integer cross-multiplications so every comparison is
+#: bit-exact in Spark, DuckDB and Python — no ratio ever hits a float.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+#: the published English list (Rae et al. 2021). The oracle INSTANCE
+#: below runs with the corpus-adapted list — the synthetic vocabulary
+#: contains only 'the' and 'a' of these, which would pin the verdict
+#: constant-false and leave the ≥2-stopword branch untested.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_GOPHER_ORACLE_STOPS = ("the", "a")
+
+
+def q_gopher_filter(spark, sf_dir):
+    """Gopher-rules document quality filter (Rae et al. 2021), the
+    heuristic battery MassiveText used alongside C4's: word-count
+    bounds, mean word length in [3, 10] chars, ≥80% words containing a
+    letter, and ≥2 distinct stopwords present (published English list in
+    ``GOPHER_STOPWORDS``; the oracle instance uses the corpus-adapted
+    pair so the verdict varies on the synthetic vocabulary). Every ratio
+    rule is an integer cross-multiplication (``3·n_words ≤ n_chars``),
+    so the oracle hash never sees a float. Like `c4_filter` this is pure
+    whole-stage-codegen string work — a stateless projection, zero
+    shuffles at any scale."""
+    d = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    words = F.split(text, " ")
+    n_words = F.size(words).cast("long")
+    # total in-word characters: strip ALL whitespace once
+    n_chars = F.length(F.regexp_replace(text, r"\s+", "")).cast("long")
+    n_alpha = F.size(
+        F.filter(words, lambda x: x.rlike("[A-Za-z]"))
+    ).cast("long")
+    n_stop = sum(
+        text.rlike(rf"\b{w}\b").cast("int")
+        for w in _GOPHER_ORACLE_STOPS
+    ).cast("long")
+    words_ok = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    mean_len_ok = (F.lit(3) * n_words <= n_chars) & (
+        n_chars <= F.lit(10) * n_words
+    )
+    alpha_ok = F.lit(5) * n_alpha >= F.lit(4) * n_words
+    stop_ok = n_stop >= 2
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_chars.alias("n_chars"),
+        n_stop.alias("n_stop"),
+        words_ok.alias("words_ok"),
+        mean_len_ok.alias("mean_len_ok"),
+        alpha_ok.alias("alpha_ok"),
+        stop_ok.alias("stop_ok"),
+        (words_ok & mean_len_ok & alpha_ok & stop_ok).alias("kept"),
+    )
+
+
+_GOPHER_STOP_SQL = " + ".join(
+    f"CAST(regexp_matches(text, '\\b{w}\\b') AS INT)"
+    for w in _GOPHER_ORACLE_STOPS
+)
+
+Q_GOPHER_FILTER_SQL = rf"""WITH m AS (
+  SELECT doc_id,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+    CAST(len(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS n_chars,
+    CAST(len(list_filter(string_split(text, ' '),
+             x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+    CAST({_GOPHER_STOP_SQL} AS BIGINT) AS n_stop
+  FROM documents)
+SELECT doc_id, n_words, n_chars, n_stop,
+  (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
+    AS words_ok,
+  (3 * n_words <= n_chars AND n_chars <= 10 * n_words) AS mean_len_ok,
+  (5 * n_alpha >= 4 * n_words) AS alpha_ok,
+  (n_stop >= 2) AS stop_ok,
+  (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+   AND 3 * n_words <= n_chars AND n_chars <= 10 * n_words
+   AND 5 * n_alpha >= 4 * n_words AND n_stop >= 2) AS kept
+FROM m"""
+
+
 TEXT_QUERIES = {
     "exact_substr": (q_exact_substr, Q_EXACT_SUBSTR_SQL),
+    "gopher_filter": (q_gopher_filter, Q_GOPHER_FILTER_SQL),
     "regex_tokens": (q_regex_tokens, Q_REGEX_TOKENS_SQL),
     "simhash": (q_simhash, Q_SIMHASH_SQL),
     "dedup_exact": (q_dedup_exact, Q_DEDUP_EXACT_SQL),
