@@ -118,10 +118,8 @@ def run_hierarchy(
     Returns a manifest whose ``jobs`` list proves the ordering (each entry
     names its source job, which always appears earlier).
     """
-    from pyspark.errors import AnalysisException
-
     from ..splitter import run_split
-    from .io import read_extract
+    from .io import parquet_dir_has_data, read_extract
 
     names = {e.name for e in tree}
     by_name = {e.name: e for e in tree}
@@ -146,24 +144,18 @@ def run_hierarchy(
 
                 def _part(sub, fallback):
                     # an all-empty parent write leaves no parquet files ->
-                    # schema inference fails; substitute an empty frame of
-                    # the root schema (same columns flow through the split).
-                    # ONLY that case: any other read failure (bad path,
-                    # corrupt parquet) must surface, not yield silently
-                    # empty child extracts.
-                    try:
-                        return read_extract(spark, f"{base}/{sub}", src).drop(
-                            "extract"
-                        )
-                    except AnalysisException as e:
-                        msg = str(e)
-                        if (
-                            "PATH_NOT_FOUND" in msg
-                            or "UNABLE_TO_INFER_SCHEMA" in msg
-                            or "Unable to infer schema" in msg
-                        ):
-                            return spark.createDataFrame([], fallback.schema)
-                        raise
+                    # schema inference would fail; substitute an empty
+                    # frame of the root schema (same columns flow through
+                    # the split). ONLY that case — existence is checked
+                    # up front so any other read failure (corrupt
+                    # parquet) still surfaces, and the expected-missing
+                    # path never fires a failed-analysis event at the
+                    # session's Observation listeners.
+                    if not parquet_dir_has_data(spark, f"{base}/{sub}"):
+                        return spark.createDataFrame([], fallback.schema)
+                    return read_extract(spark, f"{base}/{sub}", src).drop(
+                        "extract"
+                    )
 
                 src_nodes = _part("nodes", nodes)
                 src_ways = _part("ways", ways)

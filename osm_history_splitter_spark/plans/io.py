@@ -156,3 +156,24 @@ def read_extract(spark, path: str, extract: str) -> DataFrame:
     """Read one extract partition (partition pruning via the filter —
     Catalyst prunes directories, no full scan)."""
     return spark.read.parquet(path).filter(F.col("extract") == extract)
+
+
+def parquet_dir_has_data(spark, path: str) -> bool:
+    """True iff ``path`` exists and contains at least one data file
+    (ignoring _SUCCESS/.crc markers), checked through the Hadoop
+    FileSystem so it works for any supported URI scheme. Callers use
+    this instead of letting ``spark.read.parquet`` fail analysis on an
+    all-empty ``partitionBy`` output: a failed analysis fires the
+    session's ExecutionListenerBus and every registered Observation
+    listener logs an ERROR for a condition that is expected."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return False
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        name = it.next().getPath().getName()
+        if not (name.startswith("_") or name.startswith(".")):
+            return True
+    return False

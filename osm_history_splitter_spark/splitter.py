@@ -151,22 +151,22 @@ def _read_back(spark: SparkSession, out_path: str) -> dict:
     feeding the optional sinks without re-executing the cut."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
-    from pyspark.sql.utils import AnalysisException
 
     from .model import NODE_SCHEMA, RELATION_SCHEMA, WAY_SCHEMA
+    from .plans.io import parquet_dir_has_data
 
     schemas = {
         "nodes": NODE_SCHEMA, "ways": WAY_SCHEMA, "relations": RELATION_SCHEMA
     }
     outs = {}
     for e in ("nodes", "ways", "relations"):
-        try:
+        if parquet_dir_has_data(spark, f"{out_path}/{e}"):
             # partition-type inference would read a numeric-looking
             # extract name back as int — pin it to string
             outs[e] = spark.read.parquet(f"{out_path}/{e}").withColumn(
                 "extract", F.col("extract").cast("string")
             )
-        except AnalysisException:
+        else:
             # an empty entity output writes no parquet files at all
             # (partitionBy emits nothing) — hand the sinks an empty
             # frame with the model schema instead

@@ -2609,9 +2609,126 @@ SELECT doc_id, n_words, n_chars, n_stop,
 FROM m"""
 
 
+def q_gopher_repetition(spark, sf_dir):
+    """Gopher repetition rules (Rae et al. 2021 Table A1), the word-gram
+    half of the battery `gopher_filter` doesn't cover: a document is
+    dropped when it is dominated by repeated n-grams. Two published
+    rules, both as character fractions over non-space characters and
+    both integer cross-multiplied so the oracle hash never sees a float:
+
+    - top-2-gram fraction ≤ 0.20 — characters covered by all
+      occurrences of the single most frequent word 2-gram
+      (``5·covered ≤ total``); ties broken by the lexicographically
+      smallest gram so the winner is engine-independent.
+    - duplicate-gram fraction ≤ 0.15 — characters covered by every
+      gram that occurs more than once (``20·covered ≤ 3·total``).
+      The published rule counts 5-grams; this oracle INSTANCE counts
+      2-grams because the synthetic ~30-word vocabulary produces zero
+      repeated 5-grams at test scale, which would pin the branch
+      constant-zero (same corpus-adaptation rationale as
+      ``_GOPHER_ORACLE_STOPS``). The threshold constant is the
+      published one.
+
+    Both statistics come off ONE explode→groupBy(doc_id, gram)
+    partial-aggregated count (map-side combine absorbs exactly the
+    repetition the rule is hunting, so the shuffle carries distinct
+    grams, not occurrences); the arg-max is a narrow per-doc window
+    over the already-aggregated rows and rejoins on doc_id — no
+    cross-doc state of any kind."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split("text", " ").alias("words"),
+        F.length(F.regexp_replace("text", " ", ""))
+        .cast("long").alias("total_chars"),
+    )
+    grams = d.filter(F.size("words") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(words)-2),"
+                " i -> concat_ws(' ', slice(words, i+1, 2)))"
+            )
+        ).alias("gram"),
+    )
+    counts = grams.groupBy("doc_id", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).withColumn(
+        "covered",
+        (F.col("cnt")
+         * F.length(F.regexp_replace("gram", " ", ""))).cast("long"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("cnt").desc(), F.col("gram").asc()
+    )
+    stats = (
+        counts
+        .withColumn("rn", F.row_number().over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("covered")))
+            .cast("long").alias("top2_covered"),
+            F.sum(F.when(F.col("cnt") > 1, F.col("covered")).otherwise(0))
+            .cast("long").alias("dup2_covered"),
+        )
+    )
+    out = (
+        d.select("doc_id", "total_chars")
+        .join(stats, "doc_id", "left")
+        .withColumn("top2_covered",
+                    F.coalesce("top2_covered", F.lit(0)).cast("long"))
+        .withColumn("dup2_covered",
+                    F.coalesce("dup2_covered", F.lit(0)).cast("long"))
+    )
+    top2_ok = F.lit(5) * F.col("top2_covered") <= F.col("total_chars")
+    dup2_ok = (
+        F.lit(20) * F.col("dup2_covered") <= F.lit(3) * F.col("total_chars")
+    )
+    return out.select(
+        "doc_id", "total_chars", "top2_covered", "dup2_covered",
+        top2_ok.alias("top2_ok"), dup2_ok.alias("dup2_ok"),
+        (top2_ok & dup2_ok).alias("kept"),
+    )
+
+
+Q_GOPHER_REPETITION_SQL = """WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words,
+    CAST(len(replace(text, ' ', '')) AS BIGINT) AS total_chars
+  FROM documents),
+g2 AS (
+  SELECT doc_id,
+    array_to_string(list_slice(words, i, i + 1), ' ') AS gram
+  FROM w, unnest(generate_series(1, len(words) - 1)) AS t(i)),
+c2 AS (
+  SELECT doc_id, gram, count(*) AS cnt,
+    CAST(count(*) * len(replace(gram, ' ', '')) AS BIGINT) AS covered
+  FROM g2 GROUP BY doc_id, gram),
+s AS (
+  SELECT doc_id,
+    CAST(max(CASE WHEN rn = 1 THEN covered END) AS BIGINT)
+      AS top2_covered,
+    CAST(sum(CASE WHEN cnt > 1 THEN covered ELSE 0 END) AS BIGINT)
+      AS dup2_covered
+  FROM (
+    SELECT doc_id, cnt, covered,
+      ROW_NUMBER() OVER (PARTITION BY doc_id
+                         ORDER BY cnt DESC, gram ASC) AS rn
+    FROM c2)
+  GROUP BY doc_id)
+SELECT w.doc_id, w.total_chars,
+  COALESCE(s.top2_covered, 0) AS top2_covered,
+  COALESCE(s.dup2_covered, 0) AS dup2_covered,
+  (5 * COALESCE(s.top2_covered, 0) <= w.total_chars) AS top2_ok,
+  (20 * COALESCE(s.dup2_covered, 0) <= 3 * w.total_chars) AS dup2_ok,
+  (5 * COALESCE(s.top2_covered, 0) <= w.total_chars
+   AND 20 * COALESCE(s.dup2_covered, 0) <= 3 * w.total_chars) AS kept
+FROM w
+LEFT JOIN s ON w.doc_id = s.doc_id"""
+
+
 TEXT_QUERIES = {
     "exact_substr": (q_exact_substr, Q_EXACT_SUBSTR_SQL),
     "gopher_filter": (q_gopher_filter, Q_GOPHER_FILTER_SQL),
+    "gopher_repetition": (q_gopher_repetition, Q_GOPHER_REPETITION_SQL),
     "regex_tokens": (q_regex_tokens, Q_REGEX_TOKENS_SQL),
     "simhash": (q_simhash, Q_SIMHASH_SQL),
     "dedup_exact": (q_dedup_exact, Q_DEDUP_EXACT_SQL),
