@@ -140,7 +140,7 @@ def _run_once(sf_dir: str, cores: int | None = None) -> dict:
     # flagship-split throughput on a corpus big enough to amortize the
     # ~3.3 s stage-scheduling floor (BENCH.md): pages written once to
     # tmpfs (generation unmeasured), split measured warm (best of 2)
-    split_thr, split_pages = _split_throughput(spark)
+    split_thr, split_pages = _split_throughput(spark, sf_dir, n_pages)
     sink_thr = _sink_throughput(spark, sf_dir)
 
     # cap-induced recall loss must be visible, not a silent unknown: the
@@ -434,10 +434,14 @@ def _cdc_speedup(
         shutil.rmtree(work, ignore_errors=True)
 
 
-def _split_throughput(spark, replicate: int = 512) -> tuple[float, int]:
+def _split_throughput(
+    spark, sf_dir: str, n_docs: int, replicate: int = 512
+) -> tuple[float, int]:
     """Warm flagship-split docs/sec over a ×replicate fanned corpus
-    (2.56M pages by default) read from tmpfs parquet — the measured job
-    is the split, not the synthesizer (methodology: BENCH.md)."""
+    (2.56M pages at sf0.1's 5000 docs) read from tmpfs parquet — the
+    measured job is the split, not the synthesizer (methodology:
+    BENCH.md). ``n_docs`` is the caller's already-counted base-corpus
+    size, so the figure stays honest for any SPARK_GRAFT_SF_DIR."""
     import shutil
     import tempfile
 
@@ -452,9 +456,9 @@ def _split_throughput(spark, replicate: int = 512) -> tuple[float, int]:
     try:
         path = f"{tmp}/pages"
         synth_pages(
-            spark, "/root/testdata/sf0.1", replicate=replicate, partitions=32
+            spark, sf_dir, replicate=replicate, partitions=32
         ).write.parquet(path)
-        n_pages = 5000 * replicate
+        n_pages = n_docs * replicate
 
         def job():
             pages = spark.read.parquet(path)
