@@ -962,8 +962,63 @@ WHERE ((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0))
    OR d4 = 0 AND bx2 BETWEEN alox AND ahix AND by2 BETWEEN aloy AND ahiy"""
 
 
+#: inclusive point-to-segment join radius (centidegree units)
+PTSEG_EPS = 50
+
+
+def q_point_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-to-segment ε-join (operators/ptseg.py): part points within
+    PTSEG_EPS of an order segment — segments replicate map-side to the
+    cells of their ε-expanded bbox, points keep their single home cell,
+    ONE hash equi-join on the cell key gives every pair exactly once,
+    and the three-case point-segment distance refine is pure integer
+    cross-multiplication (endpoint cases ``|AP|² ≤ ε²``, interior case
+    ``cross² ≤ ε²·|AB|²``). The DuckDB twin is the brute cross join with
+    the identical integer predicate behind an expanded-bbox prefilter —
+    exact at oracle scale, no CartesianProduct in the Spark plan."""
+    from .operators.ptseg import points_near_segments
+
+    k = F.col("p_partkey")
+    pts = _t(spark, sf_dir, "part").select(
+        k.cast("long").alias("id"),
+        ((k * 7919) % 36000).cast("long").alias("x"),
+        ((k * 104729) % 18000).cast("long").alias("y"),
+    )
+    segs = _segs(_t(spark, sf_dir, "orders"), "o_orderkey", 7919, 104729, 31, 57)
+    return points_near_segments(pts, segs, PTSEG_EPS, SEGJOIN_CELL)
+
+
+# same flat-vector workaround as Q_SEGMENT_JOIN_SQL: the expanded bbox
+# bounds are PRECOMPUTED columns, not expressions in the join filter.
+Q_POINT_SEGMENT_SQL = f"""WITH p AS (
+  SELECT p_partkey AS id_p,
+    CAST((p_partkey*7919)%36000 AS BIGINT) AS px,
+    CAST((p_partkey*104729)%18000 AS BIGINT) AS py
+  FROM part),
+s0 AS ({_ORDER_SEGS_SQL}),
+s AS (SELECT id AS id_s, x1, y1, x2, y2,
+        least(x1, x2) - {PTSEG_EPS} AS lox,
+        greatest(x1, x2) + {PTSEG_EPS} AS hix,
+        least(y1, y2) - {PTSEG_EPS} AS loy,
+        greatest(y1, y2) + {PTSEG_EPS} AS hiy FROM s0),
+d AS (SELECT id_p, id_s, px, py, x1, y1, x2, y2,
+        (px-x1)*(x2-x1) + (py-y1)*(y2-y1) AS dot,
+        (x2-x1)*(x2-x1) + (y2-y1)*(y2-y1) AS l2,
+        (x2-x1)*(py-y1) - (y2-y1)*(px-x1) AS crs
+      FROM p CROSS JOIN s
+      WHERE px BETWEEN lox AND hix AND py BETWEEN loy AND hiy)
+SELECT id_p, id_s FROM d
+WHERE CASE
+  WHEN dot <= 0 THEN (px-x1)*(px-x1) + (py-y1)*(py-y1)
+                     <= {PTSEG_EPS * PTSEG_EPS}
+  WHEN dot >= l2 THEN (px-x2)*(px-x2) + (py-y2)*(py-y2)
+                      <= {PTSEG_EPS * PTSEG_EPS}
+  ELSE crs*crs <= {PTSEG_EPS * PTSEG_EPS} * l2 END"""
+
+
 SPATIAL_QUERIES = {
     "table_read": (q_table_read, Q_TABLE_READ_SQL),
+    "point_segment": (q_point_segment, Q_POINT_SEGMENT_SQL),
     "neighbor_pairs": (q_neighbor_pairs, Q_NEIGHBOR_PAIRS_SQL),
     "spatial_clusters": (q_spatial_clusters, Q_SPATIAL_CLUSTERS_SQL),
     "knn_join": (q_knn_join, Q_KNN_JOIN_SQL),
