@@ -55,6 +55,7 @@ _DRIVER_EXCLUDE = {
     "gopher_filter",  # same: window full; twin certified by the same test
     "gopher_repetition",  # same: window full; twin certified there too
     "point_segment",  # same: window full; twin certified there too
+    "snap_segment",  # same: window full; twin certified there too
     "bm25_topk",  # ln() ulps differ across engines — pytest compares
     # rounded scores (tests/test_bm25.py); the exact-hash gate would
     # flake on the last decimal

@@ -44,7 +44,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["points_near_segments"]
+__all__ = ["points_near_segments", "snap_to_segments"]
 
 #: the non-negative integer coordinate domain (centidegree convention)
 _MAX_X = 36000 - 1
@@ -78,6 +78,37 @@ def _within(eps: int) -> Column:
     )
 
 
+def _dist_frac() -> tuple[Column, Column]:
+    """The squared point-segment distance as an exact RATIONAL
+    ``num/den`` over the joined column names: the endpoint cases are
+    integers (``den = 1``), the interior case is ``cross²/|AB|²`` —
+    representing it as a fraction (instead of dividing) keeps every
+    later comparison a cross-multiplication. ``num ≤ 1.7e18`` (long),
+    ``den ≤ 1.7e9``; exact cross-compares of two fractions need
+    ``num·den ≤ 2.9e27`` — done in decimal(38,0), see
+    :func:`snap_to_segments`."""
+    px, py = F.col("px"), F.col("py")
+    ax, ay = F.col("x1"), F.col("y1")
+    bx, by = F.col("x2"), F.col("y2")
+    abx, aby = bx - ax, by - ay
+    apx, apy = px - ax, py - ay
+    bpx, bpy = px - bx, py - by
+    dot = apx * abx + apy * aby
+    l2 = abx * abx + aby * aby
+    cross = abx * apy - aby * apx
+    num = (
+        F.when(dot <= 0, apx * apx + apy * apy)
+        .when(dot >= l2, bpx * bpx + bpy * bpy)
+        .otherwise(cross * cross)
+    )
+    den = (
+        F.when(dot <= 0, F.lit(1).cast("long"))
+        .when(dot >= l2, F.lit(1).cast("long"))
+        .otherwise(l2)
+    )
+    return num.cast("long"), den.cast("long")
+
+
 def points_near_segments(
     points: DataFrame, segs: DataFrame, eps: int, cell: int
 ) -> DataFrame:
@@ -92,6 +123,20 @@ def points_near_segments(
     """
     if eps < 0:
         raise ValueError(f"eps must be non-negative, got {eps}")
+    return (
+        _candidates(points, segs, eps, cell)
+        .filter(_within(eps))
+        .select("id_p", "id_s")
+    )
+
+
+def _candidates(
+    points: DataFrame, segs: DataFrame, eps: int, cell: int
+) -> DataFrame:
+    """Exactly-once candidate pairs: every (point, segment) whose
+    ε-expanded segment bbox contains the point's home cell — a superset
+    of all pairs at distance ≤ ε (each axis offset of a within-ε pair is
+    ≤ ε). One row per pair, columns (id_p, px, py, id_s, x1..y2)."""
     if cell < 1:
         raise ValueError(f"cell must be a positive integer, got {cell}")
     c = F.lit(cell)
@@ -120,9 +165,98 @@ def points_near_segments(
         s.withColumn("cx", F.explode(F.sequence(_fdiv(lox, c), _fdiv(hix, c))))
         .withColumn("cy", F.explode(F.sequence(_fdiv(loy, c), _fdiv(hiy, c))))
     )
+    return pts.join(rhs, ["cx", "cy"]).drop("cx", "cy")
 
-    return (
-        pts.join(rhs, ["cx", "cy"])
-        .filter(_within(eps))
-        .select("id_p", "id_s")
+
+#: decimal type wide enough for num·den cross-products (≤ 2.9e27)
+_DEC = "decimal(38,0)"
+
+
+def _strictly_better(a: str, b: str) -> Column:
+    """Exact 'candidate ``b`` beats candidate ``a``' over prefixed
+    fraction columns: smaller distance, or equal distance and smaller
+    segment id. ``numᵇ/denᵇ < numᵃ/denᵃ ⇔ numᵇ·denᵃ < numᵃ·denᵇ``
+    (denominators positive) — cross-products up to ~2.9e27 overflow
+    int64, so the compare runs in decimal(38,0); the fraction columns
+    themselves stay long."""
+    lhs = F.col(f"{b}num").cast(_DEC) * F.col(f"{a}den").cast(_DEC)
+    rhs = F.col(f"{a}num").cast(_DEC) * F.col(f"{b}den").cast(_DEC)
+    return (lhs < rhs) | (
+        (lhs == rhs) & (F.col(f"{b}id_s") < F.col(f"{a}id_s"))
     )
+
+
+def snap_to_segments(
+    points: DataFrame,
+    segs: DataFrame,
+    init_radius: int,
+    max_radius: int = 46_000,
+    cell: int | None = None,
+) -> DataFrame:
+    """Snap every point to its NEAREST segment (the map-matching /
+    address-snapping step after :func:`points_near_segments`'s buffer
+    query) — without a cross join, via the same iterative radius
+    doubling as ``neighbors.knn_join``.
+
+    Round i generates candidates at radius ``init_radius·2ⁱ`` for the
+    points still unresolved; a point RESOLVES when its best candidate
+    lies within the round's radius (every non-candidate segment is
+    farther than the radius, so the best candidate is the global
+    nearest). At ``max_radius`` (domain diameter) everything reachable
+    is a candidate, so any remaining point takes its best or — with an
+    empty segment relation — stays absent from the output.
+
+    The argmin itself is EXACT: squared distance is the rational
+    ``num/den`` of :func:`_dist_frac`, and "candidate b beats a" is the
+    decimal(38,0) cross-multiplication of :func:`_strictly_better` —
+    the winner is the candidate no other candidate beats (a per-point
+    left-anti self-join on the already-hash-partitioned id_p key, O(k²)
+    per point where k = candidates in the disc). No float distance is
+    ever computed, so ties break identically on every engine: by
+    segment id ascending.
+
+    Returns ``(id_p, id_s, d2_num, d2_den)`` — one row per point, the
+    squared snap distance as an exact fraction.
+    """
+    if init_radius < 1:
+        raise ValueError(f"init_radius must be >= 1, got {init_radius}")
+    out: DataFrame | None = None
+    lhs = points.select("id", "x", "y")
+    r = init_radius
+    while True:
+        r = min(r, max_radius)
+        num, den = _dist_frac()
+        cand = _candidates(lhs, segs, r, cell or r).select(
+            "id_p", "id_s", num.alias("num"), den.alias("den")
+        )
+        rival = cand.select(
+            F.col("id_p").alias("r_id_p"), F.col("id_s").alias("r_id_s"),
+            F.col("num").alias("r_num"), F.col("den").alias("r_den"),
+        )
+        best = cand.alias("c").join(
+            rival,
+            (F.col("id_p") == F.col("r_id_p")) & _strictly_better("", "r_"),
+            "left_anti",
+        )
+        if r >= max_radius:
+            resolved = best
+        else:
+            # winner counts only if inside the disc: num ≤ r²·den
+            # (r²·den ≤ 2.1e9 · 1.7e9 ≈ 3.6e18 — still int64)
+            resolved = best.filter(
+                F.col("num") <= F.lit(r * r) * F.col("den")
+            )
+        resolved = resolved.select(
+            "id_p", "id_s",
+            F.col("num").alias("d2_num"), F.col("den").alias("d2_den"),
+        )
+        out = resolved if out is None else out.unionByName(resolved)
+        if r >= max_radius:
+            break
+        lhs = lhs.join(
+            resolved.select(F.col("id_p").alias("id")), "id", "left_anti"
+        ).localCheckpoint(eager=True)
+        if lhs.limit(1).count() == 0:  # bounded probe, metadata-scale
+            break
+        r *= 2
+    return out

@@ -1016,9 +1016,62 @@ WHERE CASE
   ELSE crs*crs <= {PTSEG_EPS * PTSEG_EPS} * l2 END"""
 
 
+def q_snap_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-segment snap (operators/ptseg.py:snap_to_segments): every
+    part point's nearest order segment, by iterative radius doubling
+    over the cell-join candidates — dense points resolve at the cheap
+    radius, only stragglers escalate. The argmin is EXACT: squared
+    distance stays the rational num/den and 'b beats a' is a
+    decimal(38,0) cross-multiplication, so ties break identically on
+    every engine (segment id ascending) and the emitted fraction hashes
+    bit-equal. The DuckDB twin is the brute cross join + NOT EXISTS
+    with the identical arithmetic in HUGEINT."""
+    from .operators.ptseg import snap_to_segments
+
+    k = F.col("p_partkey")
+    pts = _t(spark, sf_dir, "part").select(
+        k.cast("long").alias("id"),
+        ((k * 7919) % 36000).cast("long").alias("x"),
+        ((k * 104729) % 18000).cast("long").alias("y"),
+    )
+    segs = _segs(_t(spark, sf_dir, "orders"), "o_orderkey", 7919, 104729, 31, 57)
+    return snap_to_segments(pts, segs, init_radius=512)
+
+
+Q_SNAP_SEGMENT_SQL = f"""WITH p AS (
+  SELECT p_partkey AS id_p,
+    CAST((p_partkey*7919)%36000 AS BIGINT) AS px,
+    CAST((p_partkey*104729)%18000 AS BIGINT) AS py
+  FROM part),
+s0 AS ({_ORDER_SEGS_SQL}),
+d AS (SELECT id_p, id AS id_s, px, py, x1, y1, x2, y2,
+        (px-x1)*(x2-x1) + (py-y1)*(y2-y1) AS dot,
+        (x2-x1)*(x2-x1) + (y2-y1)*(y2-y1) AS l2,
+        (x2-x1)*(py-y1) - (y2-y1)*(px-x1) AS crs
+      FROM p CROSS JOIN s0),
+c AS (SELECT id_p, id_s,
+        CAST(CASE
+          WHEN dot <= 0 THEN (px-x1)*(px-x1) + (py-y1)*(py-y1)
+          WHEN dot >= l2 THEN (px-x2)*(px-x2) + (py-y2)*(py-y2)
+          ELSE crs*crs END AS BIGINT) AS num,
+        CAST(CASE WHEN dot <= 0 OR dot >= l2 THEN 1 ELSE l2 END
+             AS BIGINT) AS den
+      FROM d)
+SELECT c1.id_p, c1.id_s, c1.num AS d2_num, c1.den AS d2_den
+FROM c c1
+WHERE NOT EXISTS (
+  SELECT 1 FROM c c2
+  WHERE c2.id_p = c1.id_p AND (
+    CAST(c2.num AS HUGEINT) * c1.den < CAST(c1.num AS HUGEINT) * c2.den
+    OR (CAST(c2.num AS HUGEINT) * c1.den
+        = CAST(c1.num AS HUGEINT) * c2.den
+        AND c2.id_s < c1.id_s)))"""
+
+
 SPATIAL_QUERIES = {
     "table_read": (q_table_read, Q_TABLE_READ_SQL),
     "point_segment": (q_point_segment, Q_POINT_SEGMENT_SQL),
+    "snap_segment": (q_snap_segment, Q_SNAP_SEGMENT_SQL),
     "neighbor_pairs": (q_neighbor_pairs, Q_NEIGHBOR_PAIRS_SQL),
     "spatial_clusters": (q_spatial_clusters, Q_SPATIAL_CLUSTERS_SQL),
     "knn_join": (q_knn_join, Q_KNN_JOIN_SQL),

@@ -10,7 +10,12 @@ import random
 
 import pytest
 
-from osm_history_splitter_spark.operators.ptseg import points_near_segments
+from fractions import Fraction
+
+from osm_history_splitter_spark.operators.ptseg import (
+    points_near_segments,
+    snap_to_segments,
+)
 
 
 def _ref_within(p, s, eps):
@@ -140,3 +145,88 @@ def test_plan_shape(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------- snap
+
+
+def _dist_frac_ref(p, s):
+    """(Fraction, num, den) — the operator's exact rational, verbatim."""
+    px, py = p
+    x1, y1, x2, y2 = s
+    abx, aby = x2 - x1, y2 - y1
+    apx, apy = px - x1, py - y1
+    dot = apx * abx + apy * aby
+    l2 = abx * abx + aby * aby
+    if dot <= 0:
+        n = apx * apx + apy * apy
+        return Fraction(n), n, 1
+    if dot >= l2:
+        bpx, bpy = px - x2, py - y2
+        n = bpx * bpx + bpy * bpy
+        return Fraction(n), n, 1
+    cross = abx * apy - aby * apx
+    return Fraction(cross * cross, l2), cross * cross, l2
+
+
+def _snap_ref(pts, segs):
+    want = {}
+    for pid, px, py in pts:
+        best = None
+        for s in segs:
+            fr, num, den = _dist_frac_ref((px, py), s[1:])
+            if best is None or (fr, s[0]) < best[0]:
+                best = ((fr, s[0]), (s[0], num, den))
+        want[pid] = best[1]
+    return want
+
+
+def _snap(spark, pts, segs, init_radius, **kw):
+    pdf = spark.createDataFrame(pts, PT_SCHEMA)
+    sdf = spark.createDataFrame(segs, SEG_SCHEMA)
+    rows = snap_to_segments(pdf, sdf, init_radius, **kw).collect()
+    got = {r["id_p"]: (r["id_s"], r["d2_num"], r["d2_den"]) for r in rows}
+    assert len(got) == len(rows), "duplicate point emitted"
+    return got
+
+
+@pytest.mark.parametrize("seed,init", [(3, 64), (4, 500)])
+def test_snap_differential(spark, seed, init):
+    """Exact-nearest equality against the Fraction brute force,
+    including a far straggler that must escalate several rounds."""
+    rng = random.Random(seed)
+    pts, segs = _random_fixture(rng, 50, 25)
+    pts = pts + [(999, 35000, 17000)]
+    want = _snap_ref(pts, segs)
+    assert _snap(spark, pts, segs, init) == want
+
+
+def test_snap_tiebreak_min_id(spark):
+    """Two geometrically identical segments: the smaller id wins, and
+    the emitted fraction is the exact squared distance."""
+    segs = [(7, 100, 100, 200, 100), (5, 100, 100, 200, 100)]
+    got = _snap(spark, [(1, 150, 103)], segs, 8)
+    # interior case: the fraction is the unreduced cross²/|AB|²
+    assert got == {1: (5, 90000, 10000)}
+
+
+def test_snap_interior_fraction_exact(spark):
+    """An interior snap whose distance is a non-integer rational: the
+    fraction comes back unreduced as cross²/|AB|²."""
+    # P=(0,5) vs segment (0,0)-(3,1): cross = 3*5-1*0 = 15, l2 = 10
+    segs = [(1, 200, 200, 203, 201)]
+    got = _snap(spark, [(9, 200, 205)], segs, 4)
+    assert got == {9: (1, 225, 10)}
+
+
+def test_snap_empty_segments(spark):
+    pdf = spark.createDataFrame([(1, 5, 5)], PT_SCHEMA)
+    sdf = spark.createDataFrame([], SEG_SCHEMA)
+    assert snap_to_segments(pdf, sdf, 8).count() == 0
+
+
+def test_snap_bad_args(spark):
+    pdf = spark.createDataFrame([(1, 0, 0)], PT_SCHEMA)
+    sdf = spark.createDataFrame([(1, 0, 0, 1, 1)], SEG_SCHEMA)
+    with pytest.raises(ValueError):
+        snap_to_segments(pdf, sdf, 0)
