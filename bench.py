@@ -50,6 +50,8 @@ BENCH_QUERIES = [
     "oov_rate",
     "neighbor_pairs",
     "spatial_clusters",
+    "point_segment",
+    "snap_segment",
 ]
 
 

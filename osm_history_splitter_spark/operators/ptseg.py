@@ -43,6 +43,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as WindowSpec
 
 __all__ = ["points_near_segments", "snap_to_segments"]
 
@@ -210,10 +211,19 @@ def snap_to_segments(
     ``num/den`` of :func:`_dist_frac`, and "candidate b beats a" is the
     decimal(38,0) cross-multiplication of :func:`_strictly_better` —
     the winner is the candidate no other candidate beats (a per-point
-    left-anti self-join on the already-hash-partitioned id_p key, O(k²)
-    per point where k = candidates in the disc). No float distance is
-    ever computed, so ties break identically on every engine: by
-    segment id ascending.
+    left-anti self-join, O(k²) per point). Because k can be large in a
+    dense round, a CONSERVATIVE float pre-prune runs first: a per-point
+    window min of ``num/den`` in double, keeping everything within a
+    1e-9 relative margin of it. Each double rounding (long→double for
+    num and den, then the division) is within 2⁻⁵³ relative, so the
+    computed ratio is within < 2⁻⁵¹ ≈ 4.4e-16 of the true rational —
+    six orders of magnitude inside the margin. Any candidate outside
+    the margin is therefore exactly worse than the min: the prune can
+    only drop provably-losing candidates, never the exact winner or an
+    exact tie.
+    The quadratic step then sees k ≈ 1. Float never decides the winner;
+    ties still break identically on every engine: by segment id
+    ascending.
 
     Returns ``(id_p, id_s, d2_num, d2_den)`` — one row per point, the
     squared snap distance as an exact fraction.
@@ -229,6 +239,13 @@ def snap_to_segments(
         cand = _candidates(lhs, segs, r, cell or r).select(
             "id_p", "id_s", num.alias("num"), den.alias("den")
         )
+        # conservative float pre-prune (see docstring): shrink k before
+        # the exact-quadratic step; cannot drop the winner or a tie
+        d2f = F.col("num").cast("double") / F.col("den").cast("double")
+        minf = F.min(d2f).over(WindowSpec.partitionBy("id_p"))
+        cand = cand.withColumn("_d2f", d2f).withColumn("_minf", minf).filter(
+            F.col("_d2f") <= F.col("_minf") * (1.0 + 1e-9)
+        ).drop("_d2f", "_minf")
         rival = cand.select(
             F.col("id_p").alias("r_id_p"), F.col("id_s").alias("r_id_s"),
             F.col("num").alias("r_num"), F.col("den").alias("r_den"),
@@ -246,10 +263,14 @@ def snap_to_segments(
             resolved = best.filter(
                 F.col("num") <= F.lit(r * r) * F.col("den")
             )
+        # checkpoint the round's winners (≤ one row per point): the
+        # residue derives from it AND the final union reads it back —
+        # without this, every round's candidate join executes twice
+        # (once for the residue, once at the caller's action)
         resolved = resolved.select(
             "id_p", "id_s",
             F.col("num").alias("d2_num"), F.col("den").alias("d2_den"),
-        )
+        ).localCheckpoint(eager=True)
         out = resolved if out is None else out.unionByName(resolved)
         if r >= max_radius:
             break

@@ -1035,7 +1035,10 @@ def q_snap_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((k * 104729) % 18000).cast("long").alias("y"),
     )
     segs = _segs(_t(spark, sf_dir, "orders"), "o_orderkey", 7919, 104729, 31, 57)
-    return snap_to_segments(pts, segs, init_radius=512)
+    # small initial radius: at bench density most points resolve in
+    # round 1 over ~15× fewer candidates than a safe-for-sparse radius
+    # would generate; sparse SFs just escalate a few cheap rounds
+    return snap_to_segments(pts, segs, init_radius=64)
 
 
 Q_SNAP_SEGMENT_SQL = f"""WITH p AS (
