@@ -121,6 +121,11 @@ def points_near_segments(
     exactly ε away is IN — the ≤ makes the predicate's complement
     strict, mirroring the strict-interior membership rule). Returns
     ``(id_p, id_s)``, exactly once per qualifying pair.
+
+    The ``points`` side may be a STREAMING frame: it is a stateless
+    projection into a stream-static inner equi-join (zero state store),
+    so a drained backlog equals the batch join
+    (tests/test_ptseg.py::test_stream_static_matches_batch).
     """
     if eps < 0:
         raise ValueError(f"eps must be non-negative, got {eps}")

@@ -147,6 +147,41 @@ def test_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_stream_static_matches_batch(spark, tmp_path):
+    """Arriving points × static segment set: points_near_segments runs
+    unchanged on a streaming points side (the point side never
+    aggregates or explodes — it is a stateless projection into a
+    stream-static inner equi-join, zero state store); an availableNow
+    drain over the backlog == the batch join."""
+    rng = random.Random(11)
+    pts, segs = _random_fixture(rng, 80, 40)
+    pdf = spark.createDataFrame(pts, PT_SCHEMA)
+    sdf = spark.createDataFrame(segs, SEG_SCHEMA)
+    want = {
+        (r.id_p, r.id_s)
+        for r in points_near_segments(pdf, sdf, 60, 128).collect()
+    }
+    assert want, "vacuous fixture"
+    backlog = str(tmp_path / "pts_backlog")
+    pdf.write.parquet(backlog)
+    stream = spark.readStream.schema(PT_SCHEMA).parquet(backlog)
+    q = (
+        points_near_segments(stream, sdf, 60, 128)
+        .writeStream.format("memory")
+        .queryName("ptseg_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_ptseg"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.id_p, r.id_s)
+        for r in spark.sql("SELECT * FROM ptseg_sink").collect()
+    }
+    assert got == want
+
+
 # ---------------------------------------------------------------- snap
 
 
