@@ -56,6 +56,11 @@ _DRIVER_EXCLUDE = {
     "gopher_repetition",  # same: window full; twin certified there too
     "point_segment",  # same: window full; twin certified there too
     "snap_segment",  # same: window full; twin certified there too
+    "geohash_assign",  # same: window full; twin certified there too
+    "host_cap",  # same: window full; twin certified there too
+    "boilerplate_strip",  # same: window full; twin certified there too
+    "bloom_decontaminate",  # same: window full; twin certified there too
+    "link_graph",  # same: window full; twin certified there too
     "bm25_topk",  # ln() ulps differ across engines — pytest compares
     # rounded scores (tests/test_bm25.py); the exact-hash gate would
     # flake on the last decimal

@@ -36,6 +36,9 @@ __all__ = [
     "compact_cover",
     "uncompact_cells",
     "neighbor_ring",
+    "geohash_expr",
+    "geohash_sql",
+    "geohash_np",
 ]
 
 CELL_SHIFT = 2**32
@@ -138,6 +141,145 @@ def zorder_sql(lon_sql: str, lat_sql: str, res: int) -> str:
     ix = f"least(CAST(floor(({lon_sql} + 180.0) / {w!r}) AS BIGINT), {mx})"
     iy = f"least(CAST(floor(({lat_sql} + 90.0) / {w!r}) AS BIGINT), {my})"
     return f"({_spread_sql(ix)} | ({_spread_sql(iy)} << 1))"
+
+
+# --- geohash (the third public cell index next to the H3-style grid and the
+# --- Morton key; same spread ladder, so the encode stays pure Catalyst) ------
+
+#: standard geohash base32 (no a/i/l/o) — public alphabet from the original
+#: geohash.org encoding
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _check_geohash_precision(precision: int) -> None:
+    """Even precisions only: an even char count means lon and lat carry the
+    same number of bits (5p/2 each), which makes the interleave EXACTLY the
+    Morton spread — one shared ladder for expr/SQL/numpy, no odd-bit special
+    case to drift. p <= 12 keeps the packed code inside int64."""
+    if precision % 2 or not 2 <= precision <= 12:
+        raise ValueError(
+            f"geohash precision must be even and in [2, 12], got {precision}"
+        )
+
+
+def _geohash_cell_width(span: float, nbits: int) -> float:
+    """Cell width ``span / 2**nbits`` — span is 360 or 180, so the width is
+    45 * 2**k: exactly representable, which the exact quantizer relies on."""
+    return span / float(1 << nbits)
+
+
+def _geohash_quant_expr(coord: Column, span: float, nbits: int) -> Column:
+    """EXACT bisection-equivalent quantizer (matches the classic geohash
+    interval-splitting procedure bit for bit, property-tested in
+    ``tests/test_geohash.py``).
+
+    ``floor((coord + span/2) / w)`` alone is off by one near cell boundaries
+    whenever the ``+ span/2`` addition rounds away a sub-ulp epsilon (e.g.
+    ``lon = -1e-313`` lands in the upper half). The correction compares
+    ``coord`` against the candidate cell's EXACT boundary: ``(k0 - half) * w``
+    is an integer <= 45 * 2**nbits times a power of two — exactly
+    representable — so the two comparisons are exact and fix the ±1."""
+    w = _geohash_cell_width(span, nbits)
+    half = 1 << (nbits - 1)
+    mx = (1 << nbits) - 1
+    k0 = F.floor((coord + F.lit(span / 2.0)) / F.lit(w)).cast("long")
+    b0 = (k0 - F.lit(half)).cast("double") * F.lit(w)
+    k = (
+        k0
+        - F.when(coord < b0, F.lit(1)).otherwise(F.lit(0))
+        + F.when(coord >= b0 + F.lit(w), F.lit(1)).otherwise(F.lit(0))
+    )
+    return F.least(F.greatest(k, F.lit(0)), F.lit(mx))
+
+
+def _geohash_quant_sql(coord_sql: str, span: float, nbits: int) -> str:
+    """The identical exact quantizer as a SQL fragment (DuckDB oracle)."""
+    w = _geohash_cell_width(span, nbits)
+    half = 1 << (nbits - 1)
+    mx = (1 << nbits) - 1
+    k0 = f"CAST(floor(({coord_sql} + {span / 2.0!r}) / {w!r}) AS BIGINT)"
+    b0 = f"(CAST(({k0} - {half}) AS DOUBLE) * {w!r})"
+    k = (
+        f"({k0} - CASE WHEN {coord_sql} < {b0} THEN 1 ELSE 0 END"
+        f" + CASE WHEN {coord_sql} >= {b0} + {w!r} THEN 1 ELSE 0 END)"
+    )
+    return f"least(greatest({k}, 0), {mx})"
+
+
+def geohash_expr(lon: Column, lat: Column, precision: int) -> Column:
+    """Standard geohash encode (geohash.org base32) as pure Catalyst
+    arithmetic — quantize each coordinate to 5p/2 bits, bit-interleave with
+    longitude first (the geohash rule), emit p base32 chars.
+
+    The interleave IS the Morton spread: geohash's LSB is a latitude bit, so
+    ``code = spread(lat) | spread(lon) << 1`` — identical ladder to
+    :func:`zorder_expr`, whole-stage-codegen friendly, no UDF. Domain edges
+    (lon=180, lat=90) clamp to the last cell like the reference encoders do.
+    """
+    _check_geohash_precision(precision)
+    nbits = 5 * precision // 2
+    lon_q = _geohash_quant_expr(lon, 360.0, nbits)
+    lat_q = _geohash_quant_expr(lat, 180.0, nbits)
+    code = _spread_expr(lat_q).bitwiseOR(F.shiftleft(_spread_expr(lon_q), 1))
+    chars = [
+        F.substr(
+            F.lit(GEOHASH_ALPHABET),
+            (F.shiftrightunsigned(code, 5 * (precision - 1 - i)).bitwiseAND(F.lit(31)))
+            + F.lit(1),
+            F.lit(1),
+        )
+        for i in range(precision)
+    ]
+    return F.concat(*chars)
+
+
+def geohash_sql(lon_sql: str, lat_sql: str, precision: int) -> str:
+    """The identical geohash encode as an ANSI-SQL fragment (DuckDB oracle)."""
+    _check_geohash_precision(precision)
+    nbits = 5 * precision // 2
+    lon_q = _geohash_quant_sql(lon_sql, 360.0, nbits)
+    lat_q = _geohash_quant_sql(lat_sql, 180.0, nbits)
+    code = f"({_spread_sql(lat_q)} | ({_spread_sql(lon_q)} << 1))"
+    chars = " || ".join(
+        f"substr('{GEOHASH_ALPHABET}', "
+        f"CAST((({code} >> {5 * (precision - 1 - i)}) & 31) AS BIGINT) + 1, 1)"
+        for i in range(precision)
+    )
+    return f"({chars})"
+
+
+def _geohash_quant_np(coord: np.ndarray, span: float, nbits: int) -> np.ndarray:
+    """numpy twin of the exact quantizer."""
+    w = _geohash_cell_width(span, nbits)
+    half = 1 << (nbits - 1)
+    mx = (1 << nbits) - 1
+    c = np.asarray(coord, np.float64)
+    k0 = np.floor((c + span / 2.0) / w).astype(np.int64)
+    b0 = (k0 - half).astype(np.float64) * w
+    k = k0 - (c < b0).astype(np.int64) + (c >= b0 + w).astype(np.int64)
+    return np.clip(k, 0, mx)
+
+
+def geohash_np(lon: np.ndarray, lat: np.ndarray, precision: int) -> list[str]:
+    """numpy/python reference (tests + driver-side tooling)."""
+    _check_geohash_precision(precision)
+    nbits = 5 * precision // 2
+    lon_q = _geohash_quant_np(lon, 360.0, nbits)
+    lat_q = _geohash_quant_np(lat, 180.0, nbits)
+
+    def spread(v):
+        for shift, mask in _MORTON_SPREAD:
+            v = (v | (v << shift)) & mask
+        return v
+
+    code = spread(lat_q) | (spread(lon_q) << 1)
+    return [
+        "".join(
+            GEOHASH_ALPHABET[(int(c) >> (5 * (precision - 1 - i))) & 31]
+            for i in range(precision)
+        )
+        for c in code
+    ]
 
 
 def zorder_np(lon: np.ndarray, lat: np.ndarray, res: int) -> np.ndarray:

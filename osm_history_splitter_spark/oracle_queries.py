@@ -228,6 +228,30 @@ Q_CELL_ASSIGN_SQL = (
 )
 
 
+GEOHASH_PRECISION = 6  # 30 interleave bits — ~0.6 km cells, the common web tile key
+
+
+def q_geohash_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash encode (geohash.org base32, lon-first interleave) — the third
+    public cell index next to the equal-angle grid (``cell_assign``) and the
+    Morton key (``zorder``); pure Catalyst bit arithmetic, no UDF. Pinned to
+    the classic algorithm in ``tests/test_geohash.py`` (incl. the published
+    ``u4pruy`` fixture)."""
+    pts = part_nodes(spark, sf_dir)
+    return pts.select(
+        "id",
+        grid.geohash_expr(F.col("lon"), F.col("lat"), GEOHASH_PRECISION).alias(
+            "gh"
+        ),
+    )
+
+
+Q_GEOHASH_ASSIGN_SQL = (
+    f"WITH pts AS ({PTS_SQL}) SELECT id, "
+    f"{grid.geohash_sql('lon', 'lat', GEOHASH_PRECISION)} AS gh FROM pts"
+)
+
+
 def q_way_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2: way ⋉ tracked-nodes semi-join, EXISTS semantics
     (softcut.hpp:199-211)."""
@@ -1086,6 +1110,7 @@ SPATIAL_QUERIES = {
     "zonal_stats": (q_zonal_stats, Q_ZONAL_STATS_SQL),
     "tile_pyramid": (q_tile_pyramid, Q_TILE_PYRAMID_SQL),
     "cell_assign": (q_cell_assign, Q_CELL_ASSIGN_SQL),
+    "geohash_assign": (q_geohash_assign, Q_GEOHASH_ASSIGN_SQL),
     "way_members": (q_way_members, Q_WAY_MEMBERS_SQL),
     "extra_nodes": (q_extra_nodes, Q_EXTRA_NODES_SQL),
     "softcut_nodes_out": (q_softcut_nodes_out, Q_SOFTCUT_NODES_OUT_SQL),
