@@ -2725,6 +2725,484 @@ FROM w
 LEFT JOIN s ON w.doc_id = s.doc_id"""
 
 
+# --- URL canonicalization + per-host caps -------------------------------------
+
+
+def _messy_url_expr():
+    """Deterministic messy-URL synthesis (Spark side): scheme/host case noise,
+    spurious www., default and non-default ports, tracking params, fragments —
+    all derived from (doc_id, source) so the DuckDB twin rebuilds the
+    identical input. The synthesis IS part of the test: every canonicalizer
+    branch below is exercised by construction."""
+    k = F.col("doc_id")
+    scheme = F.when(k % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https"))
+    host = (
+        F.when(k % 3 == 0, F.concat(F.lit("WWW."), F.col("source"), F.lit(".Example.COM")))
+        .when(k % 3 == 1, F.concat(F.col("source"), F.lit(".example.com")))
+        .otherwise(F.concat(F.upper(F.col("source")), F.lit(".EXAMPLE.com")))
+    )
+    port = (
+        F.when(k % 4 == 0, F.lit(":80"))
+        .when(k % 4 == 1, F.lit(":443"))
+        .when(k % 4 == 2, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    path = F.concat(F.lit("/a/"), k.cast("string"))
+    qs = (
+        F.when(k % 5 == 0, F.concat(F.lit("?utm_source=feed&ref="), (k % 7).cast("string")))
+        .when(k % 5 == 1, F.concat(F.lit("?ref="), (k % 7).cast("string"), F.lit("&utm_campaign=x")))
+        .when(k % 5 == 2, F.lit("?utm_medium=y"))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(k % 6 == 0, F.concat(F.lit("#sec"), (k % 3).cast("string"))).otherwise(
+        F.lit("")
+    )
+    return F.concat(scheme, F.lit("://"), host, port, path, qs, frag)
+
+
+_MESSY_URL_SQL = """CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END
+ || '://'
+ || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' || source || '.Example.COM'
+         WHEN doc_id % 3 = 1 THEN source || '.example.com'
+         ELSE upper(source) || '.EXAMPLE.com' END
+ || CASE WHEN doc_id % 4 = 0 THEN ':80' WHEN doc_id % 4 = 1 THEN ':443'
+         WHEN doc_id % 4 = 2 THEN ':8080' ELSE '' END
+ || '/a/' || CAST(doc_id AS VARCHAR)
+ || CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&ref=' || CAST(doc_id % 7 AS VARCHAR)
+         WHEN doc_id % 5 = 1 THEN '?ref=' || CAST(doc_id % 7 AS VARCHAR) || '&utm_campaign=x'
+         WHEN doc_id % 5 = 2 THEN '?utm_medium=y' ELSE '' END
+ || CASE WHEN doc_id % 6 = 0 THEN '#sec' || CAST(doc_id % 3 AS VARCHAR) ELSE '' END"""
+
+HOST_CAP = 3  # max docs kept per canonical host (FineWeb-style domain cap)
+
+
+def q_host_cap(spark, sf_dir):
+    """FineWeb-style URL canonicalization + per-host document cap.
+
+    Canonicalization (every step a codegen string op — regexes kept inside
+    the Java∩RE2 common dialect, no lookaround): drop the fragment,
+    lowercase scheme and host, strip a leading ``www.``, strip the scheme's
+    DEFAULT port only (``:80`` http / ``:443`` https — ``:8080`` survives),
+    drop ``utm_*`` tracking params while preserving the order of the rest.
+    Then the cap: at most HOST_CAP docs per canonical host, selected in
+    md5-hash order (deterministic, content-independent) — the standard
+    defense against a single host flooding a training corpus. Every row is
+    kept with a ``kept`` flag so the removal is observable, not silent.
+
+    Scale shape: ONE window shuffle partitioned by canonical host. Hot hosts
+    are exactly the rows the cap discards, and row_number short-circuits via
+    WindowGroupLimit pushdown when only ``rn <= K`` survives downstream."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", _messy_url_expr().alias("url_raw")
+    )
+    no_frag = F.regexp_replace(F.col("url_raw"), "#.*$", "")
+    scheme = F.lower(F.regexp_extract(no_frag, "^([A-Za-z]+)://", 1))
+    rest = F.regexp_replace(no_frag, "^[A-Za-z]+://", "")
+    hostport = F.lower(F.regexp_extract(rest, "^([^/?]+)", 1))
+    pathq = F.regexp_replace(rest, "^[^/?]+", "")
+    host = F.regexp_replace(hostport, "^www\\.", "")
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host, ":443$", ""))
+        .otherwise(host)
+    )
+    path_only = F.regexp_replace(pathq, "\\?.*$", "")
+    qs = F.regexp_extract(pathq, "\\?(.*)$", 1)
+    params = F.filter(
+        F.split(qs, "&"),
+        lambda p: (p != F.lit("")) & ~p.startswith("utm_"),
+    )
+    clean_q = F.when(
+        F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+    ).otherwise(F.lit(""))
+    canon = d.select(
+        "doc_id",
+        host.alias("host"),
+        F.concat(scheme, F.lit("://"), host, path_only, clean_q).alias("url_canon"),
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.md5(F.concat(F.lit("cap:"), F.col("doc_id").cast("string")).cast("binary")),
+        "doc_id",
+    )
+    return canon.withColumn("rn", F.row_number().over(w)).select(
+        "doc_id", "host", "url_canon", (F.col("rn") <= HOST_CAP).alias("kept")
+    )
+
+
+Q_HOST_CAP_SQL = f"""WITH raw AS (
+  SELECT doc_id, {_MESSY_URL_SQL} AS url_raw FROM documents
+), p AS (
+  SELECT doc_id,
+         regexp_replace(url_raw, '#.*$', '') AS no_frag
+  FROM raw
+), parts AS (
+  SELECT doc_id,
+         lower(regexp_extract(no_frag, '^([A-Za-z]+)://', 1)) AS scheme,
+         lower(regexp_extract(regexp_replace(no_frag, '^[A-Za-z]+://', ''),
+                              '^([^/?]+)', 1)) AS hostport,
+         regexp_replace(regexp_replace(no_frag, '^[A-Za-z]+://', ''),
+                        '^[^/?]+', '') AS pathq
+  FROM p
+), canon AS (
+  SELECT doc_id, scheme,
+         CASE WHEN scheme = 'http'
+              THEN regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':80$', '')
+              WHEN scheme = 'https'
+              THEN regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':443$', '')
+              ELSE regexp_replace(hostport, '^www\\.', '') END AS host,
+         regexp_replace(pathq, '\\?.*$', '') AS path_only,
+         list_filter(string_split(regexp_extract(pathq, '\\?(.*)$', 1), '&'),
+                     q -> q <> '' AND NOT starts_with(q, 'utm_')) AS params
+  FROM parts
+)
+SELECT doc_id, host,
+  scheme || '://' || host || path_only ||
+    CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&')
+         ELSE '' END AS url_canon,
+  row_number() OVER (
+    PARTITION BY host
+    ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id
+  ) <= {HOST_CAP} AS kept
+FROM canon"""
+
+
+# --- per-source boilerplate stripping ------------------------------------------
+
+BOILER_WIDTH = 5  # words per line-chunk
+BOILER_MIN_DOCS = 3  # chunk present in >= this many docs of one source = boilerplate
+
+
+def q_boilerplate_strip(spark, sf_dir):
+    """Frequency-based boilerplate removal (the jusText/CCNet complement to
+    ``chunk_dedup``'s first-occurrence dedup): a 5-word chunk that appears in
+    >= BOILER_MIN_DOCS distinct documents of the SAME source is site
+    boilerplate (cookie banners, nav text) and is stripped from every one of
+    them; rare chunks survive everywhere. A synthesized per-source header
+    ("cookie notice follow <source> banner") guarantees the operator is
+    non-vacuous at every SF.
+
+    Scale shape: chunk explode -> ONE groupBy shuffle on (source, chunk) for
+    the distinct-doc counts (content keys — evenly spread), ONE equi-join
+    back, ONE groupBy on doc_id for reassembly. No window over a hot key,
+    no UDF."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit("cookie notice follow "), F.col("source"), F.lit(" banner "),
+            F.col("text"),
+        ).alias("text"),
+    )
+    words = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(BOILER_WIDTH)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda g: F.array_join(
+            F.slice(words, g * BOILER_WIDTH + 1, BOILER_WIDTH), " "
+        ),
+    )
+    ex = d.select(
+        "doc_id", "source", F.posexplode(chunks).alias("pos", "chunk")
+    )
+    counts = ex.groupBy("source", "chunk").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    marked = ex.join(counts, ["source", "chunk"]).withColumn(
+        "boiler", F.col("nd") >= BOILER_MIN_DOCS
+    )
+    return marked.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~F.col("boiler"), F.struct("pos", "chunk"))
+                    )
+                ),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.sum(F.col("boiler").cast("long")).alias("n_boiler"),
+        F.count(F.lit(1)).alias("n_chunks"),
+    )
+
+
+Q_BOILERPLATE_STRIP_SQL = f"""WITH w AS (
+  SELECT doc_id, source,
+         string_split('cookie notice follow ' || source || ' banner ' || text,
+                      ' ') AS ws
+  FROM documents
+), c AS (
+  SELECT doc_id, source, g AS pos,
+         array_to_string(ws[g*{BOILER_WIDTH}+1 : g*{BOILER_WIDTH}+{BOILER_WIDTH}],
+                         ' ') AS chunk
+  FROM w, LATERAL (
+    SELECT unnest(range(CAST(ceil(len(ws) / {BOILER_WIDTH}.0) AS BIGINT))) AS g)
+), n AS (
+  SELECT source, chunk, count(DISTINCT doc_id) AS nd
+  FROM c GROUP BY 1, 2
+), m AS (
+  SELECT c.doc_id, c.pos, c.chunk, n.nd >= {BOILER_MIN_DOCS} AS boiler
+  FROM c JOIN n ON c.source = n.source AND c.chunk = n.chunk
+)
+SELECT doc_id,
+  COALESCE(string_agg(CASE WHEN NOT boiler THEN chunk END, ' ' ORDER BY pos),
+           '') AS clean_text,
+  CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+  CAST(count(*) AS BIGINT) AS n_chunks
+FROM m GROUP BY 1"""
+
+
+# --- Bloom-filter decontamination ----------------------------------------------
+
+BLOOM_BITS = 1 << 16  # 65536 bits
+#: 32-bit words (stored in int64): shifts stay <= 31 and words stay positive,
+#: so the bit math is identical in Spark longs and DuckDB BIGINTs — 64-bit
+#: words would need 1 << 63, which DuckDB rejects as signed overflow
+BLOOM_WORD_BITS = 32
+BLOOM_WORDS = BLOOM_BITS // BLOOM_WORD_BITS
+BLOOM_K = 3  # hash functions
+BLOOM_BENCH_MOD = 23  # doc_id % this == 0 -> benchmark doc
+
+
+def _bloom_hash_expr(chunk, i: int):
+    """md5-derived Bloom bit index i for a chunk — the same arithmetic is
+    written in SQL by the oracle, so the (deterministic) false positives
+    land identically on both engines."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"bf{i}:"), chunk).cast("binary")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % BLOOM_BITS
+    )
+
+
+def _bloom_hash_sql(chunk_sql: str, i: int) -> str:
+    return (
+        f"(CAST(('0x' || substr(md5('bf{i}:' || {chunk_sql}), 1, 8))::UINTEGER"
+        f" AS BIGINT) % {BLOOM_BITS})"
+    )
+
+
+def q_bloom_decontaminate(spark, sf_dir):
+    """Benchmark decontamination via a broadcast Bloom filter — the 100-TB
+    shape of ``decontaminate``: instead of shuffling the training corpus
+    against the benchmark n-grams, distill the benchmark side into a 8 KiB
+    bitmap (k=3 md5-derived hashes over 5-word chunks), ship it to every
+    task as a plan literal, and probe it with pure codegen bit arithmetic —
+    ZERO shuffle on the training side.
+
+    The bitmap build is distributed (explode -> groupBy word-index ->
+    bit_or) and its collect is bounded metadata (<= 1024 rows) — same
+    policy as the kmeans centroid collect. Both the Bloom verdict AND the
+    exact semi-join verdict are emitted, so the false-positive rate is
+    observable per run; Bloom errs only toward over-removal (no false
+    negatives), the safe direction for decontamination. The DuckDB twin
+    models the identical bitmap with joins — deterministic hashing makes
+    even the false positives match row-for-row."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(BOILER_WIDTH)).cast("int")
+    chunks_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda g: F.array_join(
+            F.slice(words, g * BOILER_WIDTH + 1, BOILER_WIDTH), " "
+        ),
+    )
+    ex = d.select("doc_id", F.explode(chunks_arr).alias("chunk"))
+    bench = ex.filter(F.col("doc_id") % BLOOM_BENCH_MOD == 0)
+    train = ex.filter(F.col("doc_id") % BLOOM_BENCH_MOD != 0)
+
+    # distributed bitmap build; driver sees <= BLOOM_WORDS (widx, word) rows
+    bits = bench.select(
+        F.explode(
+            F.array(
+                *[_bloom_hash_expr(F.col("chunk"), i) for i in range(BLOOM_K)]
+            )
+        ).alias("h")
+    )
+    built = (
+        bits.groupBy(
+            (F.col("h") / BLOOM_WORD_BITS).cast("long").alias("widx")
+        )
+        .agg(
+            F.bit_or(
+                F.expr(f"shiftleft(1L, cast(h % {BLOOM_WORD_BITS} as int))")
+            ).alias("word")
+        )
+        .collect()
+    )
+    bitmap = [0] * BLOOM_WORDS
+    for r in built:
+        bitmap[r["widx"]] = r["word"]
+
+    # probe: all K bits set => Bloom hit. The bitmap rides the plan as an
+    # array literal (the tiny-broadcast move); the bit test is SQL-form
+    # shiftright so the shift amount can be a column, staying in codegen.
+    probed = train.withColumn("bm", F.array(*[F.lit(w) for w in bitmap]))
+    for i in range(BLOOM_K):
+        probed = probed.withColumn(f"h{i}", _bloom_hash_expr(F.col("chunk"), i))
+        probed = probed.withColumn(
+            f"b{i}",
+            F.expr(
+                f"(shiftright(element_at(bm, "
+                f"cast(h{i} div {BLOOM_WORD_BITS} as int) + 1), "
+                f"cast(h{i} % {BLOOM_WORD_BITS} as int)) & 1) = 1"
+            ),
+        )
+    hit = F.lit(True)
+    for i in range(BLOOM_K):
+        hit = hit & F.col(f"b{i}")
+    probed = probed.withColumn("bloom_chunk_hit", hit)
+    exact_docs = (
+        train.join(bench.select("chunk").distinct(), "chunk", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("exact_hit", F.lit(True))
+    )
+    per_doc = probed.groupBy("doc_id").agg(
+        F.max(F.col("bloom_chunk_hit")).alias("bloom_hit"),
+        F.sum(F.col("bloom_chunk_hit").cast("long")).alias("n_hits"),
+    )
+    return per_doc.join(exact_docs, "doc_id", "left").select(
+        "doc_id",
+        "bloom_hit",
+        F.coalesce(F.col("exact_hit"), F.lit(False)).alias("exact_hit"),
+        "n_hits",
+    )
+
+
+def _bloom_sql() -> str:
+    chunk_cte = f"""c AS (
+  SELECT doc_id,
+         array_to_string(ws[g*{BOILER_WIDTH}+1 : g*{BOILER_WIDTH}+{BOILER_WIDTH}],
+                         ' ') AS chunk
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) w,
+       LATERAL (
+    SELECT unnest(range(CAST(ceil(len(ws) / {BOILER_WIDTH}.0) AS BIGINT))) AS g)
+)"""
+    hash_union = " UNION ALL ".join(
+        f"SELECT {_bloom_hash_sql('chunk', i)} AS h FROM bench"
+        for i in range(BLOOM_K)
+    )
+    probe_bits = " AND ".join(
+        f"""COALESCE((SELECT (bm.word >> CAST({_bloom_hash_sql('t.chunk', i)} % {BLOOM_WORD_BITS} AS INTEGER)) & 1
+       FROM bitmap bm
+       WHERE bm.widx = {_bloom_hash_sql('t.chunk', i)} // {BLOOM_WORD_BITS}) = 1, FALSE)"""
+        for i in range(BLOOM_K)
+    )
+    return f"""WITH {chunk_cte},
+bench AS (SELECT * FROM c WHERE doc_id % {BLOOM_BENCH_MOD} = 0),
+train AS (SELECT * FROM c WHERE doc_id % {BLOOM_BENCH_MOD} <> 0),
+bitmap AS (
+  SELECT h // {BLOOM_WORD_BITS} AS widx,
+         bit_or(1::BIGINT << CAST(h % {BLOOM_WORD_BITS} AS INTEGER)) AS word
+  FROM ({hash_union}) GROUP BY 1
+),
+probed AS (
+  SELECT t.doc_id, t.chunk, ({probe_bits}) AS hit FROM train t
+),
+exact AS (
+  SELECT DISTINCT t.doc_id FROM train t
+  WHERE EXISTS (SELECT 1 FROM bench b WHERE b.chunk = t.chunk)
+)
+SELECT p.doc_id,
+       bool_or(p.hit) AS bloom_hit,
+       CAST(max(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END) = 1
+            AS BOOLEAN) AS exact_hit,
+       CAST(sum(CASE WHEN p.hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+FROM probed p LEFT JOIN exact e ON p.doc_id = e.doc_id
+GROUP BY 1"""
+
+
+Q_BLOOM_DECONTAMINATE_SQL = _bloom_sql()
+
+
+# --- href link-graph extraction ------------------------------------------------
+
+
+def q_link_graph(spark, sf_dir):
+    """Anchor (<a href>) mining -> host-level link graph, the first step of
+    any web-corpus PageRank/centrality pipeline. Pages are synthesized with
+    deterministic anchors (mixed-case HREF attributes, 0-2 links per doc,
+    targets derived from doc_id), then mined back with a single
+    ``regexp_extract_all`` in the Java-regex ∩ RE2 dialect — codegen only —
+    and aggregated to (src_host, dst_host) edges with link and distinct-doc
+    weights.
+
+    Scale shape: extraction is a projection (no shuffle); the only shuffle
+    is the final groupBy on the edge key. Host skew lands on the hub hosts
+    exactly where PageRank wants the weights anyway."""
+    k = F.col("doc_id")
+    n_links = (k % 3).cast("int")
+    anchors = F.when(
+        n_links > 0,
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), n_links - 1),
+                lambda j: F.concat(
+                    F.lit('<a HREF="https://src'),
+                    ((k * 7 + j * 13) % 20).cast("string"),
+                    F.lit(".Example.com/p/"),
+                    ((k * 31 + j) % 1000).cast("string"),
+                    F.lit('">x</a>'),
+                ),
+            ),
+            "",
+        ),
+    ).otherwise(F.lit(""))
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("src"), (F.col("doc_id") % 20).cast("string")).alias("src_id"),
+        F.concat(F.col("text"), anchors).alias("html2"),
+    )
+    links = d.select(
+        "doc_id",
+        F.concat(F.col("src_id"), F.lit(".example.com")).alias("src_host"),
+        F.explode(
+            F.regexp_extract_all(
+                F.col("html2"), F.lit('(?i)<a href="([^"]+)"'), 1
+            )
+        ).alias("href"),
+    )
+    edges = links.select(
+        "doc_id",
+        "src_host",
+        F.lower(F.regexp_extract(F.col("href"), "^https?://([^/]+)", 1)).alias(
+            "dst_host"
+        ),
+    )
+    return edges.groupBy("src_host", "dst_host").agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+Q_LINK_GRAPH_SQL = """WITH d AS (
+  SELECT doc_id,
+         'src' || CAST(doc_id % 20 AS VARCHAR) AS src_id,
+         text || array_to_string(
+           list_transform(range(0, doc_id % 3), j ->
+             '<a HREF="https://src' || CAST((doc_id * 7 + j * 13) % 20 AS VARCHAR)
+             || '.Example.com/p/' || CAST((doc_id * 31 + j) % 1000 AS VARCHAR)
+             || '">x</a>'), '') AS html2
+  FROM documents
+), links AS (
+  SELECT doc_id, src_id || '.example.com' AS src_host,
+         unnest(regexp_extract_all(html2, '(?i)<a href="([^"]+)"', 1)) AS href
+  FROM d
+)
+SELECT src_host,
+       lower(regexp_extract(href, '^https?://([^/]+)', 1)) AS dst_host,
+       CAST(count(*) AS BIGINT) AS n_links,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM links GROUP BY 1, 2"""
+
+
 TEXT_QUERIES = {
     "exact_substr": (q_exact_substr, Q_EXACT_SUBSTR_SQL),
     "gopher_filter": (q_gopher_filter, Q_GOPHER_FILTER_SQL),
@@ -2774,4 +3252,8 @@ TEXT_QUERIES = {
     "stratified_sample": (q_stratified_sample, Q_STRATIFIED_SAMPLE_SQL),
     "corpus_clean": (q_corpus_clean, Q_CORPUS_CLEAN_SQL),
     "multimodal_features": (q_multimodal_features, Q_MULTIMODAL_FEATURES_SQL),
+    "host_cap": (q_host_cap, Q_HOST_CAP_SQL),
+    "boilerplate_strip": (q_boilerplate_strip, Q_BOILERPLATE_STRIP_SQL),
+    "bloom_decontaminate": (q_bloom_decontaminate, Q_BLOOM_DECONTAMINATE_SQL),
+    "link_graph": (q_link_graph, Q_LINK_GRAPH_SQL),
 }
