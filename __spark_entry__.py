@@ -57,6 +57,9 @@ _DRIVER_EXCLUDE = {
     "point_segment",  # same: window full; twin certified there too
     "snap_segment",  # same: window full; twin certified there too
     "geohash_assign",  # same: window full; twin certified there too
+    "raster_morphology",  # same: window full; twin certified there too
+    "idw_interpolate",  # same: window full; twin certified there too
+    "graph_bfs",  # same: window full; twin certified there too
     "host_cap",  # same: window full; twin certified there too
     "boilerplate_strip",  # same: window full; twin certified there too
     "bloom_decontaminate",  # same: window full; twin certified there too

@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "spatial_clusters",
     "point_segment",
     "snap_segment",
+    "host_cap",
+    "bloom_decontaminate",
 ]
 
 

@@ -121,6 +121,47 @@ def knn_to_centroids(
     return out
 
 
+def idw_interpolate(
+    points: DataFrame,
+    qpts: DataFrame,
+    radius: float,
+    val_col: str = "val",
+    weight_scale: int = 100_000_000,
+    d2_quant: int = 10_000,
+) -> DataFrame:
+    """Inverse-distance-weighted spatial interpolation at query points.
+
+    ``points`` carries (lon, lat, val_col); ``qpts`` carries (qid, qx, qy)
+    and is broadcast (query sets are small — the same contract as the kNN
+    centroid path; for large query sets, generate candidates with the
+    grid-ring expansion of :func:`knn_to_centroids` instead of the
+    broadcast). Each in-radius point contributes weight
+    ``weight_scale div (100 + floor(d2 * d2_quant))`` — an INTEGER, so the
+    weighted mean ``sum(w*val) div sum(w)`` is order-independent exact
+    arithmetic, reproducible bit-for-bit across engines (the repo-wide
+    determinism rule; float IDW would hash-diverge under Spark's
+    non-deterministic reduce order).
+
+    Query points with no in-radius neighbor produce no row (the caller
+    left-joins if 'null interpolation' rows are wanted).
+    """
+    r2 = float(radius) * float(radius)
+    j = points.crossJoin(F.broadcast(qpts)).withColumn(
+        "d2",
+        (F.col("lon") - F.col("qx")) * (F.col("lon") - F.col("qx"))
+        + (F.col("lat") - F.col("qy")) * (F.col("lat") - F.col("qy")),
+    )
+    j = (
+        j.filter(F.col("d2") < F.lit(r2))
+        .withColumn("d2q", F.floor(F.col("d2") * F.lit(float(d2_quant))).cast("long"))
+        .withColumn("w", F.expr(f"{weight_scale}L div (100 + d2q)"))
+    )
+    return j.groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_pts"),
+        F.expr(f"sum(w * {val_col}) div sum(w)").alias("idw_val"),
+    )
+
+
 def knn_haversine(
     points: DataFrame, centroids: dict[str, tuple], k: int
 ) -> DataFrame:

@@ -109,6 +109,92 @@ def zonal_stats(
     return assigned.groupBy("extract").agg(*aggs)
 
 
+def _neighbor_cells(raster: DataFrame, k: int, res: int) -> DataFrame:
+    """Explode every cell to its full Chebyshev-``k`` neighborhood —
+    ``(2k+1)^2`` rows per cell, clamped to the grid domain so the index
+    arithmetic never goes negative (negative ``iy`` would alias into the
+    previous column under the ``ix * 2^32 + iy`` packing, and negative
+    div/mod semantics differ between engines — the clamp keeps every
+    decompose/recompose on non-negative integers, where Spark, DuckDB and
+    numpy agree). Expects DISTINCT cells (any :func:`rasterize` output is);
+    erosion's vote count is only meaningful then. Emits (cell, src_cell)."""
+    mx = (1 << (res + 1)) - 1
+    my = (1 << res) - 1
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in range(-k, k + 1)
+            for dy in range(-k, k + 1)
+        ]
+    )
+    c = F.col("cell").cast("long")
+    ix = F.shiftright(c, 32)
+    iy = c.bitwiseAND(F.lit(grid.CELL_SHIFT - 1))
+    return (
+        raster.select("cell", F.explode(offsets).alias("o"))
+        .select(
+            F.col("cell").alias("src_cell"),
+            (ix + F.col("o.dx")).alias("nix"),
+            (iy + F.col("o.dy")).alias("niy"),
+        )
+        .filter(
+            (F.col("nix") >= 0)
+            & (F.col("nix") <= mx)
+            & (F.col("niy") >= 0)
+            & (F.col("niy") <= my)
+        )
+        .select(
+            (F.col("nix") * F.lit(grid.CELL_SHIFT) + F.col("niy")).alias("cell"),
+            "src_cell",
+        )
+    )
+
+
+def dilate(raster: DataFrame, res: int, k: int = 1) -> DataFrame:
+    """Morphological dilation on the cell raster: every cell within
+    Chebyshev distance ``k`` of a present cell becomes present.
+
+    ONE explode + ONE distinct shuffle regardless of ``k`` (the whole
+    (2k+1)^2 neighborhood is generated in a single pass — no k-round
+    iteration), so the cost is one shuffle of (2k+1)^2 × |raster| narrow
+    rows. The vector-side use: dilating a rasterized polygon cover by k
+    cells IS a grid-quantized outward buffer of k cell widths."""
+    return _neighbor_cells(raster, k, res).select("cell").distinct()
+
+
+def erode(raster: DataFrame, res: int, k: int = 1) -> DataFrame:
+    """Morphological erosion: a cell survives iff its ENTIRE Chebyshev-``k``
+    neighborhood is present. Same single explode as :func:`dilate`, inverted:
+    each present cell votes for the neighbors it supports, and a cell needs
+    all (2k+1)^2 votes (cells whose neighborhood is clipped by the grid
+    domain cannot collect them — outside-the-domain counts as empty, the
+    standard zero-padding convention)."""
+    need = (2 * k + 1) ** 2
+    return (
+        _neighbor_cells(raster, k, res)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("nsup"))
+        .filter(F.col("nsup") == need)
+        .select("cell")
+    )
+
+
+def closing(raster: DataFrame, res: int, k: int = 1) -> DataFrame:
+    """dilate then erode — fills holes/gaps narrower than ~2k cells.
+
+    Border caveat: under the zero-padding convention, extensivity
+    (closing ⊇ base) holds for cells at Chebyshev distance >= k from the
+    grid-domain border; base cells ON the border are clipped away (their
+    eroded neighborhood can never be complete). Image libraries make the
+    same trade under 'constant 0' border mode."""
+    return erode(dilate(raster, res, k), res, k)
+
+
+def opening(raster: DataFrame, res: int, k: int = 1) -> DataFrame:
+    """erode then dilate — removes specks smaller than ~2k cells."""
+    return dilate(erode(raster, res, k), res, k)
+
+
 def parent_cell_expr(cell):
     """Cell id at resolution r-1 from a cell at r: both axis indices halve
     (the grid origin is axis-aligned and widths double per level). Pure

@@ -376,6 +376,45 @@ def q_knn_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IDW_RADIUS = 15.0  # degrees
+
+
+def q_idw_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-distance-weighted interpolation (operators/knn.py:
+    idw_interpolate) of an integer point attribute at 25 nation-derived
+    query points — integer-exact weights, so the weighted mean is
+    reproducible under any reduce order."""
+    from .operators.knn import idw_interpolate
+
+    pts = part_nodes(spark, sf_dir).withColumn(
+        "val", (F.col("id") % 1000).cast("long")
+    )
+    n = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    qpts = n.select(
+        k.cast("long").alias("qid"),
+        ((k * 131) % 360 - 180 + F.lit(0.5)).cast("double").alias("qx"),
+        ((k * 197) % 180 - 90 + F.lit(0.5)).cast("double").alias("qy"),
+    )
+    return idw_interpolate(pts, qpts, IDW_RADIUS)
+
+
+Q_IDW_INTERPOLATE_SQL = f"""WITH pts AS ({PTS_SQL}),
+q AS (SELECT CAST(n_nationkey AS BIGINT) AS qid,
+             CAST((n_nationkey * 131) % 360 - 180 + 0.5 AS DOUBLE) AS qx,
+             CAST((n_nationkey * 197) % 180 - 90 + 0.5 AS DOUBLE) AS qy
+      FROM nation),
+d AS (SELECT q.qid, p.id % 1000 AS val,
+        (p.lon - q.qx)*(p.lon - q.qx) + (p.lat - q.qy)*(p.lat - q.qy) AS d2
+      FROM pts p CROSS JOIN q),
+w AS (SELECT qid, val,
+        {100_000_000} // (100 + CAST(floor(d2 * 10000.0) AS BIGINT)) AS w
+      FROM d WHERE d2 < {IDW_RADIUS * IDW_RADIUS!r})
+SELECT qid, CAST(count(*) AS BIGINT) AS n_pts,
+       CAST(sum(w * val) // sum(w) AS BIGINT) AS idw_val
+FROM w GROUP BY 1"""
+
+
 _CENT_VALUES = ", ".join(
     f"('{n}', {c[0]!r}, {c[1]!r})" for n, c in CENTROIDS.items()
 )
@@ -484,6 +523,66 @@ Q_RASTERIZE_SQL = (
     f"SELECT {grid.cell_id_sql('lon', 'lat', RASTER_RES)} AS cell, "
     "count(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents FROM pts GROUP BY 1"
 )
+
+
+def q_raster_morphology(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morphological dilate/erode on the customer-point raster
+    (operators/raster.py:dilate,erode): every cell of the 1-step dilation,
+    flagged with base membership and erosion survival. Dilation by k cells
+    is the grid-quantized outward polygon buffer; erosion needs the full
+    3x3 neighborhood present (domain edges zero-padded). One explode + one
+    aggregate per op — no k-round iteration, no UDF."""
+    from .operators.raster import dilate, erode, rasterize
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    pts = c.select(
+        (((k * 7919) % 36000) / F.lit(100.0) - F.lit(180.0)).alias("lon"),
+        (((k * 104729) % 18000) / F.lit(100.0) - F.lit(90.0)).alias("lat"),
+    )
+    base = rasterize(pts, RASTER_RES).select("cell")
+    d = dilate(base, RASTER_RES, 1)
+    b = base.withColumn("in_base", F.lit(True))
+    e = erode(base, RASTER_RES, 1).withColumn("in_eroded", F.lit(True))
+    return (
+        d.join(b, "cell", "left")
+        .join(e, "cell", "left")
+        .select(
+            "cell",
+            F.coalesce(F.col("in_base"), F.lit(False)).alias("in_base"),
+            F.coalesce(F.col("in_eroded"), F.lit(False)).alias("in_eroded"),
+        )
+    )
+
+
+def _raster_morphology_sql() -> str:
+    shift = grid.CELL_SHIFT
+    mx = (1 << (RASTER_RES + 1)) - 1
+    my = (1 << RASTER_RES) - 1
+    return f"""WITH pts AS ({_CUST_PTS_SQL}),
+base AS (
+  SELECT DISTINCT {grid.cell_id_sql('lon', 'lat', RASTER_RES)} AS cell FROM pts
+), nb AS (
+  SELECT (cell // {shift} + dx) * {shift} + (cell % {shift} + dy) AS ncell
+  FROM base,
+       LATERAL (SELECT unnest([-1, 0, 1]) AS dx),
+       LATERAL (SELECT unnest([-1, 0, 1]) AS dy)
+  WHERE cell // {shift} + dx BETWEEN 0 AND {mx}
+    AND cell % {shift} + dy BETWEEN 0 AND {my}
+), dil AS (
+  SELECT DISTINCT ncell AS cell FROM nb
+), ero AS (
+  SELECT ncell AS cell FROM nb GROUP BY 1 HAVING count(*) = 9
+)
+SELECT d.cell,
+       b.cell IS NOT NULL AS in_base,
+       e.cell IS NOT NULL AS in_eroded
+FROM dil d
+LEFT JOIN base b ON d.cell = b.cell
+LEFT JOIN ero e ON d.cell = e.cell"""
+
+
+Q_RASTER_MORPHOLOGY_SQL = _raster_morphology_sql()
 
 
 def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1111,6 +1210,8 @@ SPATIAL_QUERIES = {
     "tile_pyramid": (q_tile_pyramid, Q_TILE_PYRAMID_SQL),
     "cell_assign": (q_cell_assign, Q_CELL_ASSIGN_SQL),
     "geohash_assign": (q_geohash_assign, Q_GEOHASH_ASSIGN_SQL),
+    "raster_morphology": (q_raster_morphology, Q_RASTER_MORPHOLOGY_SQL),
+    "idw_interpolate": (q_idw_interpolate, Q_IDW_INTERPOLATE_SQL),
     "way_members": (q_way_members, Q_WAY_MEMBERS_SQL),
     "extra_nodes": (q_extra_nodes, Q_EXTRA_NODES_SQL),
     "softcut_nodes_out": (q_softcut_nodes_out, Q_SOFTCUT_NODES_OUT_SQL),

@@ -1600,6 +1600,53 @@ p3 AS (SELECT v.id, 150000000 + (85 * COALESCE(c.s, 0)) // 100 AS pr
 SELECT id AS doc_id, CAST(pr AS BIGINT) AS pr FROM p3"""
 
 
+BFS_MAX_DEPTH = 8
+
+
+def q_graph_bfs(spark, sf_dir):
+    """Min hop distance from doc 0 over the same synthetic link graph as
+    ``pagerank`` (operators/graph.py:bfs_levels) — semi-naive frontier
+    loop vs the oracle's WITH RECURSIVE + min(level): two independent
+    formulations of BFS."""
+    from .operators.graph import bfs_levels
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    parts = [
+        d.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * a + b) % n).alias("dst"),
+        )
+        for a, b in ((7, 1), (13, 2), (29, 3))
+    ]
+    e = parts[0]
+    for p in parts[1:]:
+        e = e.unionByName(p)
+    edges = e.filter(F.col("src") != F.col("dst")).distinct()
+    src = spark.createDataFrame([(0,)], "id long")
+    out = bfs_levels(edges, src, max_depth=BFS_MAX_DEPTH)
+    return out.select(F.col("id").alias("doc_id"), "level")
+
+
+Q_GRAPH_BFS_SQL = f"""WITH n AS (SELECT count(*) AS n FROM documents),
+e0 AS (
+  SELECT doc_id AS src, (doc_id * 7 + 1) % n.n AS dst FROM documents, n
+  UNION SELECT doc_id, (doc_id * 13 + 2) % n.n FROM documents, n
+  UNION SELECT doc_id, (doc_id * 29 + 3) % n.n FROM documents, n),
+edges AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+r AS (
+  WITH RECURSIVE walk(id, level) AS (
+    SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    UNION
+    SELECT e.dst, w.level + 1
+    FROM walk w JOIN edges e ON e.src = w.id
+    WHERE w.level < {BFS_MAX_DEPTH}
+  )
+  SELECT * FROM walk
+)
+SELECT id AS doc_id, CAST(min(level) AS BIGINT) AS level FROM r GROUP BY 1"""
+
+
 def q_kmeans(spark, sf_dir):
     """Deterministic k-means (operators/kmeans.py): 2 Lloyd iterations,
     k=8, integer-quantized vectors, truncated-floor centroid means,
@@ -3256,4 +3303,5 @@ TEXT_QUERIES = {
     "boilerplate_strip": (q_boilerplate_strip, Q_BOILERPLATE_STRIP_SQL),
     "bloom_decontaminate": (q_bloom_decontaminate, Q_BLOOM_DECONTAMINATE_SQL),
     "link_graph": (q_link_graph, Q_LINK_GRAPH_SQL),
+    "graph_bfs": (q_graph_bfs, Q_GRAPH_BFS_SQL),
 }
