@@ -60,6 +60,8 @@ _DRIVER_EXCLUDE = {
     "raster_morphology",  # same: window full; twin certified there too
     "idw_interpolate",  # same: window full; twin certified there too
     "graph_bfs",  # same: window full; twin certified there too
+    "raster_blur",  # same: window full; twin certified there too
+    "tile_xyz",  # same: window full; twin certified there too
     "host_cap",  # same: window full; twin certified there too
     "boilerplate_strip",  # same: window full; twin certified there too
     "bloom_decontaminate",  # same: window full; twin certified there too

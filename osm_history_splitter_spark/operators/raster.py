@@ -179,6 +179,45 @@ def erode(raster: DataFrame, res: int, k: int = 1) -> DataFrame:
     )
 
 
+def box_blur(
+    raster: DataFrame, res: int, k: int = 1, value_cols: tuple = ("n",)
+) -> DataFrame:
+    """Box-kernel smoothing (the heatmap/KDE workhorse): for every cell
+    within reach of data, the SUM of each value column over the full
+    Chebyshev-``k`` neighborhood, zero-padded at the grid border.
+
+    SEPARABLE implementation — the box kernel factors into a horizontal
+    then a vertical 1-D pass, so the explode factor is 2·(2k+1) instead of
+    (2k+1)²: at k=3 that is 14 rows/cell over two combinable groupBy
+    shuffles vs 49 rows/cell in one — the classic separable-filter
+    optimization, exact for sums (the oracle twin deliberately uses the
+    direct 2-D formulation, so the equivalence is itself under test).
+
+    Expects distinct cells (any :func:`rasterize` output). Output cell set
+    = the k-dilation of the input."""
+    mx = (1 << (res + 1)) - 1
+    my = (1 << res) - 1
+
+    def one_pass(df: DataFrame, axis: str) -> DataFrame:
+        offs = F.array(*[F.lit(d) for d in range(-k, k + 1)])
+        c = F.col("cell").cast("long")
+        ix = F.shiftright(c, 32)
+        iy = c.bitwiseAND(F.lit(grid.CELL_SHIFT - 1))
+        nix = ix + F.col("o") if axis == "x" else ix
+        niy = iy + F.col("o") if axis == "y" else iy
+        bound, nv = (mx, nix) if axis == "x" else (my, niy)
+        return (
+            df.select("cell", F.explode(offs).alias("o"), *value_cols)
+            .filter((nv >= 0) & (nv <= bound))
+            .groupBy(
+                (nix * F.lit(grid.CELL_SHIFT) + niy).alias("cell")
+            )
+            .agg(*[F.sum(v).alias(v) for v in value_cols])
+        )
+
+    return one_pass(one_pass(raster, "x"), "y")
+
+
 def closing(raster: DataFrame, res: int, k: int = 1) -> DataFrame:
     """dilate then erode — fills holes/gaps narrower than ~2k cells.
 

@@ -228,6 +228,36 @@ Q_CELL_ASSIGN_SQL = (
 )
 
 
+TILE_Z = 8  # slippy-map zoom for the tile twin
+
+
+def q_tile_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slippy-map XYZ tile + Bing quadkey assignment at z=8 (functions/
+    grid.py:tile_xy_expr,quadkey_expr) — the public web-map tile scheme,
+    Web-Mercator y via the shared-literal ln/tan chain; certified against
+    the independent asinh-form reference in tests/test_tiles.py."""
+    pts = part_nodes(spark, sf_dir)
+    tx, ty = grid.tile_xy_expr(F.col("lon"), F.col("lat"), TILE_Z)
+    return pts.select(
+        "id",
+        tx.alias("tx"),
+        ty.alias("ty"),
+        grid.quadkey_expr(F.col("lon"), F.col("lat"), TILE_Z).alias("qk"),
+    )
+
+
+def _tile_xyz_sql() -> str:
+    tx, ty = grid.tile_xy_sql("lon", "lat", TILE_Z)
+    qk = grid.quadkey_sql("lon", "lat", TILE_Z)
+    return (
+        f"WITH pts AS ({PTS_SQL}) SELECT id, {tx} AS tx, {ty} AS ty, "
+        f"{qk} AS qk FROM pts"
+    )
+
+
+Q_TILE_XYZ_SQL = _tile_xyz_sql()
+
+
 GEOHASH_PRECISION = 6  # 30 interleave bits — ~0.6 km cells, the common web tile key
 
 
@@ -583,6 +613,62 @@ LEFT JOIN ero e ON d.cell = e.cell"""
 
 
 Q_RASTER_MORPHOLOGY_SQL = _raster_morphology_sql()
+
+
+BLUR_K = 2
+
+
+def q_raster_blur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Box-kernel heatmap smoothing (operators/raster.py:box_blur): per-cell
+    Chebyshev-2 neighborhood sums of point count and integer cents. The
+    Spark side is the SEPARABLE two-pass filter (2·(2k+1) explode); the
+    oracle is the direct 25-cell 2-D sum — the separability equivalence is
+    what the twin certifies."""
+    from .operators.raster import box_blur, rasterize
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    pts = c.select(
+        (((k * 7919) % 36000) / F.lit(100.0) - F.lit(180.0)).alias("lon"),
+        (((k * 104729) % 18000) / F.lit(100.0) - F.lit(90.0)).alias("lat"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    base = rasterize(pts, RASTER_RES, value_col="cents").select(
+        "cell", "n", F.col("sum_val").alias("cents")
+    )
+    return box_blur(base, RASTER_RES, BLUR_K, value_cols=("n", "cents")).select(
+        "cell",
+        F.col("n").cast("long").alias("blur_n"),
+        F.col("cents").cast("long").alias("blur_cents"),
+    )
+
+
+def _raster_blur_sql() -> str:
+    shift = grid.CELL_SHIFT
+    mx = (1 << (RASTER_RES + 1)) - 1
+    my = (1 << RASTER_RES) - 1
+    k = BLUR_K
+    offs = ", ".join(str(d) for d in range(-k, k + 1))
+    return f"""WITH pts AS ({_CUST_PTS_SQL}),
+base AS (
+  SELECT {grid.cell_id_sql('lon', 'lat', RASTER_RES)} AS cell,
+         count(*) AS n, SUM(cents) AS cents
+  FROM pts GROUP BY 1
+), nb AS (
+  SELECT (cell // {shift} + dx) * {shift} + (cell % {shift} + dy) AS ncell,
+         n, cents
+  FROM base,
+       LATERAL (SELECT unnest([{offs}]) AS dx),
+       LATERAL (SELECT unnest([{offs}]) AS dy)
+  WHERE cell // {shift} + dx BETWEEN 0 AND {mx}
+    AND cell % {shift} + dy BETWEEN 0 AND {my}
+)
+SELECT ncell AS cell, CAST(sum(n) AS BIGINT) AS blur_n,
+       CAST(sum(cents) AS BIGINT) AS blur_cents
+FROM nb GROUP BY 1"""
+
+
+Q_RASTER_BLUR_SQL = _raster_blur_sql()
 
 
 def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1211,7 +1297,9 @@ SPATIAL_QUERIES = {
     "cell_assign": (q_cell_assign, Q_CELL_ASSIGN_SQL),
     "geohash_assign": (q_geohash_assign, Q_GEOHASH_ASSIGN_SQL),
     "raster_morphology": (q_raster_morphology, Q_RASTER_MORPHOLOGY_SQL),
+    "raster_blur": (q_raster_blur, Q_RASTER_BLUR_SQL),
     "idw_interpolate": (q_idw_interpolate, Q_IDW_INTERPOLATE_SQL),
+    "tile_xyz": (q_tile_xyz, Q_TILE_XYZ_SQL),
     "way_members": (q_way_members, Q_WAY_MEMBERS_SQL),
     "extra_nodes": (q_extra_nodes, Q_EXTRA_NODES_SQL),
     "softcut_nodes_out": (q_softcut_nodes_out, Q_SOFTCUT_NODES_OUT_SQL),
