@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "bfs_levels"]
+__all__ = ["pagerank", "bfs_levels", "sssp_dists"]
 
 
 def bfs_levels(
@@ -84,6 +84,69 @@ def bfs_levels(
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return visited
+
+
+def sssp_dists(
+    edges: DataFrame, sources: DataFrame, max_hops: int = 8
+) -> DataFrame:
+    """Weighted single-source(s) shortest paths, bounded to ``max_hops``
+    edges — the weighted generalization of :func:`bfs_levels` (link
+    distance → crawl cost / latency distance).
+
+    ``edges(src, dst, w)`` directed with NON-NEGATIVE integer weights;
+    ``sources(id)``. Returns ``(id, dist)`` = the minimum path weight
+    over paths of at most ``max_hops`` edges, for every vertex reachable
+    within that bound (dist 0 at the sources). With nonnegative weights
+    the bounded result equals true SSSP once the loop reaches fixpoint
+    (it breaks early when a round improves nothing).
+
+    Semi-naive Bellman-Ford: each round relaxes ONLY the out-edges of
+    vertices whose best distance improved last round, yet the per-round
+    distances equal full-relaxation Bellman-Ford rounds exactly — an
+    unimproved vertex's relaxations can produce nothing new, since both
+    its distance and its out-edges are unchanged since it last fired.
+    So round h's table is the min over ≤h-hop paths, which is what the
+    oracle's bounded WITH RECURSIVE computes. Per round: frontier ⋈
+    edges on src (ONE shuffle; AQE broadcasts small frontiers), a
+    map-side-combinable ``min`` by dst, one anti-ish improvement join
+    against the best table; frontiers are eagerly localCheckpoint-ed so
+    lineage stays flat and the emptiness probe reuses materialized
+    partitions. Integer arithmetic throughout — bit-reproducible, so
+    the DuckDB twin hashes exactly."""
+    best = (
+        sources.select("id")
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = best
+    for _ in range(max_hops):
+        cand = (
+            edges.join(
+                frontier.select(F.col("id").alias("src"), "dist"), "src"
+            )
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("dist") + F.col("w")).cast("long").alias("nd"),
+            )
+            .groupBy("id")
+            .agg(F.min("nd").alias("nd"))
+        )
+        improved = (
+            cand.join(best, "id", "left")
+            .filter(F.col("dist").isNull() | (F.col("nd") < F.col("dist")))
+            .select("id", F.col("nd").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if not improved.take(1):
+            break
+        best = (
+            best.join(improved.select("id"), "id", "left_anti")
+            .unionByName(improved)
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    return best
 
 
 def pagerank(

@@ -40,7 +40,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["segment_intersections", "segment_self_intersections"]
+__all__ = [
+    "segment_intersections",
+    "segment_self_intersections",
+    "ring_self_intersections",
+]
 
 
 def _orient(px, py, qx, qy, rx, ry) -> Column:
@@ -143,6 +147,74 @@ def segment_intersections(
         .filter(canonical)
         .filter(_intersects())
         .select("id_a", "id_b")
+    )
+
+
+def ring_self_intersections(segs: DataFrame, cell: int) -> DataFrame:
+    """Non-adjacent self-intersections WITHIN each ring — the OGC
+    "is this shell simple?" validity test, run corpus-wide.
+
+    ``segs(gid, seq, nseg, x1, y1, x2, y2)``: ring ``gid``'s directed
+    edges in order ``seq = 0..nseg-1`` (closing edge included),
+    non-negative integer coordinates. Returns ``(gid, seq_a, seq_b)``
+    with ``seq_a < seq_b`` for every pair of NON-ADJACENT edges of the
+    same ring that share at least one point; a ring is simple iff it has
+    no rows here. Adjacent pairs (``Δseq = 1`` and the ``(0, nseg-1)``
+    wrap) legitimately share a vertex and are excluded — repeated
+    non-consecutive vertices and zero-length edges still count, which is
+    exactly the OGC rule. The reference never validates its ``.poly``
+    rings (``geometryreader.hpp`` trusts the file); this is the QA pass
+    you'd run before trusting third-party clipbounds at corpus scale.
+
+    Shape: same bbox-grid replicate → ONE hash equi-join as
+    :func:`segment_intersections`, but ``gid`` IS part of the join key —
+    two rings sharing a cell never meet, so candidate volume is per-ring
+    local — and the canonical-cell rule again gives exactly-once pairs
+    with no distinct."""
+    if cell < 1:
+        raise ValueError(f"cell must be a positive integer, got {cell}")
+
+    def rep(p: str) -> DataFrame:
+        sel = segs.select(
+            F.col("gid").cast("long").alias("gid"),
+            F.col("seq").cast("long").alias(f"seq_{p}"),
+            F.col("nseg").cast("long").alias(f"nseg_{p}"),
+            F.col("x1").cast("long").alias(f"{p}x1"),
+            F.col("y1").cast("long").alias(f"{p}y1"),
+            F.col("x2").cast("long").alias(f"{p}x2"),
+            F.col("y2").cast("long").alias(f"{p}y2"),
+        )
+        lox = F.least(f"{p}x1", f"{p}x2")
+        hix = F.greatest(f"{p}x1", f"{p}x2")
+        loy = F.least(f"{p}y1", f"{p}y2")
+        hiy = F.greatest(f"{p}y1", f"{p}y2")
+        c = F.lit(cell)
+
+        def fdiv(col: Column) -> Column:
+            return ((col - col % c) / c).cast("long")
+
+        return sel.withColumn(
+            "cx", F.explode(F.sequence(fdiv(lox), fdiv(hix)))
+        ).withColumn("cy", F.explode(F.sequence(fdiv(loy), fdiv(hiy))))
+
+    lhs = rep("a")
+    rhs = rep("b").drop("nseg_b")
+    c = F.lit(cell)
+    rpx = F.greatest(F.least("ax1", "ax2"), F.least("bx1", "bx2"))
+    rpy = F.greatest(F.least("ay1", "ay2"), F.least("by1", "by2"))
+    canonical = (((rpx - rpx % c) / c).cast("long") == F.col("cx")) & (
+        ((rpy - rpy % c) / c).cast("long") == F.col("cy")
+    )
+    non_adjacent = (F.col("seq_b") - F.col("seq_a") > 1) & ~(
+        (F.col("seq_a") == 0) & (F.col("seq_b") == F.col("nseg_a") - 1)
+    )
+    return (
+        lhs.join(rhs, ["gid", "cx", "cy"])
+        .filter(F.col("seq_a") < F.col("seq_b"))
+        .filter(non_adjacent)
+        .filter(canonical)
+        .filter(_intersects())
+        .select("gid", "seq_a", "seq_b")
     )
 
 

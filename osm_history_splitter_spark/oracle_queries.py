@@ -1171,6 +1171,113 @@ WHERE ((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0))
    OR d4 = 0 AND bx2 BETWEEN alox AND ahix AND by2 BETWEEN aloy AND ahiy"""
 
 
+#: ring-validity grid edge — way-ring segments are lattice-scale (median
+#: ~9000 centidegrees, vs the ~500 of the synthetic road segments), so
+#: the cell follows them up: ≤ ~17 replicas per max-diagonal edge
+RING_CELL = 8192
+
+
+def q_ring_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ring validity (operators/segjoin.py:ring_self_intersections):
+    does each order-way's implicit closed ring self-intersect? The OGC
+    simplicity test the reference never runs on its ``.poly`` shells
+    (``geometryreader.hpp`` trusts the file) — run corpus-wide as a
+    grid-partitioned join with ``gid`` in the join key, so candidates
+    stay ring-local and each non-adjacent edge pair is tested exactly
+    once (canonical-cell rule). The twin is the per-ring brute pair join
+    with the identical CLRS integer-orientation arithmetic."""
+    from pyspark.sql import Window
+
+    from .operators.segjoin import ring_self_intersections
+
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    pts = p.select(
+        k.alias("ref"),
+        ((k * 7919) % 36000).cast("long").alias("x"),
+        ((k * 104729) % 18000).cast("long").alias("y"),
+    )
+    ways = order_ways(spark, sf_dir).select(
+        "id", F.posexplode("refs").alias("pos", "ref")
+    )
+    v = ways.join(pts, "ref").select("id", "pos", "x", "y")
+    w = Window.partitionBy("id").orderBy("pos")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    segs = v.select(
+        F.col("id").alias("gid"),
+        F.col("pos").cast("long").alias("seq"),
+        F.count(F.lit(1)).over(wf).cast("long").alias("nseg"),
+        F.col("x").alias("x1"),
+        F.col("y").alias("y1"),
+        F.coalesce(F.lead("x").over(w), F.first("x").over(wf)).alias("x2"),
+        F.coalesce(F.lead("y").over(w), F.first("y").over(wf)).alias("y2"),
+    )
+    bad = (
+        ring_self_intersections(segs, RING_CELL)
+        .groupBy(F.col("gid").alias("id"))
+        .agg(F.count(F.lit(1)).alias("n_bad"))
+    )
+    allw = segs.groupBy(F.col("gid").alias("id")).agg(
+        F.max("nseg").cast("long").alias("nseg")
+    )
+    return allw.join(bad, "id", "left").select(
+        "id",
+        "nseg",
+        F.coalesce("n_bad", F.lit(0)).cast("long").alias("n_self_x"),
+        (F.coalesce("n_bad", F.lit(0)) == 0).alias("is_simple"),
+    )
+
+
+Q_RING_SIMPLE_SQL = f"""WITH pts AS ({_PART_PTS_INT_SQL}),
+e AS (SELECT l_orderkey AS id,
+        row_number() OVER (PARTITION BY l_orderkey
+                           ORDER BY l_linenumber, l_partkey) - 1 AS pos,
+        l_partkey AS ref
+      FROM lineitem),
+v AS (SELECT e.id, e.pos, p.xs AS x, p.ys AS y
+      FROM e JOIN pts p ON p.id = e.ref),
+s AS (SELECT id, pos AS seq,
+        count(*) OVER (PARTITION BY id) AS nseg,
+        x AS x1, y AS y1,
+        coalesce(lead(x) OVER w, first_value(x) OVER wf) AS x2,
+        coalesce(lead(y) OVER w, first_value(y) OVER wf) AS y2
+      FROM v
+      WINDOW w AS (PARTITION BY id ORDER BY pos),
+             wf AS (PARTITION BY id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND UNBOUNDED FOLLOWING)),
+pairs AS (
+  SELECT a.id,
+         a.x1 AS ax1, a.y1 AS ay1, a.x2 AS ax2, a.y2 AS ay2,
+         b.x1 AS bx1, b.y1 AS by1, b.x2 AS bx2, b.y2 AS by2,
+         least(a.x1, a.x2) AS alox, greatest(a.x1, a.x2) AS ahix,
+         least(a.y1, a.y2) AS aloy, greatest(a.y1, a.y2) AS ahiy,
+         least(b.x1, b.x2) AS blox, greatest(b.x1, b.x2) AS bhix,
+         least(b.y1, b.y2) AS bloy, greatest(b.y1, b.y2) AS bhiy
+  FROM s a JOIN s b ON a.id = b.id AND b.seq > a.seq + 1
+    AND NOT (a.seq = 0 AND b.seq = a.nseg - 1)),
+o AS (SELECT *,
+        (bx2-bx1)*(ay1-by1) - (by2-by1)*(ax1-bx1) AS d1,
+        (bx2-bx1)*(ay2-by1) - (by2-by1)*(ax2-bx1) AS d2,
+        (ax2-ax1)*(by1-ay1) - (ay2-ay1)*(bx1-ax1) AS d3,
+        (ax2-ax1)*(by2-ay1) - (ay2-ay1)*(bx2-ax1) AS d4
+      FROM pairs),
+hits AS (
+  SELECT id, count(*) AS n_bad FROM o
+  WHERE ((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0))
+        AND ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0))
+     OR d1 = 0 AND ax1 BETWEEN blox AND bhix AND ay1 BETWEEN bloy AND bhiy
+     OR d2 = 0 AND ax2 BETWEEN blox AND bhix AND ay2 BETWEEN bloy AND bhiy
+     OR d3 = 0 AND bx1 BETWEEN alox AND ahix AND by1 BETWEEN aloy AND ahiy
+     OR d4 = 0 AND bx2 BETWEEN alox AND ahix AND by2 BETWEEN aloy AND ahiy
+  GROUP BY 1),
+w2 AS (SELECT id, CAST(max(nseg) AS BIGINT) AS nseg FROM s GROUP BY 1)
+SELECT w2.id, w2.nseg,
+       CAST(coalesce(h.n_bad, 0) AS BIGINT) AS n_self_x,
+       (coalesce(h.n_bad, 0) = 0) AS is_simple
+FROM w2 LEFT JOIN hits h ON h.id = w2.id"""
+
+
 #: inclusive point-to-segment join radius (centidegree units)
 PTSEG_EPS = 50
 
@@ -1289,6 +1396,7 @@ SPATIAL_QUERIES = {
     "knn_join": (q_knn_join, Q_KNN_JOIN_SQL),
     "way_ring_stats": (q_way_ring_stats, Q_WAY_RING_STATS_SQL),
     "segment_join": (q_segment_join, Q_SEGMENT_JOIN_SQL),
+    "ring_simple": (q_ring_simple, Q_RING_SIMPLE_SQL),
     "polygonize_edges": (q_polygonize_edges, Q_POLYGONIZE_EDGES_SQL),
     "node_membership": (q_node_membership, Q_NODE_MEMBERSHIP_SQL),
     "rasterize": (q_rasterize, Q_RASTERIZE_SQL),

@@ -3181,9 +3181,13 @@ def q_link_graph(spark, sf_dir):
     and aggregated to (src_host, dst_host) edges with link and distinct-doc
     weights.
 
-    Scale shape: extraction is a projection (no shuffle); the only shuffle
-    is the final groupBy on the edge key. Host skew lands on the hub hosts
-    exactly where PageRank wants the weights anyway."""
+    Scale shape: extraction is a projection (no shuffle), and the per-doc
+    dedup happens INSIDE the row (all of a doc's anchors sit in one array
+    pre-explode, so ``array_distinct`` + a per-host count replaces the
+    countDistinct's second shuffle). The only Exchange is the final edge
+    groupBy — one row per (doc, distinct dst_host) with map-side combine.
+    Host skew lands on the hub hosts exactly where PageRank wants the
+    weights anyway."""
     k = F.col("doc_id")
     n_links = (k % 3).cast("int")
     anchors = F.when(
@@ -3207,25 +3211,32 @@ def q_link_graph(spark, sf_dir):
         F.concat(F.lit("src"), (F.col("doc_id") % 20).cast("string")).alias("src_id"),
         F.concat(F.col("text"), anchors).alias("html2"),
     )
-    links = d.select(
-        "doc_id",
+    hosts = d.select(
         F.concat(F.col("src_id"), F.lit(".example.com")).alias("src_host"),
-        F.explode(
-            F.regexp_extract_all(
-                F.col("html2"), F.lit('(?i)<a href="([^"]+)"'), 1
-            )
-        ).alias("href"),
+        F.transform(
+            F.regexp_extract_all(F.col("html2"), F.lit('(?i)<a href="([^"]+)"'), 1),
+            lambda h: F.lower(F.regexp_extract(h, "^https?://([^/]+)", 1)),
+        ).alias("hosts"),
     )
-    edges = links.select(
-        "doc_id",
+    # one row per (doc, DISTINCT dst_host), with that host's in-doc link count
+    # — countDistinct(doc_id) becomes count(1) and the distinct shuffle vanishes
+    pairs = hosts.select(
         "src_host",
-        F.lower(F.regexp_extract(F.col("href"), "^https?://([^/]+)", 1)).alias(
-            "dst_host"
-        ),
-    )
-    return edges.groupBy("src_host", "dst_host").agg(
-        F.count(F.lit(1)).alias("n_links"),
-        F.countDistinct("doc_id").alias("n_docs"),
+        F.explode(
+            F.transform(
+                F.array_distinct("hosts"),
+                lambda h: F.struct(
+                    h.alias("dst_host"),
+                    F.size(
+                        F.filter(F.col("hosts"), lambda x: x == h)
+                    ).alias("cnt"),
+                ),
+            )
+        ).alias("p"),
+    ).select("src_host", F.col("p.dst_host").alias("dst_host"), F.col("p.cnt"))
+    return pairs.groupBy("src_host", "dst_host").agg(
+        F.sum("cnt").alias("n_links"),
+        F.count(F.lit(1)).alias("n_docs"),
     )
 
 
@@ -3248,6 +3259,263 @@ SELECT src_host,
        CAST(count(*) AS BIGINT) AS n_links,
        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
 FROM links GROUP BY 1, 2"""
+
+
+#: count-min sketch geometry — depth × width bounds the shuffle to
+#: DEPTH·WIDTH cells per map partition REGARDLESS of corpus size
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def _cms_cell(i: int, w):
+    """Row-``i`` cell index: first 8 md5 hex of ``cms{i}:word`` → uint32,
+    mod WIDTH — the exact-twin hash idiom shared with hash_sample."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"cms{i}:"), w).cast("binary")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % CMS_WIDTH
+    )
+
+
+def q_cms_counts(spark, sf_dir):
+    """Count-min-sketch token frequencies — the heavy-hitter primitive
+    for 100-TB vocabularies. An exact token count shuffles every distinct
+    token; the CMS shuffles at most DEPTH·WIDTH counters per map
+    partition (map-side combine collapses each partition to ≤4096 rows
+    here), then answers point queries as the min over DEPTH hashed rows —
+    an upper bound that overshoots only on cell collisions. Probes =
+    the distinct words of every 499th document; output (w, est) is
+    deterministic, so the DuckDB twin — same md5 cells, same min —
+    hashes exactly.
+
+    Scale shape: one bounded-cardinality groupBy builds the sketch; the
+    probe side joins against ≤ DEPTH·WIDTH rows (AQE broadcasts it), so
+    the estimate step never reshuffles the corpus."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    cells = words.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        _cms_cell(i, F.col("w")).alias("cell"),
+                    )
+                    for i in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("c")
+    ).select("c.i", "c.cell")
+    sketch = cells.groupBy("i", "cell").agg(F.count(F.lit(1)).alias("n"))
+    probe = (
+        words.filter(F.col("doc_id") % 499 == 1).select("w").distinct()
+    )
+    probe_cells = probe.select(
+        "w",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        _cms_cell(i, F.col("w")).alias("cell"),
+                    )
+                    for i in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("c"),
+    ).select("w", "c.i", "c.cell")
+    return (
+        probe_cells.join(F.broadcast(sketch), ["i", "cell"])
+        .groupBy("w")
+        .agg(F.min("n").cast("long").alias("est"))
+    )
+
+
+Q_CMS_COUNTS_SQL = f"""WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+wf AS (SELECT doc_id, w FROM t WHERE w <> ''),
+rows_ AS (SELECT unnest(range(0, {CMS_DEPTH})) AS i),
+cells AS (
+  SELECT i, CAST(('0x' || substr(md5('cms' || CAST(i AS VARCHAR) || ':' || w),
+                  1, 8))::UINTEGER AS BIGINT) % {CMS_WIDTH} AS cell
+  FROM wf CROSS JOIN rows_),
+sketch AS (SELECT i, cell, count(*) AS n FROM cells GROUP BY 1, 2),
+probe AS (SELECT DISTINCT w FROM wf WHERE doc_id % 499 = 1),
+pc AS (
+  SELECT w, i, CAST(('0x' || substr(md5('cms' || CAST(i AS VARCHAR) || ':' || w),
+                  1, 8))::UINTEGER AS BIGINT) % {CMS_WIDTH} AS cell
+  FROM probe CROSS JOIN rows_)
+SELECT pc.w AS w, CAST(min(s.n) AS BIGINT) AS est
+FROM pc JOIN sketch s USING (i, cell)
+GROUP BY 1"""
+
+
+#: HyperLogLog register count (m); 8-bit register index from a 32-bit
+#: md5 hash leaves 24 bits for the rank, so rho ∈ [1, 25]
+HLL_M = 256
+#: integer estimate numerator: alpha ≈ 7213/10000 (the published HLL
+#: bias constant for large m, kept as an exact rational), times m², on
+#: the dyadic scale 2^25 that makes the register sum an exact integer
+_HLL_EST_NUM = 7213 * HLL_M * HLL_M * (1 << 25)
+
+
+def q_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct-token estimation per language — the
+    approx-distinct primitive (Spark's own approx_count_distinct is
+    HLL++, but its sketch bytes aren't reproducible across engines; this
+    formulation is). Per word: a 32-bit md5 hash splits into an 8-bit
+    register index and a 24-bit tail whose MSB position gives the rank
+    rho (computed as a sum of 24 threshold indicators — no float log2,
+    so no ulp edge at powers of two). The per-lang state is max(rho) per
+    register; the harmonic-mean denominator S = Σ_j 2^-M[j] is a DYADIC
+    rational, carried exactly as the integer s_num = S·2^25, and the
+    final estimate uses the exact rational alpha = 7213/10000 with
+    integer division — every output column is a bigint, so the DuckDB
+    twin hashes exactly. ``est_distinct`` is the RAW estimator; in the
+    small range (est ≤ 2.5·m with empty registers) the consumer applies
+    the standard linear-counting correction ``m·ln(m/(m - m_used))`` —
+    ``m_used`` is exactly the state that correction needs, and keeping
+    the float log out of the query keeps the twin hash exact
+    (tests/test_sketches.py applies it and checks accuracy).
+
+    Scale shape: one tokenize projection, one groupBy(lang, reg) capped
+    at |langs|·m rows after map-side combine, one groupBy(lang) — the
+    distinct-cardinality question answered with a bounded shuffle, the
+    same trick the CMS plays for frequencies."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("hll:"), F.col("w")).cast("binary")), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    hashed = words.select("lang", h.alias("h")).select(
+        "lang",
+        (F.col("h") % HLL_M).alias("reg"),
+        F.expr(f"h div {HLL_M}").alias("v"),
+    )
+    bits_len = sum(
+        F.when(F.col("v") >= (1 << k), 1).otherwise(0) for k in range(24)
+    )
+    regs = (
+        hashed.select("lang", "reg", (F.lit(25) - bits_len).alias("rho"))
+        .groupBy("lang", "reg")
+        .agg(F.max("rho").alias("m"))
+    )
+    per_lang = regs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("m_used"),
+        F.sum(
+            F.expr("shiftleft(cast(1 as bigint), cast(25 - m as int))")
+        ).alias("s_part"),
+    )
+    s_num = (
+        F.col("s_part")
+        + (F.lit(HLL_M) - F.col("m_used")) * F.lit(1 << 25)
+    ).cast("long")
+    return per_lang.select(
+        "lang",
+        "m_used",
+        s_num.alias("s_num"),
+        F.expr(
+            f"cast({_HLL_EST_NUM} div (10000 * "
+            f"(s_part + ({HLL_M} - m_used) * {1 << 25})) as bigint)"
+        ).alias("est_distinct"),
+    )
+
+
+_HLL_BITS_SQL = " + ".join(
+    f"(CASE WHEN v >= {1 << k} THEN 1 ELSE 0 END)" for k in range(24)
+)
+Q_HLL_DISTINCT_SQL = f"""WITH t AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+wf AS (SELECT lang, w FROM t WHERE w <> ''),
+h AS (SELECT lang,
+        CAST(('0x' || substr(md5('hll:' || w), 1, 8))::UINTEGER AS BIGINT) AS h
+      FROM wf),
+r AS (SELECT lang, h % {HLL_M} AS reg, h // {HLL_M} AS v FROM h),
+rho AS (SELECT lang, reg, 25 - ({_HLL_BITS_SQL}) AS rho FROM r),
+m AS (SELECT lang, reg, max(rho) AS m FROM rho GROUP BY 1, 2),
+s AS (SELECT lang, count(*) AS m_used,
+             sum(CAST(1 AS BIGINT) << (25 - m)) AS s_part
+      FROM m GROUP BY 1)
+SELECT lang,
+       CAST(m_used AS BIGINT) AS m_used,
+       CAST(s_part + ({HLL_M} - m_used) * {1 << 25} AS BIGINT) AS s_num,
+       CAST({_HLL_EST_NUM} // (10000 *
+            (s_part + ({HLL_M} - m_used) * {1 << 25})) AS BIGINT)
+         AS est_distinct
+FROM s"""
+
+
+#: hop bound for the weighted shortest-path query (and its twin's
+#: recursive-walk depth) — the loop usually fixpoints earlier
+SSSP_MAX_HOPS = 6
+
+
+def q_graph_sssp(spark, sf_dir):
+    """Weighted shortest paths from doc 0 over the pagerank/bfs link
+    graph with deterministic integer edge weights (operators/graph.py:
+    sssp_dists) — bounded semi-naive Bellman-Ford vs the oracle's
+    bounded WITH RECURSIVE walk + min(dist): two independent
+    formulations of ≤H-hop SSSP."""
+    from .operators.graph import sssp_dists
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    parts = [
+        d.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * a + b) % n).alias("dst"),
+        )
+        for a, b in ((7, 1), (13, 2), (29, 3))
+    ]
+    e = parts[0]
+    for p in parts[1:]:
+        e = e.unionByName(p)
+    edges = (
+        e.filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .withColumn(
+            "w",
+            ((F.col("src") * 5 + F.col("dst") * 3) % 7 + 1).cast("long"),
+        )
+    )
+    src = spark.createDataFrame([(0,)], "id long")
+    out = sssp_dists(edges, src, max_hops=SSSP_MAX_HOPS)
+    return out.select(F.col("id").alias("doc_id"), "dist")
+
+
+Q_GRAPH_SSSP_SQL = f"""WITH n AS (SELECT count(*) AS n FROM documents),
+e0 AS (
+  SELECT doc_id AS src, (doc_id * 7 + 1) % n.n AS dst FROM documents, n
+  UNION SELECT doc_id, (doc_id * 13 + 2) % n.n FROM documents, n
+  UNION SELECT doc_id, (doc_id * 29 + 3) % n.n FROM documents, n),
+edges AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+ew AS (SELECT src, dst,
+              CAST((src * 5 + dst * 3) % 7 + 1 AS BIGINT) AS w
+       FROM edges),
+r AS (
+  WITH RECURSIVE walk(id, dist, hops) AS (
+    SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0
+    UNION
+    SELECT e.dst, w.dist + e.w, w.hops + 1
+    FROM walk w JOIN ew e ON e.src = w.id
+    WHERE w.hops < {SSSP_MAX_HOPS}
+  )
+  SELECT * FROM walk
+)
+SELECT id AS doc_id, CAST(min(dist) AS BIGINT) AS dist FROM r GROUP BY 1"""
 
 
 TEXT_QUERIES = {
@@ -3304,4 +3572,7 @@ TEXT_QUERIES = {
     "bloom_decontaminate": (q_bloom_decontaminate, Q_BLOOM_DECONTAMINATE_SQL),
     "link_graph": (q_link_graph, Q_LINK_GRAPH_SQL),
     "graph_bfs": (q_graph_bfs, Q_GRAPH_BFS_SQL),
+    "cms_counts": (q_cms_counts, Q_CMS_COUNTS_SQL),
+    "hll_distinct": (q_hll_distinct, Q_HLL_DISTINCT_SQL),
+    "graph_sssp": (q_graph_sssp, Q_GRAPH_SSSP_SQL),
 }

@@ -424,3 +424,95 @@ def test_pbf_sink_stage_is_one_exchange_then_arrow(spark):
     plan = plan_of(staged)
     assert plan.count("Exchange") == 1
     assert "MapInPandas" in plan
+
+
+def test_tile_and_geohash_encodes_are_pure_projection(spark, testdata_sf):
+    """The cell-index encodes (XYZ tile + quadkey, geohash) are projections:
+    zero Exchange, zero Python eval, whole-stage codegen."""
+    from osm_history_splitter_spark.oracle_queries import (
+        q_geohash_assign,
+        q_tile_xyz,
+    )
+
+    for q in (q_tile_xyz, q_geohash_assign):
+        plan = plan_of(q(spark, testdata_sf))
+        assert plan.count("Exchange") == 0, plan
+        assert "Python" not in plan, plan
+        assert "*(1)" in plan, plan  # whole-stage codegen span
+
+
+def test_link_graph_single_shuffle(spark, testdata_sf):
+    """href mining is a projection; the ONLY Exchange is the final edge
+    groupBy (plus its AQE final-agg read) — no join, no Python."""
+    from osm_history_splitter_spark.text_queries import q_link_graph
+
+    plan = plan_of(q_link_graph(spark, testdata_sf))
+    assert "Join" not in plan, plan
+    assert "Python" not in plan, plan
+    # one logical shuffle: partial agg -> Exchange -> final agg
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_cms_sketch_is_bounded_and_broadcast(spark, testdata_sf):
+    """The CMS build is ONE map-side-combinable groupBy over <= 4096
+    cells; the probe estimate joins against the sketch via BROADCAST —
+    the corpus is never reshuffled for the estimate step. No Python."""
+    from osm_history_splitter_spark.text_queries import q_cms_counts
+
+    plan = plan_of(q_cms_counts(spark, testdata_sf))
+    assert "Python" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_hll_is_two_bounded_aggregates_no_python(spark, testdata_sf):
+    """HLL state: groupBy(lang, reg) (<= |langs|*256 rows after partial
+    agg) then groupBy(lang) — exactly two agg shuffles, zero joins, zero
+    Python (the rho rank is a codegen indicator sum, not a UDF)."""
+    from osm_history_splitter_spark.text_queries import q_hll_distinct
+
+    plan = plan_of(q_hll_distinct(spark, testdata_sf))
+    assert "Python" not in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_ring_self_join_is_gid_keyed_hash_join(spark):
+    """The ring-validity join must be a hash equi-join whose key includes
+    gid (candidates stay ring-local) — never a cartesian or broadcast-NL."""
+    from osm_history_splitter_spark.operators.segjoin import (
+        ring_self_intersections,
+    )
+
+    segs = spark.range(40).select(
+        (F.col("id") % 5).alias("gid"),
+        (F.col("id") % 8).alias("seq"),
+        F.lit(8).alias("nseg"),
+        (F.col("id") * 13 % 100).alias("x1"),
+        (F.col("id") * 29 % 100).alias("y1"),
+        (F.col("id") * 17 % 100).alias("x2"),
+        (F.col("id") * 7 % 100).alias("y2"),
+    )
+    plan = plan_of(ring_self_intersections(segs, 16))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "gid" in plan.split("Join")[1][:200], plan
+
+
+def test_box_blur_is_two_pass_and_morphology_one(spark):
+    """The separable blur does exactly its two aggregate shuffles; dilate
+    does exactly one distinct shuffle — no hidden joins or extra rounds."""
+    from pyspark.sql import functions as F
+
+    from osm_history_splitter_spark.operators.raster import box_blur, dilate
+
+    base = spark.range(100).select(
+        (F.col("id") * 4294967296 + F.col("id") % 32).alias("cell"),
+        F.lit(1).cast("long").alias("n"),
+    )
+    blur_plan = plan_of(box_blur(base, 5, 2))
+    assert blur_plan.count("Exchange hashpartitioning") == 2, blur_plan
+    assert "Join" not in blur_plan
+    dil_plan = plan_of(dilate(base.select("cell"), 5, 2))
+    assert dil_plan.count("Exchange hashpartitioning") == 1, dil_plan

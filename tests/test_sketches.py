@@ -1,0 +1,121 @@
+"""Sketch-family queries: count-min (cms_counts) and HyperLogLog
+(hll_distinct) — the CMS upper-bound guarantee against exact counts,
+the HLL estimate against exact distincts, and SSSP against a Python
+bounded Bellman-Ford. The cross-engine hash identity is certified
+separately by tests/test_driver_excluded.py; these are the semantic
+properties the twin can't express."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from osm_history_splitter_spark.operators.graph import sssp_dists
+from osm_history_splitter_spark.text_queries import (
+    q_cms_counts,
+    q_hll_distinct,
+)
+
+
+def test_cms_estimate_upper_bounds_exact(spark, testdata_sf):
+    """CMS guarantee: est(w) >= true count for EVERY probe word, and the
+    total overshoot is bounded (depth 4 x width 1024 over this corpus
+    collides rarely — most probes must be exact)."""
+    est = {r["w"]: r["est"] for r in q_cms_counts(spark, testdata_sf).collect()}
+    assert est, "probe set must be non-empty"
+    d = spark.read.parquet(f"{testdata_sf}/documents.parquet")
+    words = d.select(F.explode(F.split("text", " ")).alias("w")).filter(
+        F.col("w") != ""
+    )
+    exact = {
+        r["w"]: r["n"]
+        for r in words.groupBy("w").agg(F.count("*").alias("n")).collect()
+        if r["w"] in est
+    }
+    assert set(exact) == set(est)
+    assert all(est[w] >= exact[w] for w in est)
+    n_exact = sum(1 for w in est if est[w] == exact[w])
+    assert n_exact >= len(est) * 0.9, (n_exact, len(est))
+
+
+def test_hll_estimate_tracks_exact_distinct(spark, testdata_sf):
+    """HLL with m=256 has ~6.5% standard error; assert every per-lang
+    estimate — after the standard small-range linear-counting correction
+    the query contract leaves to the consumer — lands within 25% of the
+    exact distinct-token count, and the register state is internally
+    consistent (m_used <= 256, s_num in its dyadic range)."""
+    import math
+    out = {
+        r["lang"]: r for r in q_hll_distinct(spark, testdata_sf).collect()
+    }
+    d = spark.read.parquet(f"{testdata_sf}/documents.parquet")
+    exact = {
+        r["lang"]: r["n"]
+        for r in d.select(
+            "lang", F.explode(F.split("text", " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("lang")
+        .agg(F.countDistinct("w").alias("n"))
+        .collect()
+    }
+    assert set(out) == set(exact)
+    m = 256
+    for lang, r in out.items():
+        assert 0 < r["m_used"] <= m
+        assert 0 < r["s_num"] <= m * (1 << 25)
+        est = r["est_distinct"]
+        if est <= 5 * m // 2 and r["m_used"] < m:
+            est = m * math.log(m / (m - r["m_used"]))
+        lo, hi = exact[lang] * 0.75, exact[lang] * 1.25
+        assert lo <= est <= hi, (lang, r, exact[lang])
+
+
+def _py_bf(edges, src, hops):
+    """Full-relaxation bounded Bellman-Ford: min dist over <=h-hop paths."""
+    dist = {src: 0}
+    for _ in range(hops):
+        prev = dict(dist)
+        for s, d, w in edges:
+            if s in prev and prev[s] + w < dist.get(d, float("inf")):
+                dist[d] = prev[s] + w
+    return dist
+
+
+def _spark_sssp(spark, edges, src, hops):
+    e = spark.createDataFrame(edges, "src long, dst long, w long")
+    s = spark.createDataFrame([(src,)], "id long")
+    return {
+        r["id"]: r["dist"] for r in sssp_dists(e, s, max_hops=hops).collect()
+    }
+
+
+def test_sssp_longer_hop_path_wins(spark):
+    """0->1 direct costs 10; 0->2->3->1 costs 3 but needs 3 hops: the
+    bound must control which answer appears — the case that proves
+    vertices get RE-improved across rounds, not just first-reached."""
+    edges = [(0, 1, 10), (0, 2, 1), (2, 3, 1), (3, 1, 1)]
+    assert _spark_sssp(spark, edges, 0, 1)[1] == 10
+    assert _spark_sssp(spark, edges, 0, 6)[1] == 3
+
+
+def test_sssp_unreachable_excluded_and_fixpoint_stops(spark):
+    edges = [(0, 1, 2), (2, 3, 1)]  # 2,3 in another component
+    got = _spark_sssp(spark, edges, 0, 8)
+    assert got == {0: 0, 1: 2}
+
+
+def test_sssp_random_differential(spark):
+    for seed in (11, 12, 13):
+        rng = random.Random(seed)
+        n = 25
+        edges = [
+            (rng.randrange(n), rng.randrange(n), rng.randint(1, 9))
+            for _ in range(60)
+        ]
+        edges = [(s, d, w) for s, d, w in edges if s != d]
+        for hops in (2, 5):
+            assert _spark_sssp(spark, edges, 0, hops) == _py_bf(
+                edges, 0, hops
+            ), (seed, hops)
