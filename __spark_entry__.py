@@ -70,6 +70,8 @@ _DRIVER_EXCLUDE = {
     "hll_distinct",  # same: window full; twin certified there too
     "graph_sssp",  # same: window full; twin certified there too
     "ring_simple",  # same: window full; twin certified there too
+    "triangles",  # same: window full; twin certified there too
+    "hotspot_cells",  # same: window full; twin certified there too
     "bm25_topk",  # ln() ulps differ across engines — pytest compares
     # rounded scores (tests/test_bm25.py); the exact-hash gate would
     # flake on the last decimal

@@ -54,6 +54,12 @@ BENCH_QUERIES = [
     "snap_segment",
     "host_cap",
     "bloom_decontaminate",
+    "cms_counts",
+    "hll_distinct",
+    "graph_sssp",
+    "ring_simple",
+    "triangles",
+    "hotspot_cells",
 ]
 
 

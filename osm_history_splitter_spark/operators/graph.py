@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "bfs_levels", "sssp_dists"]
+__all__ = ["pagerank", "bfs_levels", "sssp_dists", "triangles"]
 
 
 def bfs_levels(
@@ -84,6 +84,63 @@ def bfs_levels(
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return visited
+
+
+def triangles(edges: DataFrame) -> DataFrame:
+    """Triangle listing over ``edges(src, dst)`` (direction ignored) —
+    the clustering-coefficient / spam-farm-detection primitive on a web
+    link graph. Returns each triangle once as ``(a, b, c)`` with
+    ``a < b < c``.
+
+    Degree-ordered compact-forward algorithm: every undirected edge is
+    directed from its lower-(degree, id) endpoint to the higher, wedges
+    are built only "forward" (both legs leaving the triangle's MINIMUM-
+    key apex, legs ordered by key), and a wedge closes iff its cap edge
+    exists. The per-vertex forward out-degree is O(√m) on any graph —
+    so the wedge join materializes Σ d_fwd² = O(m^1.5) candidates, the
+    theoretical optimum, instead of the Σ d² blowup a naive neighbor
+    self-join produces on hub vertices (exactly the skew a web graph
+    has). Three hash equi-joins, no cartesian; each triangle emitted
+    exactly once (unique minimum apex — no distinct needed)."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e = und.join(
+        deg.select(F.col("v").alias("a"), F.col("d").alias("da")), "a"
+    ).join(deg.select(F.col("v").alias("b"), F.col("d").alias("db")), "b")
+    lower = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    fwd = e.select(
+        F.when(lower, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lower, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    e1 = fwd.select("u", F.col("v").alias("v1"), F.col("dv").alias("d1"))
+    e2 = fwd.select("u", F.col("v").alias("v2"), F.col("dv").alias("d2"))
+    wedge = e1.join(e2, "u").filter(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
+    )
+    tri = wedge.join(
+        fwd.select(F.col("u").alias("v1"), F.col("v").alias("v2")),
+        ["v1", "v2"],
+    )
+    t = F.array_sort(F.array("u", "v1", "v2"))
+    return tri.select(
+        t[0].alias("a"), t[1].alias("b"), t[2].alias("c")
+    )
 
 
 def sssp_dists(

@@ -33,6 +33,7 @@ from .spatial_join import assign_extracts
 
 __all__ = [
     "rasterize",
+    "local_maxima",
     "cell_bounds",
     "raster_to_points",
     "zonal_stats",
@@ -109,7 +110,9 @@ def zonal_stats(
     return assigned.groupBy("extract").agg(*aggs)
 
 
-def _neighbor_cells(raster: DataFrame, k: int, res: int) -> DataFrame:
+def _neighbor_cells(
+    raster: DataFrame, k: int, res: int, carry: tuple = ()
+) -> DataFrame:
     """Explode every cell to its full Chebyshev-``k`` neighborhood —
     ``(2k+1)^2`` rows per cell, clamped to the grid domain so the index
     arithmetic never goes negative (negative ``iy`` would alias into the
@@ -131,11 +134,12 @@ def _neighbor_cells(raster: DataFrame, k: int, res: int) -> DataFrame:
     ix = F.shiftright(c, 32)
     iy = c.bitwiseAND(F.lit(grid.CELL_SHIFT - 1))
     return (
-        raster.select("cell", F.explode(offsets).alias("o"))
+        raster.select("cell", F.explode(offsets).alias("o"), *carry)
         .select(
             F.col("cell").alias("src_cell"),
             (ix + F.col("o.dx")).alias("nix"),
             (iy + F.col("o.dy")).alias("niy"),
+            *carry,
         )
         .filter(
             (F.col("nix") >= 0)
@@ -146,6 +150,7 @@ def _neighbor_cells(raster: DataFrame, k: int, res: int) -> DataFrame:
         .select(
             (F.col("nix") * F.lit(grid.CELL_SHIFT) + F.col("niy")).alias("cell"),
             "src_cell",
+            *carry,
         )
     )
 
@@ -176,6 +181,38 @@ def erode(raster: DataFrame, res: int, k: int = 1) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("nsup"))
         .filter(F.col("nsup") == need)
         .select("cell")
+    )
+
+
+def local_maxima(
+    raster: DataFrame, res: int, k: int = 1, value_col: str = "n"
+) -> DataFrame:
+    """Non-maximum suppression: the cells whose value dominates their
+    entire Chebyshev-``k`` neighborhood — hotspot detection over a
+    density raster (the step after :func:`rasterize`/:func:`box_blur`
+    in a heatmap→POI pipeline). Ties break to the LOWEST cell id, so the
+    result is a pure function of the raster: of a plateau of equal
+    maxima, exactly the lowest-id cell survives.
+
+    Same single-explode shape as :func:`dilate` — each cell scatters
+    ``(value, cell)`` to its neighborhood, one map-side-combinable
+    ``max(struct)`` groupBy picks each neighborhood's winner, and a cell
+    is a hotspot iff it wins at its own address. No joins, no second
+    shuffle; cost is one shuffle of (2k+1)² × |raster| narrow rows.
+
+    Expects DISTINCT cells. Border cells compete only against their
+    in-domain neighbors (the usual zero-padding convention)."""
+    nb = _neighbor_cells(raster, k, res, carry=(value_col,))
+    win = nb.groupBy("cell").agg(
+        F.max(
+            F.struct(
+                F.col(value_col).alias("v"),
+                (-F.col("src_cell")).alias("negsrc"),
+            )
+        ).alias("m")
+    )
+    return win.filter(F.col("m.negsrc") == -F.col("cell")).select(
+        "cell", F.col("m.v").alias(value_col)
     )
 
 

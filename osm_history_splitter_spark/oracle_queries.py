@@ -585,6 +585,55 @@ def q_raster_morphology(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: hotspot NMS neighborhood radius (Chebyshev cells)
+HOTSPOT_K = 2
+
+
+def q_hotspot_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hotspot detection (operators/raster.py:local_maxima): the cells of
+    the customer density raster that dominate their full Chebyshev-2
+    neighborhood, ties to the lowest cell id — non-maximum suppression,
+    the heatmap→POI step after rasterize/box_blur. One explode + one
+    max(struct) groupBy; the twin replays the scatter with a
+    row_number() window."""
+    from .operators.raster import local_maxima, rasterize
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    pts = c.select(
+        (((k * 7919) % 36000) / F.lit(100.0) - F.lit(180.0)).alias("lon"),
+        (((k * 104729) % 18000) / F.lit(100.0) - F.lit(90.0)).alias("lat"),
+    )
+    base = rasterize(pts, RASTER_RES)
+    out = local_maxima(base, RASTER_RES, k=HOTSPOT_K, value_col="n")
+    return out.select("cell", F.col("n").cast("long").alias("n"))
+
+
+def _hotspot_sql() -> str:
+    shift = grid.CELL_SHIFT
+    mx = (1 << (RASTER_RES + 1)) - 1
+    my = (1 << RASTER_RES) - 1
+    offs = ", ".join(str(d) for d in range(-HOTSPOT_K, HOTSPOT_K + 1))
+    return f"""WITH pts AS ({_CUST_PTS_SQL}),
+base AS (
+  SELECT {grid.cell_id_sql('lon', 'lat', RASTER_RES)} AS cell, count(*) AS n
+  FROM pts GROUP BY 1
+), nb AS (
+  SELECT (cell // {shift} + dx) * {shift} + (cell % {shift} + dy) AS ncell,
+         n, cell AS src
+  FROM base,
+       LATERAL (SELECT unnest([{offs}]) AS dx),
+       LATERAL (SELECT unnest([{offs}]) AS dy)
+  WHERE cell // {shift} + dx BETWEEN 0 AND {mx}
+    AND cell % {shift} + dy BETWEEN 0 AND {my}
+), w AS (
+  SELECT ncell AS cell, n, src,
+         row_number() OVER (PARTITION BY ncell
+                            ORDER BY n DESC, src ASC) AS rn
+  FROM nb)
+SELECT cell, CAST(n AS BIGINT) AS n FROM w WHERE rn = 1 AND src = cell"""
+
+
 def _raster_morphology_sql() -> str:
     shift = grid.CELL_SHIFT
     mx = (1 << (RASTER_RES + 1)) - 1
@@ -613,6 +662,7 @@ LEFT JOIN ero e ON d.cell = e.cell"""
 
 
 Q_RASTER_MORPHOLOGY_SQL = _raster_morphology_sql()
+Q_HOTSPOT_CELLS_SQL = _hotspot_sql()
 
 
 BLUR_K = 2
@@ -1405,6 +1455,7 @@ SPATIAL_QUERIES = {
     "cell_assign": (q_cell_assign, Q_CELL_ASSIGN_SQL),
     "geohash_assign": (q_geohash_assign, Q_GEOHASH_ASSIGN_SQL),
     "raster_morphology": (q_raster_morphology, Q_RASTER_MORPHOLOGY_SQL),
+    "hotspot_cells": (q_hotspot_cells, Q_HOTSPOT_CELLS_SQL),
     "raster_blur": (q_raster_blur, Q_RASTER_BLUR_SQL),
     "idw_interpolate": (q_idw_interpolate, Q_IDW_INTERPOLATE_SQL),
     "tile_xyz": (q_tile_xyz, Q_TILE_XYZ_SQL),

@@ -3518,6 +3518,43 @@ r AS (
 SELECT id AS doc_id, CAST(min(dist) AS BIGINT) AS dist FROM r GROUP BY 1"""
 
 
+def q_triangles(spark, sf_dir):
+    """Triangle listing over the (undirected-ized) synthetic link graph
+    (operators/graph.py:triangles): degree-ordered compact-forward —
+    O(m^1.5) wedge candidates even on hub-skewed web graphs — vs the
+    oracle's id-ordered brute three-way join: two independent triangle
+    formulations, same (a < b < c) triple set."""
+    from .operators.graph import triangles
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    parts = [
+        d.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * a + b) % n).alias("dst"),
+        )
+        for a, b in ((7, 1), (13, 2), (29, 3))
+    ]
+    e = parts[0]
+    for p in parts[1:]:
+        e = e.unionByName(p)
+    return triangles(e.filter(F.col("src") != F.col("dst")))
+
+
+Q_TRIANGLES_SQL = """WITH n AS (SELECT count(*) AS n FROM documents),
+e0 AS (
+  SELECT doc_id AS src, (doc_id * 7 + 1) % n.n AS dst FROM documents, n
+  UNION SELECT doc_id, (doc_id * 13 + 2) % n.n FROM documents, n
+  UNION SELECT doc_id, (doc_id * 29 + 3) % n.n FROM documents, n),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e0 WHERE src <> dst)
+SELECT e1.a AS a, e1.b AS b, e2.b AS c
+FROM und e1
+JOIN und e2 ON e2.a = e1.b
+JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b"""
+
+
 TEXT_QUERIES = {
     "exact_substr": (q_exact_substr, Q_EXACT_SUBSTR_SQL),
     "gopher_filter": (q_gopher_filter, Q_GOPHER_FILTER_SQL),
@@ -3575,4 +3612,5 @@ TEXT_QUERIES = {
     "cms_counts": (q_cms_counts, Q_CMS_COUNTS_SQL),
     "hll_distinct": (q_hll_distinct, Q_HLL_DISTINCT_SQL),
     "graph_sssp": (q_graph_sssp, Q_GRAPH_SSSP_SQL),
+    "triangles": (q_triangles, Q_TRIANGLES_SQL),
 }

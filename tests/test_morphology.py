@@ -110,3 +110,80 @@ def test_opening_antiextensive_on_border(spark, base_cells):
     base = _df(spark, base_cells)
     opened = {r["cell"] for r in opening(base, RES, 1).collect()}
     assert opened <= base_cells
+
+
+def _np_local_max(vals: dict[int, int], k: int) -> set[int]:
+    """Brute NMS reference: cell wins iff (n, -cell) beats every in-domain
+    neighbor present in the raster."""
+    out = set()
+    for c, n in vals.items():
+        ix, iy = c // CELL_SHIFT, c % CELL_SHIFT
+        best = True
+        for dx in range(-k, k + 1):
+            for dy in range(-k, k + 1):
+                nx, ny = ix + dx, iy + dy
+                if not (0 <= nx <= MX and 0 <= ny <= MY):
+                    continue
+                nc = nx * CELL_SHIFT + ny
+                if nc == c or nc not in vals:
+                    continue
+                if (vals[nc], -nc) > (n, -c):
+                    best = False
+        if best:
+            out.add(c)
+    return out
+
+
+def _vdf(spark, vals):
+    return spark.createDataFrame(
+        [(int(c), int(n)) for c, n in sorted(vals.items())], "cell long, n long"
+    )
+
+
+def test_local_maxima_single_spike(spark):
+    from osm_history_splitter_spark.operators.raster import local_maxima
+
+    center = 10 * CELL_SHIFT + 10
+    vals = {center: 9}
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            if (dx, dy) != (0, 0):
+                vals[(10 + dx) * CELL_SHIFT + 10 + dy] = 3
+    got = {(r["cell"], r["n"]) for r in local_maxima(_vdf(spark, vals), RES, 1).collect()}
+    assert got == {(center, 9)}
+
+
+def test_local_maxima_plateau_tie_lowest_id(spark):
+    """Two adjacent equal maxima: exactly the lower cell id survives."""
+    from osm_history_splitter_spark.operators.raster import local_maxima
+
+    a = 5 * CELL_SHIFT + 5
+    b = 5 * CELL_SHIFT + 6
+    got = {r["cell"] for r in local_maxima(_vdf(spark, {a: 7, b: 7}), RES, 1).collect()}
+    assert got == {a}
+
+
+def test_local_maxima_isolated_cells_all_win(spark):
+    from osm_history_splitter_spark.operators.raster import local_maxima
+
+    vals = {2 * CELL_SHIFT + 2: 1, 20 * CELL_SHIFT + 20: 1, 40 * CELL_SHIFT + 8: 2}
+    got = {r["cell"] for r in local_maxima(_vdf(spark, vals), RES, 2).collect()}
+    assert got == set(vals)
+
+
+@pytest.mark.parametrize("k", [1, 2])
+def test_local_maxima_random_differential(spark, k):
+    from osm_history_splitter_spark.operators.raster import local_maxima
+
+    rng = np.random.default_rng(11)
+    ix = rng.integers(0, MX + 1, 250)
+    iy = rng.integers(0, MY + 1, 250)
+    ns = rng.integers(1, 6, 250)  # small value range: ties are common
+    vals = {}
+    for x, y, n in zip(ix.tolist(), iy.tolist(), ns.tolist()):
+        vals[x * CELL_SHIFT + y] = n
+    got = {
+        (r["cell"], r["n"])
+        for r in local_maxima(_vdf(spark, vals), RES, k).collect()
+    }
+    assert got == {(c, vals[c]) for c in _np_local_max(vals, k)}

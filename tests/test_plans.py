@@ -500,6 +500,29 @@ def test_ring_self_join_is_gid_keyed_hash_join(spark):
     assert "gid" in plan.split("Join")[1][:200], plan
 
 
+def test_triangles_all_equi_joins(spark):
+    """Triangle listing is hash equi-joins only — no cartesian, no
+    nested-loop — and the NMS hotspot op is explode + one agg, no join."""
+    from osm_history_splitter_spark.operators.graph import triangles
+    from osm_history_splitter_spark.operators.raster import local_maxima
+
+    edges = spark.range(100).select(
+        (F.col("id") % 20).alias("src"), (F.col("id") % 13).alias("dst")
+    )
+    plan = plan_of(triangles(edges))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Python" not in plan
+
+    base = spark.range(50).select(
+        (F.col("id") * 4294967296 + F.col("id") % 32).alias("cell"),
+        (F.col("id") % 5 + 1).alias("n"),
+    )
+    nms = plan_of(local_maxima(base, 5, 2))
+    assert "Join" not in nms, nms
+    assert nms.count("Exchange hashpartitioning") == 1, nms
+
+
 def test_box_blur_is_two_pass_and_morphology_one(spark):
     """The separable blur does exactly its two aggregate shuffles; dilate
     does exactly one distinct shuffle — no hidden joins or extra rounds."""
