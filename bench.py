@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "ring_simple",
     "triangles",
     "hotspot_cells",
+    "co_citation",
 ]
 
 

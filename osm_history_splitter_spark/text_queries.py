@@ -3518,6 +3518,111 @@ r AS (
 SELECT id AS doc_id, CAST(min(dist) AS BIGINT) AS dist FROM r GROUP BY 1"""
 
 
+#: per-doc distinct-host cap for the co-citation projection — bounds the
+#: in-row pair fan-out at CAP·(CAP-1)/2 regardless of how link-spammy a
+#: page is (deterministic: hosts sorted, first CAP kept)
+COCITE_CAP = 8
+
+
+def _ordered_pairs_expr():
+    """All ordered pairs (i < j) of the ``capped`` array, generated
+    in-row by an indexed lambda — the pair expansion the co-citation
+    projection uses instead of a self-join."""
+    return F.expr(
+        "flatten(transform(capped, (x, i) -> "
+        "transform(slice(capped, i + 2, size(capped)), "
+        "y -> struct(x AS h1, y AS h2))))"
+    )
+
+
+def q_co_citation(spark, sf_dir):
+    """Host co-citation graph — which host pairs are linked by the same
+    document (the "related domains" / item-item co-occurrence projection
+    of the link graph). Pages get 0-4 deterministic anchors; per doc the
+    DISTINCT target hosts are sorted, capped at COCITE_CAP, and paired
+    INSIDE the row (an indexed-lambda pair expansion over the array —
+    the bipartite-projection join never happens), then one
+    map-side-combinable groupBy counts co-citing docs per (h1 < h2).
+
+    Scale shape: zero joins; the only shuffle carries ≤ C(CAP,2) rows
+    per doc. The cap is the standard defense against link-farm pages
+    whose k hosts would otherwise fan out k² pairs; hub-pair skew lands
+    in a combinable count. Twin: per-doc self-join over the same
+    row_number-capped host set."""
+    k = F.col("doc_id")
+    n_links = (k % 5).cast("int")
+    anchors = F.when(
+        n_links > 0,
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), n_links - 1),
+                lambda j: F.concat(
+                    F.lit('<a href="https://h'),
+                    ((k * 11 + j * 17) % 40).cast("string"),
+                    F.lit('.example.org/p/'),
+                    ((k + j) % 1000).cast("string"),
+                    F.lit('">x</a>'),
+                ),
+            ),
+            "",
+        ),
+    ).otherwise(F.lit(""))
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.col("text"), anchors).alias("html2")
+    )
+    hosts = d.select(
+        F.slice(
+            F.array_sort(
+                F.array_distinct(
+                    F.transform(
+                        F.regexp_extract_all(
+                            F.col("html2"),
+                            F.lit('<a href="([^"]+)"'),
+                            1,
+                        ),
+                        lambda h: F.lower(
+                            F.regexp_extract(h, "^https?://([^/]+)", 1)
+                        ),
+                    )
+                )
+            ),
+            1,
+            COCITE_CAP,
+        ).alias("capped")
+    )
+    pairs = hosts.select(F.explode(_ordered_pairs_expr()).alias("p")).select(
+        "p.h1", "p.h2"
+    )
+    return pairs.groupBy("h1", "h2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+
+
+Q_CO_CITATION_SQL = f"""WITH d AS (
+  SELECT doc_id,
+         text || array_to_string(
+           list_transform(range(0, doc_id % 5), j ->
+             '<a href="https://h' || CAST((doc_id * 11 + j * 17) % 40 AS VARCHAR)
+             || '.example.org/p/' || CAST((doc_id + j) % 1000 AS VARCHAR)
+             || '">x</a>'), '') AS html2
+  FROM documents),
+links AS (
+  SELECT doc_id,
+         lower(regexp_extract(
+           unnest(regexp_extract_all(html2, '<a href="([^"]+)"', 1)),
+           '^https?://([^/]+)', 1)) AS h
+  FROM d),
+dh AS (SELECT DISTINCT doc_id, h FROM links),
+ranked AS (
+  SELECT doc_id, h,
+         row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn
+  FROM dh),
+capped AS (SELECT doc_id, h FROM ranked WHERE rn <= {COCITE_CAP})
+SELECT a.h AS h1, b.h AS h2, CAST(count(*) AS BIGINT) AS n_docs
+FROM capped a JOIN capped b ON a.doc_id = b.doc_id AND a.h < b.h
+GROUP BY 1, 2"""
+
+
 def q_triangles(spark, sf_dir):
     """Triangle listing over the (undirected-ized) synthetic link graph
     (operators/graph.py:triangles): degree-ordered compact-forward —
@@ -3613,4 +3718,5 @@ TEXT_QUERIES = {
     "hll_distinct": (q_hll_distinct, Q_HLL_DISTINCT_SQL),
     "graph_sssp": (q_graph_sssp, Q_GRAPH_SSSP_SQL),
     "triangles": (q_triangles, Q_TRIANGLES_SQL),
+    "co_citation": (q_co_citation, Q_CO_CITATION_SQL),
 }

@@ -500,6 +500,17 @@ def test_ring_self_join_is_gid_keyed_hash_join(spark):
     assert "gid" in plan.split("Join")[1][:200], plan
 
 
+def test_co_citation_is_joinless_single_shuffle(spark, testdata_sf):
+    """The bipartite projection happens INSIDE the row (indexed-lambda
+    pair expansion): no join anywhere, one agg shuffle, no Python."""
+    from osm_history_splitter_spark.text_queries import q_co_citation
+
+    plan = plan_of(q_co_citation(spark, testdata_sf))
+    assert "Join" not in plan, plan
+    assert "Python" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
 def test_triangles_all_equi_joins(spark):
     """Triangle listing is hash equi-joins only — no cartesian, no
     nested-loop — and the NMS hotspot op is explode + one agg, no join."""

@@ -119,3 +119,28 @@ def test_sssp_random_differential(spark):
             assert _spark_sssp(spark, edges, 0, hops) == _py_bf(
                 edges, 0, hops
             ), (seed, hops)
+
+
+def test_co_citation_cap_binds_deterministically(spark):
+    """A 12-host page under CAP=8: exactly C(8,2)=28 pairs, from the 8
+    lexicographically-first hosts — the link-farm defense path the
+    synthetic corpus (<= 4 hosts/doc) never exercises."""
+    import itertools
+
+    from osm_history_splitter_spark.text_queries import (
+        COCITE_CAP,
+        _ordered_pairs_expr,
+    )
+
+    hosts = [f"h{i:02d}" for i in reversed(range(12))]
+    df = spark.createDataFrame([(hosts,)], "raw array<string>")
+    out = (
+        df.select(
+            F.slice(F.array_sort("raw"), 1, COCITE_CAP).alias("capped")
+        )
+        .select(F.explode(_ordered_pairs_expr()).alias("p"))
+        .select("p.h1", "p.h2")
+    )
+    got = {(r["h1"], r["h2"]) for r in out.collect()}
+    want = set(itertools.combinations(sorted(hosts)[:COCITE_CAP], 2))
+    assert got == want and len(got) == 28
