@@ -32,6 +32,7 @@ __all__ = [
     "sessionize_stream",
     "dedup_stream",
     "interval_join_stream",
+    "cms_sketch_stream",
     "SESSION_GAP_SEC",
 ]
 
@@ -71,6 +72,24 @@ def hourly_rollup_stream(
             "sum_cents",
         )
     )
+
+
+def cms_sketch_stream(docs: DataFrame) -> DataFrame:
+    """Streaming count-min sketch over a document stream — the streaming
+    twin of the batch sketch in ``text_queries.cms_sketch`` (it IS that
+    function applied to an unbounded frame; identity by construction).
+
+    The state is the sketch itself: ≤ DEPTH·WIDTH counter rows total,
+    REGARDLESS of stream length — the rare aggregation whose state never
+    grows, which is exactly why sketches are the right way to track
+    token/URL/host frequencies on an endless crawl. Run it in
+    ``complete`` output mode: the whole (tiny) sketch re-emits per
+    trigger, so the sink always holds the current frequency state and a
+    drained backlog equals the batch sketch row-for-row
+    (tests/test_streaming_stateful.py)."""
+    from ..text_queries import cms_sketch
+
+    return cms_sketch(docs)
 
 
 def _make_session_fn(evict_ms: int):

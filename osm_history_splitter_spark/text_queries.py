@@ -3282,6 +3282,31 @@ def _cms_cell(i: int, w):
     )
 
 
+def cms_sketch(docs):
+    """The CMS state builder over a ``documents``-shaped frame (needs
+    ``text``): (i, cell, n) counter rows, ≤ DEPTH·WIDTH of them. Shared
+    verbatim by the batch query and the streaming twin
+    (``streaming/stateful.py:cms_sketch_stream``) — the operator IS this
+    expression, so stream/batch identity is by construction."""
+    words = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    cells = words.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        _cms_cell(i, F.col("w")).alias("cell"),
+                    )
+                    for i in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("c")
+    ).select("c.i", "c.cell")
+    return cells.groupBy("i", "cell").agg(F.count(F.lit(1)).alias("n"))
+
+
 def q_cms_counts(spark, sf_dir):
     """Count-min-sketch token frequencies — the heavy-hitter primitive
     for 100-TB vocabularies. An exact token count shuffles every distinct
@@ -3297,25 +3322,12 @@ def q_cms_counts(spark, sf_dir):
     probe side joins against ≤ DEPTH·WIDTH rows (AQE broadcasts it), so
     the estimate step never reshuffles the corpus."""
     d = _t(spark, sf_dir, "documents")
-    words = d.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
-    ).filter(F.col("w") != "")
-    cells = words.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("i"),
-                        _cms_cell(i, F.col("w")).alias("cell"),
-                    )
-                    for i in range(CMS_DEPTH)
-                ]
-            )
-        ).alias("c")
-    ).select("c.i", "c.cell")
-    sketch = cells.groupBy("i", "cell").agg(F.count(F.lit(1)).alias("n"))
+    sketch = cms_sketch(d)
     probe = (
-        words.filter(F.col("doc_id") % 499 == 1).select("w").distinct()
+        d.filter(F.col("doc_id") % 499 == 1)
+        .select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
     )
     probe_cells = probe.select(
         "w",

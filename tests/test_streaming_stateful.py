@@ -255,3 +255,35 @@ def test_streaming_document_filters_match_batch(spark, tmp_path):
         for r in tq.q_c4_filter(spark, SF).collect()
     )
     assert got == want and len(want) > 0  # full flag frame, per doc
+
+
+def test_cms_sketch_stream_matches_batch(spark, tmp_path):
+    """The streaming CMS in complete mode over a drained doc backlog must
+    equal the batch sketch row-for-row — bounded-state (<= depth*width
+    counters) frequency tracking on an endless crawl."""
+    from osm_history_splitter_spark.streaming.stateful import cms_sketch_stream
+    from osm_history_splitter_spark.text_queries import cms_sketch
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    src = str(tmp_path / "cms_src")
+    docs.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+
+    q = (
+        cms_sketch_stream(stream)
+        .writeStream.format("memory")
+        .queryName("cms_sink")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck_cms"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["i"], r["cell"]): r["n"]
+        for r in spark.sql("SELECT * FROM cms_sink").collect()
+    }
+    want = {
+        (r["i"], r["cell"]): r["n"] for r in cms_sketch(docs).collect()
+    }
+    assert got == want and len(want) > 100
