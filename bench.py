@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "triangles",
     "hotspot_cells",
     "co_citation",
+    "token_quantiles",
 ]
 
 

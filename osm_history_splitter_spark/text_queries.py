@@ -3261,6 +3261,70 @@ SELECT src_host,
 FROM links GROUP BY 1, 2"""
 
 
+#: the exact quantile ranks reported by q_token_quantiles (per mille)
+QUANTILES_PM = (500, 900, 990)
+
+
+def q_token_quantiles(spark, sf_dir):
+    """EXACT per-lang token-count quantiles (p50/p90/p99) without a
+    global sort — the histogram-selection trick that makes exact order
+    statistics scale: per-doc token counts collapse into a (lang, value)
+    histogram first (map-side combinable; cardinality = distinct counts,
+    not docs), a per-lang cumulative window walks the tiny histogram,
+    and the quantile is the first value whose cumsum reaches
+    ``ceil(q·n)`` — the lower discrete quantile, an actual member of the
+    data, so the twin hashes exactly. A 10^12-doc corpus with ~10^5
+    distinct lengths sorts 10^5 rows per lang, not 10^12.
+
+    Scale shape: one histogram shuffle + one per-lang window over the
+    bounded histogram; no percentile_approx (approximate, sketch bytes
+    engine-specific), no full sort."""
+    d = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    hist = (
+        d.select("lang", F.size(F.split("text", " ")).alias("v"))
+        .groupBy("lang", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("lang").orderBy("v")
+    cum = hist.select(
+        "lang",
+        "v",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(
+            Window.partitionBy("lang").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    picks = [
+        F.min(
+            F.when(F.col("cum") * 1000 >= F.col("n") * pm, F.col("v"))
+        ).cast("long").alias(f"p{pm}")
+        for pm in QUANTILES_PM
+    ]
+    return cum.groupBy("lang").agg(
+        F.max("n").cast("long").alias("n_docs"), *picks
+    )
+
+
+Q_TOKEN_QUANTILES_SQL = """WITH h AS (
+  SELECT lang, len(string_split(text, ' ')) AS v, count(*) AS c
+  FROM documents GROUP BY 1, 2),
+cum AS (
+  SELECT lang, v,
+         sum(c) OVER (PARTITION BY lang ORDER BY v) AS cum,
+         sum(c) OVER (PARTITION BY lang) AS n
+  FROM h)
+SELECT lang,
+       CAST(max(n) AS BIGINT) AS n_docs,
+       CAST(min(CASE WHEN cum * 1000 >= n * 500 THEN v END) AS BIGINT) AS p500,
+       CAST(min(CASE WHEN cum * 1000 >= n * 900 THEN v END) AS BIGINT) AS p900,
+       CAST(min(CASE WHEN cum * 1000 >= n * 990 THEN v END) AS BIGINT) AS p990
+FROM cum GROUP BY 1"""
+
+
 #: count-min sketch geometry — depth × width bounds the shuffle to
 #: DEPTH·WIDTH cells per map partition REGARDLESS of corpus size
 CMS_DEPTH = 4
@@ -3731,4 +3795,5 @@ TEXT_QUERIES = {
     "graph_sssp": (q_graph_sssp, Q_GRAPH_SSSP_SQL),
     "triangles": (q_triangles, Q_TRIANGLES_SQL),
     "co_citation": (q_co_citation, Q_CO_CITATION_SQL),
+    "token_quantiles": (q_token_quantiles, Q_TOKEN_QUANTILES_SQL),
 }

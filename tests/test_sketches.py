@@ -144,3 +144,27 @@ def test_co_citation_cap_binds_deterministically(spark):
     got = {(r["h1"], r["h2"]) for r in out.collect()}
     want = set(itertools.combinations(sorted(hosts)[:COCITE_CAP], 2))
     assert got == want and len(got) == 28
+
+
+def test_token_quantiles_match_sorted_reference(spark, testdata_sf):
+    """Exact lower-discrete quantiles: histogram-selection must equal
+    the sort-everything definition v[ceil(q*n)-1] per lang."""
+    import math
+
+    from osm_history_splitter_spark.text_queries import (
+        QUANTILES_PM,
+        q_token_quantiles,
+    )
+
+    got = {r["lang"]: r for r in q_token_quantiles(spark, testdata_sf).collect()}
+    d = spark.read.parquet(f"{testdata_sf}/documents.parquet")
+    vals = {}
+    for r in d.select("lang", F.size(F.split("text", " ")).alias("v")).collect():
+        vals.setdefault(r["lang"], []).append(r["v"])
+    assert set(got) == set(vals)
+    for lang, vs in vals.items():
+        vs.sort()
+        assert got[lang]["n_docs"] == len(vs)
+        for pm in QUANTILES_PM:
+            want = vs[math.ceil(pm * len(vs) / 1000) - 1]
+            assert got[lang][f"p{pm}"] == want, (lang, pm)
