@@ -3442,6 +3442,40 @@ HLL_M = 256
 _HLL_EST_NUM = 7213 * HLL_M * HLL_M * (1 << 25)
 
 
+def hll_registers(docs):
+    """The HLL state builder over a ``documents``-shaped frame: per
+    (lang, register) max rank — (lang, reg, m) rows, ≤ |langs|·HLL_M of
+    them. MERGEABLE: the state of a union of shards is the per-register
+    max of the shards' states (max is associative/commutative/idempotent),
+    so 1000 executors can sketch 1000 partitions independently and merge
+    for free — the property tests/test_sketches.py certifies. Shared by
+    the batch query; the same mergeability argument makes the CMS twin
+    (``cms_sketch``) additive (sum) across shards."""
+    words = docs.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("hll:"), F.col("w")).cast("binary")), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    hashed = words.select("lang", h.alias("h")).select(
+        "lang",
+        (F.col("h") % HLL_M).alias("reg"),
+        F.expr(f"h div {HLL_M}").alias("v"),
+    )
+    bits_len = sum(
+        F.when(F.col("v") >= (1 << k), 1).otherwise(0) for k in range(24)
+    )
+    return (
+        hashed.select("lang", "reg", (F.lit(25) - bits_len).alias("rho"))
+        .groupBy("lang", "reg")
+        .agg(F.max("rho").alias("m"))
+    )
+
+
 def q_hll_distinct(spark, sf_dir):
     """HyperLogLog distinct-token estimation per language — the
     approx-distinct primitive (Spark's own approx_count_distinct is
@@ -3466,29 +3500,7 @@ def q_hll_distinct(spark, sf_dir):
     distinct-cardinality question answered with a bounded shuffle, the
     same trick the CMS plays for frequencies."""
     d = _t(spark, sf_dir, "documents")
-    words = d.select(
-        "lang", F.explode(F.split(F.col("text"), " ")).alias("w")
-    ).filter(F.col("w") != "")
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit("hll:"), F.col("w")).cast("binary")), 1, 8
-        ),
-        16,
-        10,
-    ).cast("long")
-    hashed = words.select("lang", h.alias("h")).select(
-        "lang",
-        (F.col("h") % HLL_M).alias("reg"),
-        F.expr(f"h div {HLL_M}").alias("v"),
-    )
-    bits_len = sum(
-        F.when(F.col("v") >= (1 << k), 1).otherwise(0) for k in range(24)
-    )
-    regs = (
-        hashed.select("lang", "reg", (F.lit(25) - bits_len).alias("rho"))
-        .groupBy("lang", "reg")
-        .agg(F.max("rho").alias("m"))
-    )
+    regs = hll_registers(d)
     per_lang = regs.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("m_used"),
         F.sum(

@@ -168,3 +168,36 @@ def test_token_quantiles_match_sorted_reference(spark, testdata_sf):
         for pm in QUANTILES_PM:
             want = vs[math.ceil(pm * len(vs) / 1000) - 1]
             assert got[lang][f"p{pm}"] == want, (lang, pm)
+
+
+def test_sketch_states_merge_across_shards(spark, testdata_sf):
+    """The 100-TB posture of both sketches is shard-parallel build +
+    free merge: CMS states are ADDITIVE (sum per cell), HLL states are
+    MAX-mergeable (per register). Split the corpus in two, build each
+    half's state, merge — must equal the whole-corpus state exactly."""
+    from osm_history_splitter_spark.text_queries import (
+        cms_sketch,
+        hll_registers,
+    )
+
+    d = spark.read.parquet(f"{testdata_sf}/documents.parquet")
+    a, b = d.filter(F.col("doc_id") % 2 == 0), d.filter(F.col("doc_id") % 2 == 1)
+
+    whole = {(r["i"], r["cell"]): r["n"] for r in cms_sketch(d).collect()}
+    merged: dict = {}
+    for half in (a, b):
+        for r in cms_sketch(half).collect():
+            merged[(r["i"], r["cell"])] = (
+                merged.get((r["i"], r["cell"]), 0) + r["n"]
+            )
+    assert merged == whole
+
+    whole_h = {
+        (r["lang"], r["reg"]): r["m"] for r in hll_registers(d).collect()
+    }
+    merged_h: dict = {}
+    for half in (a, b):
+        for r in hll_registers(half).collect():
+            k = (r["lang"], r["reg"])
+            merged_h[k] = max(merged_h.get(k, 0), r["m"])
+    assert merged_h == whole_h
