@@ -33,6 +33,7 @@ __all__ = [
     "dedup_stream",
     "interval_join_stream",
     "cms_sketch_stream",
+    "hll_registers_stream",
     "SESSION_GAP_SEC",
 ]
 
@@ -90,6 +91,19 @@ def cms_sketch_stream(docs: DataFrame) -> DataFrame:
     from ..text_queries import cms_sketch
 
     return cms_sketch(docs)
+
+
+def hll_registers_stream(docs: DataFrame) -> DataFrame:
+    """Streaming HyperLogLog registers — the distinct-cardinality twin of
+    :func:`cms_sketch_stream`, same bounded-state argument: the per-lang
+    register table tops out at |langs|·256 rows no matter how long the
+    crawl runs, and ``max`` is idempotent, so complete mode re-emits the
+    exact current state per trigger. A drained backlog equals the batch
+    ``text_queries.hll_registers`` row-for-row (shared builder —
+    identity by construction)."""
+    from ..text_queries import hll_registers
+
+    return hll_registers(docs)
 
 
 def _make_session_fn(evict_ms: int):

@@ -287,3 +287,37 @@ def test_cms_sketch_stream_matches_batch(spark, tmp_path):
         (r["i"], r["cell"]): r["n"] for r in cms_sketch(docs).collect()
     }
     assert got == want and len(want) > 100
+
+
+def test_hll_registers_stream_matches_batch(spark, tmp_path):
+    """Streaming HLL in complete mode over a drained doc backlog equals
+    the batch register state — bounded (<= |langs|*256 rows) distinct
+    tracking on an endless crawl, the cardinality twin of the CMS."""
+    from osm_history_splitter_spark.streaming.stateful import (
+        hll_registers_stream,
+    )
+    from osm_history_splitter_spark.text_queries import hll_registers
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    src = str(tmp_path / "hll_src")
+    docs.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+
+    q = (
+        hll_registers_stream(stream)
+        .writeStream.format("memory")
+        .queryName("hll_sink")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck_hll"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["lang"], r["reg"]): r["m"]
+        for r in spark.sql("SELECT * FROM hll_sink").collect()
+    }
+    want = {
+        (r["lang"], r["reg"]): r["m"] for r in hll_registers(docs).collect()
+    }
+    assert got == want and len(want) > 50
