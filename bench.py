@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "hotspot_cells",
     "co_citation",
     "token_quantiles",
+    "od_matrix",
 ]
 
 

@@ -585,6 +585,102 @@ def q_raster_morphology(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin→destination flow matrix — the spatio-temporal composition:
+    sessionize (30-min gap, the q_sessionize expression verbatim) ×
+    grid cell encode (deterministic per-event positions, the synthetic
+    lat/lon convention) × flow aggregation. Each session contributes one
+    trip from its FIRST event's cell to its LAST event's cell (order =
+    (ts, event_id), dual row_number marks — no self-join); flows are the
+    per-(o_cell, d_cell) trip counts, the mobility-analytics primitive
+    (commute matrices, tile-to-tile demand).
+
+    Scale shape: ONE shuffle by user_id feeds both the session windows
+    and the first/last marks; the flow groupBy is map-side combinable
+    and its cardinality is bounded by cells², not trips."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    k, e = F.col("user_id"), F.col("event_id")
+    lon = ((k * 7919 + e * 13) % 36000) / F.lit(100.0) - F.lit(180.0)
+    lat = ((k * 104729 + e * 29) % 18000) / F.lit(100.0) - F.lit(90.0)
+    pos = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        grid.cell_id_expr(lon, lat, RASTER_RES).alias("cell"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = pos.withColumn(
+        "new_sess",
+        F.when(
+            F.unix_timestamp(F.col("ts"))
+            - F.lag(F.unix_timestamp(F.col("ts")), 1, 0).over(w)
+            > 1800,
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "sess_no",
+        F.sum("new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long"),
+    )
+    w2 = Window.partitionBy("user_id", "sess_no").orderBy("ts", "event_id")
+    w2d = Window.partitionBy("user_id", "sess_no").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    marked = sess.select(
+        "user_id",
+        "sess_no",
+        "cell",
+        F.row_number().over(w2).alias("rn"),
+        F.row_number().over(w2d).alias("rnd"),
+    )
+    od = marked.groupBy("user_id", "sess_no").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("cell"))).alias("o_cell"),
+        F.max(F.when(F.col("rnd") == 1, F.col("cell"))).alias("d_cell"),
+    )
+    return od.groupBy("o_cell", "d_cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_trips")
+    )
+
+
+def _od_matrix_sql() -> str:
+    cell = grid.cell_id_sql(
+        "((user_id * 7919 + event_id * 13) % 36000) / 100.0 - 180.0",
+        "((user_id * 104729 + event_id * 29) % 18000) / 100.0 - 90.0",
+        RASTER_RES,
+    )
+    return f"""WITH pos AS (
+  SELECT user_id, event_id, ts, {cell} AS cell FROM events),
+g AS (
+  SELECT *, CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+          - lag(CAST(floor(epoch(ts)) AS BIGINT), 1, 0)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+      THEN 1 ELSE 0 END AS new_sess
+  FROM pos),
+s0 AS (
+  SELECT user_id, event_id, ts, cell,
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS sess_no
+  FROM g),
+s AS (
+  SELECT user_id, sess_no, cell,
+         row_number() OVER (PARTITION BY user_id, sess_no
+                            ORDER BY ts, event_id) AS rn,
+         row_number() OVER (PARTITION BY user_id, sess_no
+                            ORDER BY ts DESC, event_id DESC) AS rnd
+  FROM s0),
+od AS (
+  SELECT user_id, sess_no,
+         max(CASE WHEN rn = 1 THEN cell END) AS o_cell,
+         max(CASE WHEN rnd = 1 THEN cell END) AS d_cell
+  FROM s GROUP BY 1, 2)
+SELECT o_cell, d_cell, CAST(count(*) AS BIGINT) AS n_trips
+FROM od GROUP BY 1, 2"""
+
+
 #: hotspot NMS neighborhood radius (Chebyshev cells)
 HOTSPOT_K = 2
 
@@ -663,6 +759,7 @@ LEFT JOIN ero e ON d.cell = e.cell"""
 
 Q_RASTER_MORPHOLOGY_SQL = _raster_morphology_sql()
 Q_HOTSPOT_CELLS_SQL = _hotspot_sql()
+Q_OD_MATRIX_SQL = _od_matrix_sql()
 
 
 BLUR_K = 2
@@ -1456,6 +1553,7 @@ SPATIAL_QUERIES = {
     "geohash_assign": (q_geohash_assign, Q_GEOHASH_ASSIGN_SQL),
     "raster_morphology": (q_raster_morphology, Q_RASTER_MORPHOLOGY_SQL),
     "hotspot_cells": (q_hotspot_cells, Q_HOTSPOT_CELLS_SQL),
+    "od_matrix": (q_od_matrix, Q_OD_MATRIX_SQL),
     "raster_blur": (q_raster_blur, Q_RASTER_BLUR_SQL),
     "idw_interpolate": (q_idw_interpolate, Q_IDW_INTERPOLATE_SQL),
     "tile_xyz": (q_tile_xyz, Q_TILE_XYZ_SQL),

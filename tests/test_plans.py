@@ -511,6 +511,19 @@ def test_co_citation_is_joinless_single_shuffle(spark, testdata_sf):
     assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
+def test_od_matrix_two_shuffles_no_join(spark, testdata_sf):
+    """Sessionize + first/last marks + flow agg: the user_id Exchange
+    feeds ALL the windows (the (user, sess_no) windows re-sort but never
+    re-shuffle — hash(user) already clusters them), so the whole OD
+    pipeline is exactly two Exchanges and zero joins."""
+    from osm_history_splitter_spark.oracle_queries import q_od_matrix
+
+    plan = plan_of(q_od_matrix(spark, testdata_sf))
+    assert "Join" not in plan, plan
+    assert "Python" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
 def test_triangles_all_equi_joins(spark):
     """Triangle listing is hash equi-joins only — no cartesian, no
     nested-loop — and the NMS hotspot op is explode + one agg, no join."""
