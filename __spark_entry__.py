@@ -75,6 +75,7 @@ _DRIVER_EXCLUDE = {
     "co_citation",  # same: window full; twin certified there too
     "token_quantiles",  # same: window full; twin certified there too
     "od_matrix",  # same: window full; twin certified there too
+    "morans_i",  # same: window full; twin certified there too
     "bm25_topk",  # ln() ulps differ across engines — pytest compares
     # rounded scores (tests/test_bm25.py); the exact-hash gate would
     # flake on the last decimal

@@ -34,6 +34,7 @@ from .spatial_join import assign_extracts
 __all__ = [
     "rasterize",
     "local_maxima",
+    "morans_i",
     "cell_bounds",
     "raster_to_points",
     "zonal_stats",
@@ -213,6 +214,76 @@ def local_maxima(
     )
     return win.filter(F.col("m.negsrc") == -F.col("cell")).select(
         "cell", F.col("m.v").alias(value_col)
+    )
+
+
+def morans_i(
+    raster: DataFrame, res: int, k: int = 1, value_col: str = "n"
+) -> DataFrame:
+    """Global Moran's I — THE spatial-autocorrelation statistic (clustered
+    vs dispersed vs random), over the OCCUPIED cells of a density raster
+    with binary Chebyshev-``k`` adjacency weights (k=1 = queen
+    contiguity): w_ij = 1 iff i ≠ j, both occupied, Chebyshev(i,j) <= k.
+
+        I = (n / W) · Σ_ij w_ij (x_i - x̄)(x_j - x̄) / Σ_i (x_i - x̄)²
+
+    Returns ONE row of exact BIGINTs — (n_cells, w_sum, i_num, i_den)
+    with I = i_num / i_den — instead of a float: with d_i = n·x_i - S
+    (S = Σx, so d_i = n²·(x_i - x̄) up to the shared 1/n factor, which
+    cancels in the ratio), i_num = n · Σ_ij w_ij d_i d_j and
+    i_den = W · Σ_i d_i², all integer arithmetic, so Spark, DuckDB and
+    the pure-Python reference agree bit-for-bit (no float-hash risk).
+    Overflow headroom: |d_i| <= n·max(x), so i_num <= n·W·(n·max(x))² —
+    fine for rasters up to ~10⁵ occupied cells of small counts; gridded
+    densities at any res are far below that per statistic.
+
+    Scale shape: one (2k+1)²-explode of (cell, d) scattered to the
+    neighborhood, one cell-keyed equi-join back against the d-table
+    (both sides hash-partitioned by cell), then single-row global aggs —
+    no cross join, driver sees only the 1-row result. The tiny (n, S)
+    stats row rides in via a broadcast nested-loop join (1 row × n).
+
+    Expects DISTINCT cells with integer ``value_col`` (any
+    :func:`rasterize` count band is)."""
+    base = raster.select("cell", F.col(value_col).cast("long").alias("x"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("x").alias("s"),
+    )
+    d = (
+        base.join(F.broadcast(stats))
+        .select(
+            "cell",
+            "n_cells",
+            (F.col("n_cells") * F.col("x") - F.col("s")).alias("d"),
+        )
+    )
+    nb = _neighbor_cells(d.select("cell", F.col("d")), k, res, carry=("d",))
+    pairs = (
+        nb.filter(F.col("cell") != F.col("src_cell"))
+        .withColumnRenamed("d", "d_src")
+        .join(d.select("cell", F.col("d").alias("d_dst")), "cell")
+    )
+    pair_agg = pairs.agg(
+        F.count(F.lit(1)).alias("w_sum"),
+        F.coalesce(F.sum(F.col("d_src") * F.col("d_dst")), F.lit(0)).alias(
+            "num_core"
+        ),
+    )
+    den_agg = d.agg(
+        F.max("n_cells").alias("n_cells"),
+        F.sum(F.col("d") * F.col("d")).alias("den_core"),
+    )
+    return (
+        den_agg.join(F.broadcast(pair_agg))
+        .select(
+            F.col("n_cells").cast("long").alias("n_cells"),
+            F.col("w_sum").cast("long").alias("w_sum"),
+            (F.col("n_cells") * F.col("num_core"))
+            .cast("long")
+            .alias("i_num"),
+            (F.col("w_sum") * F.col("den_core")).cast("long").alias("i_den"),
+        )
     )
 
 

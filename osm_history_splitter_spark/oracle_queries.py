@@ -757,9 +757,68 @@ LEFT JOIN base b ON d.cell = b.cell
 LEFT JOIN ero e ON d.cell = e.cell"""
 
 
+def q_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Moran's I (operators/raster.py:morans_i) over the customer
+    density raster with queen (Chebyshev-1) contiguity — the standard
+    clustered-vs-dispersed spatial-autocorrelation statistic, emitted as
+    exact integers (i_num, i_den with I = i_num/i_den) so the DuckDB twin
+    hash-matches without float risk. The twin replays the same scatter +
+    cell equi-join in SQL."""
+    from .operators.raster import morans_i, rasterize
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    pts = c.select(
+        (((k * 7919) % 36000) / F.lit(100.0) - F.lit(180.0)).alias("lon"),
+        (((k * 104729) % 18000) / F.lit(100.0) - F.lit(90.0)).alias("lat"),
+    )
+    base = rasterize(pts, RASTER_RES)
+    return morans_i(base, RASTER_RES, k=1, value_col="n")
+
+
+def _morans_i_sql() -> str:
+    shift = grid.CELL_SHIFT
+    mx = (1 << (RASTER_RES + 1)) - 1
+    my = (1 << RASTER_RES) - 1
+    return f"""WITH pts AS ({_CUST_PTS_SQL}),
+base AS (
+  SELECT {grid.cell_id_sql('lon', 'lat', RASTER_RES)} AS cell,
+         CAST(count(*) AS BIGINT) AS x
+  FROM pts GROUP BY 1
+), st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_cells, CAST(sum(x) AS BIGINT) AS s
+  FROM base
+), d AS (
+  SELECT cell, st.n_cells * x - st.s AS d FROM base, st
+), nb AS (
+  SELECT (cell // {shift} + dx) * {shift} + (cell % {shift} + dy) AS ncell,
+         cell AS src, d AS d_src
+  FROM d,
+       LATERAL (SELECT unnest([-1, 0, 1]) AS dx),
+       LATERAL (SELECT unnest([-1, 0, 1]) AS dy)
+  WHERE NOT (dx = 0 AND dy = 0)
+    AND cell // {shift} + dx BETWEEN 0 AND {mx}
+    AND cell % {shift} + dy BETWEEN 0 AND {my}
+), pr AS (
+  SELECT nb.d_src, d2.d AS d_dst FROM nb JOIN d d2 ON d2.cell = nb.ncell
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS w_sum,
+         CAST(coalesce(sum(d_src * d_dst), 0) AS BIGINT) AS num_core
+  FROM pr
+), den AS (
+  SELECT CAST(sum(d * d) AS BIGINT) AS den_core FROM d
+)
+SELECT st.n_cells,
+       agg.w_sum,
+       CAST(st.n_cells * agg.num_core AS BIGINT) AS i_num,
+       CAST(agg.w_sum * den.den_core AS BIGINT) AS i_den
+FROM st, agg, den"""
+
+
 Q_RASTER_MORPHOLOGY_SQL = _raster_morphology_sql()
 Q_HOTSPOT_CELLS_SQL = _hotspot_sql()
 Q_OD_MATRIX_SQL = _od_matrix_sql()
+Q_MORANS_I_SQL = _morans_i_sql()
 
 
 BLUR_K = 2
@@ -1554,6 +1613,7 @@ SPATIAL_QUERIES = {
     "raster_morphology": (q_raster_morphology, Q_RASTER_MORPHOLOGY_SQL),
     "hotspot_cells": (q_hotspot_cells, Q_HOTSPOT_CELLS_SQL),
     "od_matrix": (q_od_matrix, Q_OD_MATRIX_SQL),
+    "morans_i": (q_morans_i, Q_MORANS_I_SQL),
     "raster_blur": (q_raster_blur, Q_RASTER_BLUR_SQL),
     "idw_interpolate": (q_idw_interpolate, Q_IDW_INTERPOLATE_SQL),
     "tile_xyz": (q_tile_xyz, Q_TILE_XYZ_SQL),
