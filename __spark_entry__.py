@@ -76,6 +76,7 @@ _DRIVER_EXCLUDE = {
     "token_quantiles",  # same: window full; twin certified there too
     "od_matrix",  # same: window full; twin certified there too
     "morans_i",  # same: window full; twin certified there too
+    "getis_hotspots",  # same: window full; twin certified there too
     "bm25_topk",  # ln() ulps differ across engines — pytest compares
     # rounded scores (tests/test_bm25.py); the exact-hash gate would
     # flake on the last decimal

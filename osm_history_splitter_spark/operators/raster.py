@@ -35,6 +35,7 @@ __all__ = [
     "rasterize",
     "local_maxima",
     "morans_i",
+    "getis_ord_g",
     "cell_bounds",
     "raster_to_points",
     "zonal_stats",
@@ -283,6 +284,74 @@ def morans_i(
             .cast("long")
             .alias("i_num"),
             (F.col("w_sum") * F.col("den_core")).cast("long").alias("i_den"),
+        )
+    )
+
+
+def getis_ord_g(
+    raster: DataFrame, res: int, k: int = 1, value_col: str = "n"
+) -> DataFrame:
+    """Getis-Ord Gi* — the LOCAL hotspot statistic (the per-cell
+    complement of :func:`morans_i`'s global score): for every occupied
+    cell, how far its Chebyshev-``k`` neighborhood sum (INCLUDING the
+    cell itself — the * variant) sits above or below the global mean,
+    in standard-error units. Adjacency is binary over OCCUPIED cells
+    (matching :func:`morans_i`'s contiguity convention).
+
+    Returns exact BIGINTs instead of the float z-score — per cell
+    ``(cell, w_i, g_num, g_den_sq)`` with
+
+        z_i = g_num · sqrt((n_cells - 1) / g_den_sq)
+
+    where ``w_i`` = |occupied neighborhood ∪ {i}|,
+    ``g_num = n·L_i - S·w_i`` (L_i = neighborhood value sum, S = Σx,
+    n = occupied-cell count) and
+    ``g_den_sq = (n·Q - S²)·(n·w_i - w_i²)`` (Q = Σx²) — so Spark,
+    DuckDB and the pure-Python reference agree bit-for-bit and the hot/
+    cold classification (|z_i| > z_crit ⇔ (n-1)·g_num² > z_crit²·
+    g_den_sq, sign from g_num) needs no floats either. Degenerate
+    cases are honest zeros: a constant raster gives g_den_sq = 0 for
+    every cell, and a neighborhood that swallows the whole raster gives
+    n·w_i - w_i² = 0.
+
+    Overflow headroom: |g_num| <= 2·n²·max(x)·(2k+1)² and
+    g_den_sq <= n²·max(x)²·n·w_i — safe in int64 for rasters up to
+    ~10⁵ occupied cells of small counts (any gridded density here).
+
+    Scale shape: ONE (2k+1)²-explode of (cell, x) scattered to the
+    neighborhood, one map-side-combinable groupBy(cell), one cell-keyed
+    equi-join back against the occupied set (both sides hash-partitioned
+    by cell), and the 1-row global stats ride in via a broadcast
+    nested-loop join — no cross join, nothing on the driver.
+
+    Expects DISTINCT cells with integer ``value_col``."""
+    base = raster.select("cell", F.col(value_col).cast("long").alias("x"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("q"),
+    )
+    loc = (
+        _neighbor_cells(base, k, res, carry=("x",))
+        .groupBy("cell")
+        .agg(
+            F.sum("x").alias("l_sum"),
+            F.count(F.lit(1)).alias("w_i"),
+        )
+    )
+    n, s, q = F.col("n_cells"), F.col("s"), F.col("q")
+    w = F.col("w_i").cast("long")
+    return (
+        base.select("cell")
+        .join(loc, "cell")
+        .join(F.broadcast(stats))
+        .select(
+            "cell",
+            w.alias("w_i"),
+            (n * F.col("l_sum") - s * w).cast("long").alias("g_num"),
+            ((n * q - s * s) * (n * w - w * w))
+            .cast("long")
+            .alias("g_den_sq"),
         )
     )
 

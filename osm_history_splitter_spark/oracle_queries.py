@@ -815,10 +815,68 @@ SELECT st.n_cells,
 FROM st, agg, den"""
 
 
+def q_getis_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis-Ord Gi* local hotspot scores
+    (operators/raster.py:getis_ord_g) over the customer density raster
+    with queen (Chebyshev-1) contiguity including self — the per-cell
+    complement of `morans_i`, emitted as exact integers
+    (g_num, g_den_sq with z = g_num·sqrt((n-1)/g_den_sq)) so the DuckDB
+    twin hash-matches without float risk. The twin replays the same
+    self-inclusive scatter + cell equi-join in SQL."""
+    from .operators.raster import getis_ord_g, rasterize
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    pts = c.select(
+        (((k * 7919) % 36000) / F.lit(100.0) - F.lit(180.0)).alias("lon"),
+        (((k * 104729) % 18000) / F.lit(100.0) - F.lit(90.0)).alias("lat"),
+    )
+    base = rasterize(pts, RASTER_RES)
+    return getis_ord_g(base, RASTER_RES, k=1, value_col="n")
+
+
+def _getis_hotspots_sql() -> str:
+    shift = grid.CELL_SHIFT
+    mx = (1 << (RASTER_RES + 1)) - 1
+    my = (1 << RASTER_RES) - 1
+    return f"""WITH pts AS ({_CUST_PTS_SQL}),
+base AS (
+  SELECT {grid.cell_id_sql('lon', 'lat', RASTER_RES)} AS cell,
+         CAST(count(*) AS BIGINT) AS x
+  FROM pts GROUP BY 1
+), st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_cells,
+         CAST(sum(x) AS BIGINT) AS s,
+         CAST(sum(x * x) AS BIGINT) AS q
+  FROM base
+), nb AS (
+  SELECT (cell // {shift} + dx) * {shift} + (cell % {shift} + dy) AS ncell,
+         x
+  FROM base,
+       LATERAL (SELECT unnest([-1, 0, 1]) AS dx),
+       LATERAL (SELECT unnest([-1, 0, 1]) AS dy)
+  WHERE cell // {shift} + dx BETWEEN 0 AND {mx}
+    AND cell % {shift} + dy BETWEEN 0 AND {my}
+), loc AS (
+  SELECT ncell AS cell,
+         CAST(sum(x) AS BIGINT) AS l_sum,
+         CAST(count(*) AS BIGINT) AS w_i
+  FROM nb GROUP BY 1
+)
+SELECT base.cell,
+       loc.w_i,
+       CAST(st.n_cells * loc.l_sum - st.s * loc.w_i AS BIGINT) AS g_num,
+       CAST((st.n_cells * st.q - st.s * st.s)
+            * (st.n_cells * loc.w_i - loc.w_i * loc.w_i) AS BIGINT)
+         AS g_den_sq
+FROM base JOIN loc ON loc.cell = base.cell, st"""
+
+
 Q_RASTER_MORPHOLOGY_SQL = _raster_morphology_sql()
 Q_HOTSPOT_CELLS_SQL = _hotspot_sql()
 Q_OD_MATRIX_SQL = _od_matrix_sql()
 Q_MORANS_I_SQL = _morans_i_sql()
+Q_GETIS_HOTSPOTS_SQL = _getis_hotspots_sql()
 
 
 BLUR_K = 2
@@ -1614,6 +1672,7 @@ SPATIAL_QUERIES = {
     "hotspot_cells": (q_hotspot_cells, Q_HOTSPOT_CELLS_SQL),
     "od_matrix": (q_od_matrix, Q_OD_MATRIX_SQL),
     "morans_i": (q_morans_i, Q_MORANS_I_SQL),
+    "getis_hotspots": (q_getis_hotspots, Q_GETIS_HOTSPOTS_SQL),
     "raster_blur": (q_raster_blur, Q_RASTER_BLUR_SQL),
     "idw_interpolate": (q_idw_interpolate, Q_IDW_INTERPOLATE_SQL),
     "tile_xyz": (q_tile_xyz, Q_TILE_XYZ_SQL),
