@@ -77,6 +77,7 @@ _DRIVER_EXCLUDE = {
     "od_matrix",  # same: window full; twin certified there too
     "morans_i",  # same: window full; twin certified there too
     "getis_hotspots",  # same: window full; twin certified there too
+    "region_label",  # same: window full; twin certified there too
     "bm25_topk",  # ln() ulps differ across engines — pytest compares
     # rounded scores (tests/test_bm25.py); the exact-hash gate would
     # flake on the last decimal

@@ -872,11 +872,59 @@ SELECT base.cell,
 FROM base JOIN loc ON loc.cell = base.cell, st"""
 
 
+def q_region_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component region labeling
+    (operators/raster.py:region_label) over the customer density raster
+    with queen (Chebyshev-1) connectivity — the raster dissolve: every
+    occupied cell tagged with the min cell id of its connected blob.
+    The twin resolves the same adjacency with a recursive CTE
+    (min reachable cell id), certifying the pointer-jumping label
+    propagation against textbook transitive closure."""
+    from .operators.raster import rasterize, region_label
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    pts = c.select(
+        (((k * 7919) % 36000) / F.lit(100.0) - F.lit(180.0)).alias("lon"),
+        (((k * 104729) % 18000) / F.lit(100.0) - F.lit(90.0)).alias("lat"),
+    )
+    base = rasterize(pts, RASTER_RES)
+    return region_label(base, RASTER_RES, k=1)
+
+
+def _region_label_sql() -> str:
+    shift = grid.CELL_SHIFT
+    mx = (1 << (RASTER_RES + 1)) - 1
+    my = (1 << RASTER_RES) - 1
+    return f"""WITH RECURSIVE pts AS ({_CUST_PTS_SQL}),
+base AS (
+  SELECT {grid.cell_id_sql('lon', 'lat', RASTER_RES)} AS cell
+  FROM pts GROUP BY 1
+), edges AS (
+  SELECT b.cell AS a,
+         (b.cell // {shift} + dx) * {shift} + (b.cell % {shift} + dy) AS b
+  FROM base b,
+       LATERAL (SELECT unnest([-1, 0, 1]) AS dx),
+       LATERAL (SELECT unnest([-1, 0, 1]) AS dy)
+  WHERE NOT (dx = 0 AND dy = 0)
+    AND b.cell // {shift} + dx BETWEEN 0 AND {mx}
+    AND b.cell % {shift} + dy BETWEEN 0 AND {my}
+    AND (b.cell // {shift} + dx) * {shift} + (b.cell % {shift} + dy)
+        IN (SELECT cell FROM base)
+), reach(cell, lbl) AS (
+  SELECT cell, cell FROM base
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.cell
+)
+SELECT cell, CAST(min(lbl) AS BIGINT) AS region FROM reach GROUP BY cell"""
+
+
 Q_RASTER_MORPHOLOGY_SQL = _raster_morphology_sql()
 Q_HOTSPOT_CELLS_SQL = _hotspot_sql()
 Q_OD_MATRIX_SQL = _od_matrix_sql()
 Q_MORANS_I_SQL = _morans_i_sql()
 Q_GETIS_HOTSPOTS_SQL = _getis_hotspots_sql()
+Q_REGION_LABEL_SQL = _region_label_sql()
 
 
 BLUR_K = 2
@@ -1673,6 +1721,7 @@ SPATIAL_QUERIES = {
     "od_matrix": (q_od_matrix, Q_OD_MATRIX_SQL),
     "morans_i": (q_morans_i, Q_MORANS_I_SQL),
     "getis_hotspots": (q_getis_hotspots, Q_GETIS_HOTSPOTS_SQL),
+    "region_label": (q_region_label, Q_REGION_LABEL_SQL),
     "raster_blur": (q_raster_blur, Q_RASTER_BLUR_SQL),
     "idw_interpolate": (q_idw_interpolate, Q_IDW_INTERPOLATE_SQL),
     "tile_xyz": (q_tile_xyz, Q_TILE_XYZ_SQL),
