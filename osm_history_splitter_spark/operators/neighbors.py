@@ -126,6 +126,62 @@ def within_distance_pairs(
     )
 
 
+def ripley_k_counts(
+    pts: DataFrame, radii: tuple, id_col: str = "id"
+) -> DataFrame:
+    """Ripley's K-function pair counts — THE point-pattern statistic
+    (clustered vs dispersed vs Poisson at each scale ``r``): for every
+    rung of an increasing radius ladder, the exact number of unordered
+    point pairs within that distance. The consumer derives the classic
+    (uncorrected, toroidal-free) estimator K̂(r) = A·2·pair_count(r)/n²
+    and compares against the Poisson expectation πr²; edge-corrected
+    variants (Ripley isotropic, translation) reweight the SAME pair set
+    and can be layered on the ``dist2`` column this emits internally.
+
+    Exact-integer contract: returns one row per rung —
+    ``(radius, pair_count, n_points)``, all BIGINT (distances compared
+    as squared integers, never a float), so Spark, DuckDB and the brute
+    reference agree bit-for-bit; vacuous rungs report an explicit 0.
+
+    Scale shape: ONE grid-bucketed ε-join at max(radii) (the same
+    ×9-replication cell equi-join as :func:`within_distance_pairs` — no
+    CartesianProduct, no distinct), then each pair fans out to only the
+    rungs it satisfies (map-side ≤ len(radii) amplification before a
+    combinable groupBy of ≤ len(radii) rows). The 1-row point count
+    rides in via a broadcast join. Nothing returns to the driver but
+    the ladder itself."""
+    radii = tuple(int(r) for r in radii)
+    if not radii or any(r < 1 for r in radii):
+        raise ValueError(f"radii must be positive integers, got {radii!r}")
+    if list(radii) != sorted(set(radii)):
+        raise ValueError(f"radii must be strictly increasing, got {radii!r}")
+    pairs = within_distance_pairs(pts, max(radii), id_col)
+    hits = (
+        pairs.select(
+            F.explode(F.array(*[F.lit(r) for r in radii])).alias("radius"),
+            "dist2",
+        )
+        .filter(F.col("dist2") <= F.col("radius") * F.col("radius"))
+        .groupBy("radius")
+        .agg(F.count(F.lit(1)).alias("hit_count"))
+    )
+    ladder = pts.sparkSession.createDataFrame(
+        [(r,) for r in radii], "radius long"
+    )
+    n = pts.agg(F.count(F.lit(1)).cast("long").alias("n_points"))
+    return (
+        ladder.join(hits, "radius", "left")
+        .join(F.broadcast(n))
+        .select(
+            "radius",
+            F.coalesce(F.col("hit_count"), F.lit(0))
+            .cast("long")
+            .alias("pair_count"),
+            "n_points",
+        )
+    )
+
+
 def grid_dbscan_cells(
     pts: DataFrame, eps: int, min_pts: int, max_iter: int = 50
 ) -> DataFrame:

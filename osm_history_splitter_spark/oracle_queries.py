@@ -1266,6 +1266,48 @@ WHERE a.id < b.id
       <= {NEIGHBOR_RADIUS * NEIGHBOR_RADIUS}"""
 
 
+#: Ripley-K radius ladder over the same order lattice: the smallest rung
+#: sits just above the lattice's ~221-centidegree min pair distance so
+#: every rung is non-vacuous at sf0.001, and the ladder spans the
+#: clustered→saturated transition the statistic exists to resolve.
+RIPLEY_RADII = (250, 300, 450, 600)
+
+
+def q_ripley_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ripley's K-function pair-count ladder (operators/neighbors.py:
+    ripley_k_counts): for each radius rung, the exact number of unordered
+    point pairs within that distance — the point-pattern clustering
+    statistic (K̂(r) vs the Poisson πr² expectation) over geotagged
+    documents. ONE grid-bucketed ε-join at max(r) feeds every rung
+    (map-side rung fan-out, combinable 4-row groupBy); integer-exact
+    (squared distances), so the driver hash is bit-stable."""
+    from .operators.neighbors import ripley_k_counts
+
+    return ripley_k_counts(_order_pts(spark, sf_dir), RIPLEY_RADII)
+
+
+_RK_MAX = max(RIPLEY_RADII)
+Q_RIPLEY_K_SQL = f"""WITH pts AS ({_ORDER_PTS_SQL}),
+cells AS (SELECT id, xs, ys,
+  (xs // {_RK_MAX}) * 4294967296 + (ys // {_RK_MAX}) AS cell FROM pts),
+deltas(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                          (1,-1),(1,0),(1,1)),
+rep AS (SELECT id, xs, ys, cell + dx * 4294967296 + dy AS cell
+        FROM cells CROSS JOIN deltas),
+pairs AS (
+  SELECT (a.xs-b.xs)*(a.xs-b.xs) + (a.ys-b.ys)*(a.ys-b.ys) AS dist2
+  FROM cells a JOIN rep b USING (cell)
+  WHERE a.id < b.id
+    AND (a.xs-b.xs)*(a.xs-b.xs) + (a.ys-b.ys)*(a.ys-b.ys)
+        <= {_RK_MAX * _RK_MAX}),
+radii(radius) AS (VALUES {", ".join(f"({r})" for r in RIPLEY_RADII)})
+SELECT CAST(radius AS BIGINT) AS radius,
+  CAST((SELECT count(*) FROM pairs p WHERE p.dist2 <= radius*radius)
+       AS BIGINT) AS pair_count,
+  CAST((SELECT count(*) FROM pts) AS BIGINT) AS n_points
+FROM radii"""
+
+
 def q_spatial_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-DBSCAN density clustering (operators/neighbors.py:
     grid_dbscan_cells): dense ε-cells (≥3 points) 8-connected into
@@ -1704,6 +1746,7 @@ SPATIAL_QUERIES = {
     "point_segment": (q_point_segment, Q_POINT_SEGMENT_SQL),
     "snap_segment": (q_snap_segment, Q_SNAP_SEGMENT_SQL),
     "neighbor_pairs": (q_neighbor_pairs, Q_NEIGHBOR_PAIRS_SQL),
+    "ripley_k": (q_ripley_k, Q_RIPLEY_K_SQL),
     "spatial_clusters": (q_spatial_clusters, Q_SPATIAL_CLUSTERS_SQL),
     "knn_join": (q_knn_join, Q_KNN_JOIN_SQL),
     "way_ring_stats": (q_way_ring_stats, Q_WAY_RING_STATS_SQL),

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from osm_history_splitter_spark.operators.neighbors import (
     grid_dbscan_cells,
+    ripley_k_counts,
     within_distance_pairs,
 )
 
@@ -88,6 +89,39 @@ def test_pairs_rejects_bad_radius(spark):
     _, df = _cloud(spark, 5, 0)
     with pytest.raises(ValueError):
         within_distance_pairs(df, 0)
+
+
+@pytest.mark.parametrize("seed,n,radii", [(4, 300, (400, 900, 2000)), (5, 120, (50, 3000))])
+def test_ripley_matches_brute_force(spark, seed, n, radii):
+    rows, df = _cloud(spark, n, seed)
+    got = {
+        r.radius: (r.pair_count, r.n_points)
+        for r in ripley_k_counts(df, radii).collect()
+    }
+    assert set(got) == set(radii)
+    for r in radii:
+        assert got[r] == (len(_brute_pairs(rows, r)), n)
+
+
+def test_ripley_vacuous_rung_reports_zero(spark):
+    # two points 1000 apart: the 10-rung has no pair but still one row
+    df = spark.createDataFrame(
+        [(1, 0, 0), (2, 1000, 0)], "id long, xs long, ys long"
+    )
+    got = {
+        r.radius: r.pair_count for r in ripley_k_counts(df, (10, 1000)).collect()
+    }
+    assert got == {10: 0, 1000: 1}
+
+
+def test_ripley_validation(spark):
+    _, df = _cloud(spark, 5, 0)
+    with pytest.raises(ValueError):
+        ripley_k_counts(df, ())
+    with pytest.raises(ValueError):
+        ripley_k_counts(df, (300, 200))
+    with pytest.raises(ValueError):
+        ripley_k_counts(df, (100, 100))
 
 
 def _brute_clusters(rows, eps: int, min_pts: int):
