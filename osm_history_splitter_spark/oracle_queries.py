@@ -1308,6 +1308,83 @@ SELECT CAST(radius AS BIGINT) AS radius,
 FROM radii"""
 
 
+#: Rectangle-overlap join fixtures: orders → small extents (way bboxes),
+#: customers → larger extents (region-of-interest boxes). Same shifted
+#: non-negative centidegree domain as the point lattice; widths bounded
+#: so x1 < 36000, y1 < 18000 — integer end-to-end.
+RECT_CELL = 600  # grid edge near the median A-rect edge
+
+
+def _order_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = F.col("o_orderkey")
+    x0 = (k * 7919) % 35000
+    y0 = (k * 104729) % 17000
+    return _t(spark, sf_dir, "orders").select(
+        k.alias("id"),
+        x0.cast("long").alias("x0"),
+        y0.cast("long").alias("y0"),
+        (x0 + (k * 271) % 900 + 1).cast("long").alias("x1"),
+        (y0 + (k * 577) % 700 + 1).cast("long").alias("y1"),
+    )
+
+
+def _cust_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = F.col("c_custkey")
+    x0 = (k * 6553) % 33000
+    y0 = (k * 39119) % 15000
+    return _t(spark, sf_dir, "customer").select(
+        k.alias("id"),
+        x0.cast("long").alias("x0"),
+        y0.cast("long").alias("y0"),
+        (x0 + (k * 433) % 2500 + 100).cast("long").alias("x1"),
+        (y0 + (k * 769) % 2200 + 100).cast("long").alias("y1"),
+    )
+
+
+_ORDER_RECTS_SQL = (
+    "SELECT o_orderkey AS id, (o_orderkey*7919)%35000 AS x0, "
+    "(o_orderkey*104729)%17000 AS y0, "
+    "(o_orderkey*7919)%35000 + (o_orderkey*271)%900 + 1 AS x1, "
+    "(o_orderkey*104729)%17000 + (o_orderkey*577)%700 + 1 AS y1 "
+    "FROM orders"
+)
+_CUST_RECTS_SQL = (
+    "SELECT c_custkey AS id, (c_custkey*6553)%33000 AS x0, "
+    "(c_custkey*39119)%15000 AS y0, "
+    "(c_custkey*6553)%33000 + (c_custkey*433)%2500 + 100 AS x1, "
+    "(c_custkey*39119)%15000 + (c_custkey*769)%2200 + 100 AS y1 "
+    "FROM customer"
+)
+
+
+def q_rect_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rectangle-extent overlap join (operators/extents.py:
+    rect_overlap_join): order extents × customer extents, one row per
+    closed-intersecting pair with the intersection box and its area —
+    the R-tree-join / overlay-filter primitive, as a grid-bucketed hash
+    equi-join with canonical-cell exactly-once emission (no
+    CartesianProduct, no distinct; plan-asserted in
+    tests/test_extents.py). Integer-exact output columns."""
+    from .operators.extents import rect_overlap_join
+
+    return rect_overlap_join(
+        _order_rects(spark, sf_dir), _cust_rects(spark, sf_dir), RECT_CELL
+    )
+
+
+Q_RECT_OVERLAP_SQL = f"""WITH ra AS ({_ORDER_RECTS_SQL}),
+rb AS ({_CUST_RECTS_SQL})
+SELECT a.id AS id_a, b.id AS id_b,
+  CAST(greatest(a.x0, b.x0) AS BIGINT) AS ix0,
+  CAST(greatest(a.y0, b.y0) AS BIGINT) AS iy0,
+  CAST(least(a.x1, b.x1) AS BIGINT) AS ix1,
+  CAST(least(a.y1, b.y1) AS BIGINT) AS iy1,
+  CAST((least(a.x1, b.x1) - greatest(a.x0, b.x0))
+     * (least(a.y1, b.y1) - greatest(a.y0, b.y0)) AS BIGINT) AS inter_area
+FROM ra a JOIN rb b
+  ON a.x0 <= b.x1 AND b.x0 <= a.x1 AND a.y0 <= b.y1 AND b.y0 <= a.y1"""
+
+
 def q_spatial_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-DBSCAN density clustering (operators/neighbors.py:
     grid_dbscan_cells): dense ε-cells (≥3 points) 8-connected into
@@ -1747,6 +1824,7 @@ SPATIAL_QUERIES = {
     "snap_segment": (q_snap_segment, Q_SNAP_SEGMENT_SQL),
     "neighbor_pairs": (q_neighbor_pairs, Q_NEIGHBOR_PAIRS_SQL),
     "ripley_k": (q_ripley_k, Q_RIPLEY_K_SQL),
+    "rect_overlap": (q_rect_overlap, Q_RECT_OVERLAP_SQL),
     "spatial_clusters": (q_spatial_clusters, Q_SPATIAL_CLUSTERS_SQL),
     "knn_join": (q_knn_join, Q_KNN_JOIN_SQL),
     "way_ring_stats": (q_way_ring_stats, Q_WAY_RING_STATS_SQL),
