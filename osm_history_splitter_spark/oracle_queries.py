@@ -681,6 +681,69 @@ SELECT o_cell, d_cell, CAST(count(*) AS BIGINT) AS n_trips
 FROM od GROUP BY 1, 2"""
 
 
+#: Mann-Kendall space-time cube: coarse cells (res 2 = 45° — ~32 bins
+#: over the synthetic position lattice) × epoch-day periods, so each
+#: cell sees a ~30-rung daily series at sf0.001 (res 5 would leave ~1.5
+#: periods/cell — a vacuous trend).
+MK_RES = 2
+
+
+def q_mk_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emerging-hotspot trend (operators/raster.py:mann_kendall_trend):
+    events → coarse cell × epoch-day counts → per-cell Mann-Kendall S
+    and 18·Var(S), integer-exact — the space-time-cube "is this cell
+    heating up?" statistic. One combinable groupBy builds the cube, one
+    groupBy(cell) collects each bounded daily series, the O(n²) pair
+    scan runs IN-ROW via higher-order array functions (no time
+    self-join, no Python)."""
+    from .operators.raster import mann_kendall_trend
+
+    ev = _t(spark, sf_dir, "events")
+    k, e = F.col("user_id"), F.col("event_id")
+    lon = ((k * 7919 + e * 13) % 36000) / F.lit(100.0) - F.lit(180.0)
+    lat = ((k * 104729 + e * 29) % 18000) / F.lit(100.0) - F.lit(90.0)
+    cube = (
+        ev.select(
+            grid.cell_id_expr(lon, lat, MK_RES).alias("cell"),
+            (F.unix_timestamp(F.col("ts")) / F.lit(86400))
+            .cast("long")
+            .alias("period"),
+        )
+        .groupBy("cell", "period")
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+    )
+    return mann_kendall_trend(cube)
+
+
+def _mk_trend_sql() -> str:
+    cell = grid.cell_id_sql(
+        "((user_id * 7919 + event_id * 13) % 36000) / 100.0 - 180.0",
+        "((user_id * 104729 + event_id * 29) % 18000) / 100.0 - 90.0",
+        MK_RES,
+    )
+    return f"""WITH cube AS (
+  SELECT {cell} AS cell,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS period,
+         CAST(count(*) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2),
+s AS (
+  SELECT a.cell,
+         sum(CASE WHEN b.v > a.v THEN 1
+                  WHEN b.v < a.v THEN -1 ELSE 0 END) AS s_stat
+  FROM cube a JOIN cube b ON a.cell = b.cell AND a.period < b.period
+  GROUP BY a.cell),
+ties AS (
+  SELECT cell, sum(t * (t - 1) * (2 * t + 5)) AS tie
+  FROM (SELECT cell, v, count(*) AS t FROM cube GROUP BY cell, v)
+  GROUP BY cell),
+n AS (SELECT cell, CAST(count(*) AS BIGINT) AS np FROM cube GROUP BY cell)
+SELECT n.cell, n.np AS n_periods,
+  CAST(coalesce(s.s_stat, 0) AS BIGINT) AS s_stat,
+  CAST(n.np * (n.np - 1) * (2 * n.np + 5) - coalesce(ties.tie, 0)
+       AS BIGINT) AS var_s_18
+FROM n LEFT JOIN s ON s.cell = n.cell LEFT JOIN ties ON ties.cell = n.cell"""
+
+
 #: hotspot NMS neighborhood radius (Chebyshev cells)
 HOTSPOT_K = 2
 
@@ -1825,6 +1888,7 @@ SPATIAL_QUERIES = {
     "neighbor_pairs": (q_neighbor_pairs, Q_NEIGHBOR_PAIRS_SQL),
     "ripley_k": (q_ripley_k, Q_RIPLEY_K_SQL),
     "rect_overlap": (q_rect_overlap, Q_RECT_OVERLAP_SQL),
+    "mk_trend": (q_mk_trend, _mk_trend_sql()),
     "spatial_clusters": (q_spatial_clusters, Q_SPATIAL_CLUSTERS_SQL),
     "knn_join": (q_knn_join, Q_KNN_JOIN_SQL),
     "way_ring_stats": (q_way_ring_stats, Q_WAY_RING_STATS_SQL),
