@@ -22,6 +22,7 @@ DuckDB oracle.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -43,6 +44,10 @@ __all__ = [
     "tile_xy_sql",
     "quadkey_expr",
     "quadkey_sql",
+    "hilbert_expr",
+    "hilbert_np",
+    "hilbert_d2xy_np",
+    "hilbert_sql_query",
 ]
 
 CELL_SHIFT = 2**32
@@ -614,3 +619,149 @@ def neighbor_ring(cell: int, k: int) -> np.ndarray:
     dx = np.arange(-k, k + 1)
     gx, gy = np.meshgrid(ix + dx, iy + dx, indexing="ij")
     return gx.ravel().astype(np.int64) * CELL_SHIFT + gy.ravel().astype(np.int64)
+
+
+# --- Hilbert curve (the fourth public locality key, next to the H3-style
+# --- cell id, the Morton key and geohash) ------------------------------------
+#
+# Morton interleave is pure bit-spreading (so it stays in Catalyst), but its
+# locality has seams: consecutive keys jump across half the domain at block
+# boundaries. The Hilbert curve has NO seams — consecutive keys are ALWAYS
+# Chebyshev-adjacent cells — so range-partitioning a 100-TB write by this key
+# strictly dominates Morton on file-stat pruning (each file's key range maps
+# to one contiguous blob of cells, never two distant blocks). The price: the
+# encode is a 15-round state machine, which unrolled in Catalyst collapses
+# into an exponentially-duplicated expression tree (measured ~50µs/row — the
+# optimizer re-inlines each projection), so THIS key is the one place the
+# grid layer drops to the sanctioned slow path: quantization stays Catalyst,
+# the bit rounds run as a vectorized Arrow pandas UDF over int64 arrays
+# (~15 numpy passes per batch, no per-row Python). One numpy kernel drives
+# the UDF, the reference twin and the tests; the DuckDB oracle unrolls the
+# same rounds as chained CTEs (materialized per level — no tree blowup).
+
+#: square index space: side 2^res; lon cells are 2x wider than lat cells
+#: (360/2^res vs 180/2^res), the standard square-curve-over-globe layout.
+def _check_hilbert_res(res: int) -> None:
+    """res <= 15 keeps d = x*2^res + y inside int64 with the same headroom
+    argument as the Morton ladder (tests pin the boundary)."""
+    if not 1 <= res <= 15:
+        raise ValueError(f"hilbert supports res in [1, 15], got {res}")
+
+
+def hilbert_np(ix, iy, res: int):
+    """Vectorized xy→d on the 2^res square (classic per-bit rotation walk,
+    top bit down); int64 in, int64 out. THE kernel: the pandas UDF calls
+    this, and the tests differential it against the SQL twin."""
+    x = np.asarray(ix, dtype=np.int64).copy()
+    y = np.asarray(iy, dtype=np.int64).copy()
+    d = np.zeros_like(x)
+    s = np.int64(1) << (res - 1)
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        flip = (ry == 0) & (rx == 1)
+        x[flip] = s - 1 - x[flip]
+        y[flip] = s - 1 - y[flip]
+        swap = ry == 0
+        tmp = x[swap].copy()
+        x[swap] = y[swap]
+        y[swap] = tmp
+        s >>= 1
+    return d
+
+
+def hilbert_d2xy_np(d, res: int):
+    """Inverse walk d→(x, y) (bottom bit up) — the roundtrip/adjacency
+    certificate in the tests; not used on any hot path."""
+    t = np.asarray(d, dtype=np.int64).copy()
+    x = np.zeros_like(t)
+    y = np.zeros_like(t)
+    s = np.int64(1)
+    while s < (np.int64(1) << res):
+        rx = (t // 2) & 1
+        ry = (t ^ rx) & 1
+        flip = (ry == 0) & (rx == 1)
+        x[flip] = s - 1 - x[flip]
+        y[flip] = s - 1 - y[flip]
+        swap = ry == 0
+        tmp = x[swap].copy()
+        x[swap] = y[swap]
+        y[swap] = tmp
+        x += s * rx
+        y += s * ry
+        t //= 4
+        s <<= 1
+    return x, y
+
+
+def _hilbert_quant(lon: Column, lat: Column, res: int) -> tuple[Column, Column]:
+    """Catalyst quantization onto the 2^res square (domain-edge clamped like
+    zorder_expr — lon=180 / lat=90 land one cell past the last index)."""
+    side = 1 << res
+    wx, wy = 360.0 / side, 180.0 / side  # binary-exact: 180/2^res * {2,1}
+    ix = F.least(
+        F.floor((lon + F.lit(180.0)) / F.lit(wx)).cast("long"),
+        F.lit(side - 1),
+    )
+    iy = F.least(
+        F.floor((lat + F.lit(90.0)) / F.lit(wy)).cast("long"),
+        F.lit(side - 1),
+    )
+    return ix, iy
+
+
+def _hilbert_udf(res: int):
+    def _k(ix: pd.Series, iy: pd.Series) -> pd.Series:
+        return pd.Series(
+            hilbert_np(ix.to_numpy(np.int64), iy.to_numpy(np.int64), res)
+        )
+
+    return F.pandas_udf(_k, "long")
+
+
+def hilbert_expr(lon: Column, lat: Column, res: int) -> Column:
+    """Hilbert clustering key at ``res``: quantize in Catalyst, walk the
+    curve in one Arrow-batched numpy kernel. Same write-time usage as
+    :func:`zorder_expr` (repartitionByRange + sortWithinPartitions)."""
+    _check_hilbert_res(res)
+    ix, iy = _hilbert_quant(lon, lat, res)
+    return _hilbert_udf(res)(ix, iy)
+
+
+def hilbert_sql_query(pts_sql: str, res: int, cols: str = "id") -> str:
+    """Full DuckDB query: ``cols`` plus the Hilbert key ``h`` for every row
+    of ``pts_sql`` (needs lon/lat columns). The per-bit rounds unroll as
+    chained CTEs — each level is a materialized projection over named
+    columns, so the SQL engine never sees the exponential expression tree
+    that sank the Catalyst unroll."""
+    _check_hilbert_res(res)
+    side = 1 << res
+    wx, wy = 360.0 / side, 180.0 / side
+    steps = [
+        f"""l{res} AS (
+  SELECT {cols},
+    least(CAST(floor((lon + 180.0) / {wx!r}) AS BIGINT), {side - 1}) AS x,
+    least(CAST(floor((lat + 90.0) / {wy!r}) AS BIGINT), {side - 1}) AS y,
+    CAST(0 AS BIGINT) AS d
+  FROM pts)"""
+    ]
+    for lvl in range(res - 1, -1, -1):
+        s = 1 << lvl
+        steps.append(
+            f"""l{lvl} AS (
+  SELECT {cols},
+    CASE WHEN ((y >> {lvl}) & 1) = 0
+         THEN (CASE WHEN ((x >> {lvl}) & 1) = 1 THEN {s - 1} - y ELSE y END)
+         ELSE x END AS x,
+    CASE WHEN ((y >> {lvl}) & 1) = 0
+         THEN (CASE WHEN ((x >> {lvl}) & 1) = 1 THEN {s - 1} - x ELSE x END)
+         ELSE y END AS y,
+    d + {s * s} * xor(3 * ((x >> {lvl}) & 1), (y >> {lvl}) & 1) AS d
+  FROM l{lvl + 1})"""
+        )
+    return (
+        f"WITH pts AS ({pts_sql}),\n"
+        + ",\n".join(steps)
+        + f"\nSELECT {cols}, d AS h FROM l0"
+    )
