@@ -81,6 +81,9 @@ _DRIVER_EXCLUDE = {
     "ripley_k",  # same: window full; twin certified there too
     "rect_overlap",  # same: window full; twin certified there too
     "mk_trend",  # same: window full; twin certified there too
+    "hilbert",  # same: window full; twin certified there too
+    "dwell_segments",  # same: window full; twin certified there too
+    "colocation",  # same: window full; twin certified there too
     "bm25_topk",  # ln() ulps differ across engines — pytest compares
     # rounded scores (tests/test_bm25.py); the exact-hash gate would
     # flake on the last decimal

@@ -744,6 +744,91 @@ SELECT n.cell, n.np AS n_periods,
 FROM n LEFT JOIN s ON s.cell = n.cell LEFT JOIN ties ON ties.cell = n.cell"""
 
 
+#: trajectory layer: coarse cells (MK_RES) make the synthetic users'
+#: slow per-user drift (user term dominates the position hash) produce
+#: real multi-event dwell runs; τ = 2 days yields a non-vacuous
+#: co-location graph at sf0.001 (11 user pairs / 886 meetings).
+COLOC_TAU = 172800
+
+
+def _event_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k, e = F.col("user_id"), F.col("event_id")
+    lon = ((k * 7919 + e * 13) % 36000) / F.lit(100.0) - F.lit(180.0)
+    lat = ((k * 104729 + e * 29) % 18000) / F.lit(100.0) - F.lit(90.0)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp(F.col("ts")).alias("tse"),
+        grid.cell_id_expr(lon, lat, MK_RES).alias("cell"),
+    )
+
+
+def _event_pos_sql() -> str:
+    cell = grid.cell_id_sql(
+        "((user_id * 7919 + event_id * 13) % 36000) / 100.0 - 180.0",
+        "((user_id * 104729 + event_id * 29) % 18000) / 100.0 - 90.0",
+        MK_RES,
+    )
+    return (
+        f"SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS tse, "
+        f"{cell} AS cell FROM events"
+    )
+
+
+def q_dwell_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stay-point / dwell detection (operators/trajectory.py:
+    dwell_segments): maximal same-cell runs per user (≥ 2 events) with
+    enter/exit times — the grid-quantized GeoLife stay-point, as ONE
+    user-shuffle window pass + a combinable groupBy, integer-exact."""
+    from .operators.trajectory import dwell_segments
+
+    return dwell_segments(_event_pos(spark, sf_dir), min_events=2)
+
+
+def _dwell_segments_sql() -> str:
+    return f"""WITH pos AS ({_event_pos_sql()}),
+r AS (
+  SELECT *, CASE WHEN cell = lag(cell) OVER
+      (PARTITION BY user_id ORDER BY tse, event_id) THEN 0 ELSE 1 END
+    AS new_run
+  FROM pos),
+s AS (
+  SELECT *, CAST(SUM(new_run) OVER (PARTITION BY user_id
+      ORDER BY tse, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS run_no
+  FROM r)
+SELECT user_id, cell, CAST(min(tse) AS BIGINT) AS enter_ts,
+  CAST(max(tse) AS BIGINT) AS exit_ts,
+  CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, run_no, cell HAVING count(*) >= 2"""
+
+
+def q_colocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-location / co-visitation graph (operators/trajectory.py:
+    colocation_pairs): distinct-user event pairs sharing a cell within
+    τ = 2 days, aggregated per unordered user pair — the contact-graph
+    join, as a (cell, τ-bucket) hash equi-join with ±1-bucket one-sided
+    replication (exactly-once by construction: replicas occupy distinct
+    buckets — no post-join distinct; plan-asserted in
+    tests/test_trajectory.py)."""
+    from .operators.trajectory import colocation_pairs
+
+    return colocation_pairs(_event_pos(spark, sf_dir), tau=COLOC_TAU)
+
+
+def _colocation_sql() -> str:
+    return f"""WITH pos AS ({_event_pos_sql()})
+SELECT a.user_id AS user_a, b.user_id AS user_b,
+  CAST(count(*) AS BIGINT) AS n_meetings,
+  CAST(min(abs(a.tse - b.tse)) AS BIGINT) AS min_gap
+FROM pos a JOIN pos b
+  ON a.cell = b.cell AND a.user_id < b.user_id
+  AND abs(a.tse - b.tse) <= {COLOC_TAU}
+GROUP BY 1, 2"""
+
+
 #: hotspot NMS neighborhood radius (Chebyshev cells)
 HOTSPOT_K = 2
 
@@ -1166,6 +1251,26 @@ Q_ZORDER_SQL = (
     f"WITH pts AS ({PTS_SQL}) SELECT id, "
     f"CAST({grid.zorder_sql('lon', 'lat', 12)} AS BIGINT) AS z FROM pts"
 )
+
+
+def q_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert clustering key at res 12 (functions/grid.py:hilbert_expr)
+    — the seam-free alternative to the Morton key for write layout:
+    consecutive keys are ALWAYS Chebyshev-adjacent cells (property-
+    certified in tests/test_hilbert.py), so range-partitioned files map
+    to contiguous cell blobs and min/max stats prune harder than
+    zorder's block-seamed ranges. Quantization in Catalyst; the 12-round
+    curve walk in ONE Arrow-batched numpy kernel (the grid layer's only
+    sanctioned UDF drop — the Catalyst unroll measured ~50µs/row against
+    the kernel's ~40ns/row)."""
+    pts = part_nodes(spark, sf_dir)
+    return pts.select(
+        "id",
+        grid.hilbert_expr(F.col("lon"), F.col("lat"), 12).alias("h"),
+    )
+
+
+Q_HILBERT_SQL = grid.hilbert_sql_query(PTS_SQL, 12)
 
 
 def q_table_read(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1889,6 +1994,8 @@ SPATIAL_QUERIES = {
     "ripley_k": (q_ripley_k, Q_RIPLEY_K_SQL),
     "rect_overlap": (q_rect_overlap, Q_RECT_OVERLAP_SQL),
     "mk_trend": (q_mk_trend, _mk_trend_sql()),
+    "dwell_segments": (q_dwell_segments, _dwell_segments_sql()),
+    "colocation": (q_colocation, _colocation_sql()),
     "spatial_clusters": (q_spatial_clusters, Q_SPATIAL_CLUSTERS_SQL),
     "knn_join": (q_knn_join, Q_KNN_JOIN_SQL),
     "way_ring_stats": (q_way_ring_stats, Q_WAY_RING_STATS_SQL),
@@ -1920,5 +2027,6 @@ SPATIAL_QUERIES = {
     "pages_split": (q_pages_split, Q_PAGES_SPLIT_SQL),
     "pages_passthrough": (q_pages_passthrough, Q_PAGES_PASSTHROUGH_SQL),
     "zorder": (q_zorder, Q_ZORDER_SQL),
+    "hilbert": (q_hilbert, Q_HILBERT_SQL),
     "snapshot_diff": (q_snapshot_diff, _snapshot_diff_sql()),
 }
