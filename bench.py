@@ -63,6 +63,10 @@ BENCH_QUERIES = [
     "co_citation",
     "token_quantiles",
     "od_matrix",
+    "mk_trend",
+    "hilbert",
+    "dwell_segments",
+    "colocation",
 ]
 
 
