@@ -84,6 +84,7 @@ _DRIVER_EXCLUDE = {
     "hilbert",  # same: window full; twin certified there too
     "dwell_segments",  # same: window full; twin certified there too
     "colocation",  # same: window full; twin certified there too
+    "kde_heatmap",  # same: window full; twin certified there too
     "bm25_topk",  # ln() ulps differ across engines — pytest compares
     # rounded scores (tests/test_bm25.py); the exact-hash gate would
     # flake on the last decimal

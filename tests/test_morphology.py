@@ -187,3 +187,24 @@ def test_local_maxima_random_differential(spark, k):
         for r in local_maxima(_vdf(spark, vals), RES, k).collect()
     }
     assert got == {(c, vals[c]) for c in _np_local_max(vals, k)}
+
+
+def test_triple_blur_is_bspline_kernel(spark):
+    # three k=1 box passes over a unit impulse must produce the separable
+    # quadratic-B-spline kernel: per-axis weights [1,3,6,7,6,3,1] (the
+    # "3 box blurs ~ Gaussian" composition the kde_heatmap query uses)
+    from osm_history_splitter_spark.operators.raster import box_blur
+
+    cx, cy = 16, 16  # well inside the res-5 domain: no border clipping
+    out = _vdf(spark, {cx * CELL_SHIFT + cy: 1})
+    for _ in range(3):
+        out = box_blur(out, RES, 1, value_cols=("n",))
+    got = {r["cell"]: r["n"] for r in out.collect()}
+    w = [1, 3, 6, 7, 6, 3, 1]
+    want = {
+        (cx + dx) * CELL_SHIFT + (cy + dy): w[dx + 3] * w[dy + 3]
+        for dx in range(-3, 4)
+        for dy in range(-3, 4)
+    }
+    assert got == want
+    assert sum(got.values()) == 27**2  # mass = (3^2)^3 per axis pair
