@@ -85,6 +85,12 @@ _DRIVER_EXCLUDE = {
     "dwell_segments",  # same: window full; twin certified there too
     "colocation",  # same: window full; twin certified there too
     "kde_heatmap",  # same: window full; twin certified there too
+    "hausdorff_pairs",  # same: window full; twin certified there too
+    "variogram",  # same: window full; twin certified there too
+    "trajectory_stats",  # same: window full; twin certified there too
+    "raster_gradient",  # same: window full; twin certified there too
+    "hexbin_assign",  # same: window full; twin certified there too
+    "kmv_distinct",  # same: window full; twin certified there too
     "bm25_topk",  # ln() ulps differ across engines — pytest compares
     # rounded scores (tests/test_bm25.py); the exact-hash gate would
     # flake on the last decimal

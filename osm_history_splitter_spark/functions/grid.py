@@ -48,6 +48,9 @@ __all__ = [
     "hilbert_np",
     "hilbert_d2xy_np",
     "hilbert_sql_query",
+    "hexbin_expr",
+    "hexbin_sql",
+    "hexbin_py",
 ]
 
 CELL_SHIFT = 2**32
@@ -765,3 +768,94 @@ def hilbert_sql_query(pts_sql: str, res: int, cols: str = "id") -> str:
         + ",\n".join(steps)
         + f"\nSELECT {cols}, d AS h FROM l0"
     )
+
+
+# ---------------------------------------------------------------------------
+# Hexagonal binning (axial coordinates, pointy-top) — the H3-flavored
+# aggregation lattice analysts reach for when square cells bias corner
+# distances. One literal constant table drives the Catalyst expression,
+# the SQL twin and the Python reference, so the three cannot drift; all
+# arithmetic is IEEE-double +,−,×,÷,floor,abs — deterministic and
+# bit-identical across Spark, DuckDB and CPython (no transcendentals,
+# the tile_xy lesson applied preemptively).
+
+#: sqrt(3)/3, 1/3, 2/3 as the EXACT double literals shared by all twins
+_HEX_C1 = 0.5773502691896258
+_HEX_C2 = 0.3333333333333333
+_HEX_C3 = 0.6666666666666666
+
+
+def hexbin_expr(lon: Column, lat: Column, size: float) -> tuple[Column, Column]:
+    """Axial hex-bin (q, r) of a lon/lat point for pointy-top hexagons of
+    edge-ish ``size`` degrees: fractional axial coords then the classic
+    cube-rounding fix-up (the component with the largest rounding error
+    is recomputed from the other two so q + s + r = 0 holds exactly).
+    Catalyst-only — stays inside whole-stage codegen.
+
+    round(v) is spelled floor(v + 0.5) in every twin: half-up ties, one
+    agreed convention instead of three engines' defaults.
+    """
+    x = lon + F.lit(180.0)
+    y = lat + F.lit(90.0)
+    q = (x * F.lit(_HEX_C1) - y * F.lit(_HEX_C2)) / F.lit(size)
+    r = y * F.lit(_HEX_C3) / F.lit(size)
+    s = -q - r
+    rq = F.floor(q + F.lit(0.5))
+    rr = F.floor(r + F.lit(0.5))
+    rs = F.floor(s + F.lit(0.5))
+    dq = F.abs(rq - q)
+    dr = F.abs(rr - r)
+    ds = F.abs(rs - s)
+    fix_q = (dq > ds) & (dq > dr)
+    fix_r = ~fix_q & (dr > ds)
+    hq = F.when(fix_q, -rs - rr).otherwise(rq).cast("long")
+    hr = F.when(fix_r, -rq - rs).otherwise(rr).cast("long")
+    return hq, hr
+
+
+def hexbin_sql(lon_sql: str, lat_sql: str, size: float) -> tuple[str, str]:
+    """The identical hex encode as ANSI-SQL fragments (DuckDB oracle) —
+    same literals, same operation order, same floor(v + 0.5) rounding."""
+    q = f"((({lon_sql}) + 180.0) * {_HEX_C1!r} - (({lat_sql}) + 90.0) * {_HEX_C2!r}) / {size!r}"
+    r = f"(({lat_sql}) + 90.0) * {_HEX_C3!r} / {size!r}"
+    s = f"(-({q}) - ({r}))"
+    rq = f"floor(({q}) + 0.5)"
+    rr = f"floor(({r}) + 0.5)"
+    rs = f"floor(({s}) + 0.5)"
+    dq = f"abs(({rq}) - ({q}))"
+    dr = f"abs(({rr}) - ({r}))"
+    ds = f"abs(({rs}) - ({s}))"
+    fix_q = f"(({dq}) > ({ds}) AND ({dq}) > ({dr}))"
+    fix_r = f"(NOT {fix_q} AND ({dr}) > ({ds}))"
+    hq = (
+        f"CAST(CASE WHEN {fix_q} THEN -({rs}) - ({rr}) "
+        f"ELSE ({rq}) END AS BIGINT)"
+    )
+    hr = (
+        f"CAST(CASE WHEN {fix_r} THEN -({rq}) - ({rs}) "
+        f"ELSE ({rr}) END AS BIGINT)"
+    )
+    return hq, hr
+
+
+def hexbin_py(lon: float, lat: float, size: float) -> tuple[int, int]:
+    """CPython reference — same literals, order, and rounding; CPython
+    floats ARE IEEE doubles, so this is the independent third twin."""
+    import math
+
+    x = lon + 180.0
+    y = lat + 90.0
+    q = (x * _HEX_C1 - y * _HEX_C2) / size
+    r = y * _HEX_C3 / size
+    s = -q - r
+    rq = math.floor(q + 0.5)
+    rr = math.floor(r + 0.5)
+    rs = math.floor(s + 0.5)
+    dq = abs(rq - q)
+    dr = abs(rr - r)
+    ds = abs(rs - s)
+    if dq > ds and dq > dr:
+        return int(-rs - rr), int(rr)
+    if dr > ds:
+        return int(rq), int(-rq - rs)
+    return int(rq), int(rr)

@@ -47,6 +47,7 @@ __all__ = [
     "geodesic_pairs",
     "geodesic_join",
     "geodesic_knn_join",
+    "variogram_bins",
 ]
 
 #: cell-key packing stride: cells are (xs // r, ys // r) with
@@ -178,6 +179,94 @@ def ripley_k_counts(
             .cast("long")
             .alias("pair_count"),
             "n_points",
+        )
+    )
+
+
+def variogram_bins(
+    pts: DataFrame, radii: tuple, id_col: str = "id",
+    value_col: str = "val",
+) -> DataFrame:
+    """Empirical (semi)variogram over integer-valued points — THE
+    geostatistical structure function (how fast does a field decorrelate
+    with distance?), the calibration input for kriging and the spatial
+    complement of :func:`ripley_k_counts` (which counts pairs;
+    this also sums their squared value differences).
+
+    For each lag bin ``k`` — half-open annulus ``r_{k-1} < d ≤ r_k``
+    with ``r_0 = 0``; co-located pairs (d = 0) land in bin 1 — returns
+    ``(radius, n_pairs, sum_sq_diff)``: the unordered-pair count and
+    Σ (v_i − v_j)², all BIGINT. The consumer divides —
+    γ̂(bin) = sum_sq_diff / (2·n_pairs) — exactly the HLL/estimate
+    convention: the ENGINE's contract is integer-exact state, the one
+    float lives at the edge. Vacuous bins report explicit 0s.
+
+    Scale shape: ONE grid-bucketed ε-join at max(radii) (the ×9
+    replication cell equi-join — no CartesianProduct, no distinct);
+    each candidate pair maps to exactly ONE bin (a CASE ladder, not a
+    fan-out) before a combinable groupBy of ≤ len(radii) rows. Value
+    columns ride the join as two extra longs — no back-join by id.
+    """
+    radii = tuple(int(r) for r in radii)
+    if not radii or any(r < 1 for r in radii):
+        raise ValueError(f"radii must be positive integers, got {radii!r}")
+    if list(radii) != sorted(set(radii)):
+        raise ValueError(f"radii must be strictly increasing, got {radii!r}")
+    rmax = max(radii)
+    xs, ys = F.col("xs").cast("long"), F.col("ys").cast("long")
+    val = F.col(value_col).cast("long")
+    left = pts.select(
+        F.col(id_col).alias("id_a"),
+        xs.alias("xa"),
+        ys.alias("ya"),
+        val.alias("va"),
+        _cell(xs, ys, rmax).alias("cell"),
+    )
+    ring = F.array(*[F.lit(d) for d in (-1, 0, 1)])
+    right = (
+        pts.select(
+            F.col(id_col).alias("id_b"),
+            xs.alias("xb"),
+            ys.alias("yb"),
+            val.alias("vb"),
+            _cell(xs, ys, rmax).alias("home"),
+        )
+        .withColumn("dx", F.explode(ring))
+        .withColumn("dy", F.explode(ring))
+        .withColumn(
+            "cell", F.col("home") + F.col("dx") * F.lit(_PACK) + F.col("dy")
+        )
+        .drop("home", "dx", "dy")
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    # first rung whose r² bounds d2 — each pair lands in exactly one bin
+    bin_expr = F.lit(None).cast("long")
+    for r in reversed(radii):
+        bin_expr = F.when(d2 <= F.lit(r * r), F.lit(r)).otherwise(bin_expr)
+    dv = F.col("va") - F.col("vb")
+    hits = (
+        left.join(right, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(d2 <= F.lit(rmax * rmax))
+        .select(bin_expr.alias("radius"), (dv * dv).alias("sq"))
+        .groupBy("radius")
+        .agg(
+            F.count(F.lit(1)).alias("np"),
+            F.sum("sq").alias("ss"),
+        )
+    )
+    ladder = pts.sparkSession.createDataFrame(
+        [(r,) for r in radii], "radius long"
+    )
+    return (
+        ladder.join(hits, "radius", "left")
+        .select(
+            "radius",
+            F.coalesce(F.col("np"), F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce(F.col("ss"), F.lit(0)).cast("long")
+            .alias("sum_sq_diff"),
         )
     )
 

@@ -34,6 +34,7 @@ from .spatial_join import assign_extracts
 __all__ = [
     "rasterize",
     "local_maxima",
+    "raster_gradient",
     "morans_i",
     "getis_ord_g",
     "region_label",
@@ -217,6 +218,112 @@ def local_maxima(
     )
     return win.filter(F.col("m.negsrc") == -F.col("cell")).select(
         "cell", F.col("m.v").alias(value_col)
+    )
+
+
+#: D8 direction ring, index 0..7 counter-clockwise from East — the
+#: classic flow-direction convention of DEM hydrology, reused here for
+#: density-surface ascent
+D8_OFFSETS = (
+    (1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0), (-1, -1), (0, -1), (1, -1),
+)
+
+
+def raster_gradient(
+    raster: DataFrame, res: int, value_col: str = "n"
+) -> DataFrame:
+    """Per-cell finite-difference gradient + D8 steepest-ascent direction
+    over a raster — the surface-analysis primitive (slope/aspect on a
+    DEM, drift direction on a density or KDE surface, and the D8 pointer
+    that seeds flow-accumulation / basin labeling).
+
+    For every INPUT cell: ``gx = v(E) − v(W)``, ``gy = v(N) − v(S)``
+    (central differences; absent or out-of-domain neighbors count 0 —
+    the zero-padding convention of :func:`local_maxima`), and ``d8`` =
+    the index (0=E, 1=NE, … 7=SE, counter-clockwise) of the
+    maximum-valued 8-neighbor, ties to the LOWEST index, or −1 when no
+    neighbor has a positive value (flat/isolated cell). All integer —
+    slope magnitude/aspect angle are consumer-side floats (the HLL
+    convention). Returns ``(cell, gx, gy, d8)``.
+
+    Scale shape: ONE 9× map-side scatter (the :func:`dilate` explode,
+    offsets carried) + ONE map-side-combinable groupBy whose 8
+    conditional aggregates gather the neighborhood — no self-join of the
+    raster against itself, no window, no second shuffle. Expects
+    DISTINCT cells (any :func:`rasterize` output is).
+    """
+    mx = (1 << (res + 1)) - 1
+    my = (1 << res) - 1
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in range(-1, 2)
+            for dy in range(-1, 2)
+        ]
+    )
+    c = F.col("cell").cast("long")
+    ix = F.shiftright(c, 32)
+    iy = c.bitwiseAND(F.lit(grid.CELL_SHIFT - 1))
+    # scatter: source cell sends (its value, its offset AS SEEN FROM the
+    # target) to each in-domain neighbor address
+    scat = (
+        raster.select(
+            "cell", F.col(value_col).cast("long").alias("v"),
+            F.explode(offsets).alias("o"),
+        )
+        .select(
+            (ix + F.col("o.dx")).alias("nix"),
+            (iy + F.col("o.dy")).alias("niy"),
+            (-F.col("o.dx")).alias("rdx"),
+            (-F.col("o.dy")).alias("rdy"),
+            "v",
+        )
+        .filter(
+            (F.col("nix") >= 0)
+            & (F.col("nix") <= mx)
+            & (F.col("niy") >= 0)
+            & (F.col("niy") <= my)
+        )
+        .select(
+            (F.col("nix") * F.lit(grid.CELL_SHIFT) + F.col("niy"))
+            .alias("cell"),
+            "rdx",
+            "rdy",
+            "v",
+        )
+    )
+
+    def at(dx: int, dy: int):
+        return F.max(
+            F.when((F.col("rdx") == dx) & (F.col("rdy") == dy), F.col("v"))
+        )
+
+    neigh = {(dx, dy): at(dx, dy).alias(f"v_{i}")
+             for i, (dx, dy) in enumerate(D8_OFFSETS)}
+    g = scat.groupBy("cell").agg(
+        at(0, 0).alias("v_self"), *neigh.values()
+    )
+    vz = {
+        off: F.coalesce(F.col(f"v_{i}"), F.lit(0))
+        for i, off in enumerate(D8_OFFSETS)
+    }
+    best = F.greatest(
+        *[
+            F.struct(vz[off].alias("v"), F.lit(-i).alias("negidx"))
+            for i, off in enumerate(D8_OFFSETS)
+        ]
+    )
+    return (
+        g.filter(F.col("v_self").isNotNull())
+        .select(
+            "cell",
+            (vz[(1, 0)] - vz[(-1, 0)]).cast("long").alias("gx"),
+            (vz[(0, 1)] - vz[(0, -1)]).cast("long").alias("gy"),
+            F.when(best["v"] > 0, -best["negidx"])
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("d8"),
+        )
     )
 
 

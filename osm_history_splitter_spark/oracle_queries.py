@@ -829,6 +829,135 @@ FROM pos a JOIN pos b
 GROUP BY 1, 2"""
 
 
+#: Hausdorff similarity-join radius (centidegrees). Trajectory boxes are
+#: 90×90 (diagonal ≈ 125.9 < 128), so same-cluster pairs always pass the
+#: coverage gate — non-vacuous at every SF by construction.
+HAUS_RADIUS = 128
+
+
+def _traj_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustered synthetic trajectories: users 2c and 2c+1 walk inside
+    the same 90×90 centidegree box (cluster c's slot on a 100-pitch
+    grid), so every cluster yields one qualifying trajectory pair while
+    cross-cluster pairs only qualify when their slots happen to abut —
+    selective AND non-vacuous at every SF (events/user is SF-constant)."""
+    ev = _t(spark, sf_dir, "events")
+    k, e = F.col("user_id").cast("long"), F.col("event_id").cast("long")
+    c = ((k - k % 2) / 2).cast("long")
+    return ev.select(
+        k.alias("tid"),
+        (((c * 997) % 360) * 100 + (k * 7919 + e * 13) % 90).alias("xs"),
+        (((c * 641) % 179) * 100 + (k * 104729 + e * 29) % 90).alias("ys"),
+    )
+
+
+_TRAJ_POS_SQL = """SELECT user_id AS tid,
+  (((user_id // 2) * 997) % 360) * 100
+    + (user_id * 7919 + event_id * 13) % 90 AS xs,
+  (((user_id // 2) * 641) % 179) * 100
+    + (user_id * 104729 + event_id * 29) % 90 AS ys
+FROM events"""
+
+
+def q_hausdorff_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory-similarity join (operators/trajectory.py:
+    hausdorff_join): all unordered trajectory pairs with symmetric
+    Hausdorff distance ≤ HAUS_RADIUS, with the exact squared distance —
+    ONE grid ε-join (×9 map-side replication, no CartesianProduct) +
+    two combinable groupBys + a coverage gate that makes the threshold
+    join distance-exact. The twin computes the TRUE Hausdorff from the
+    full n² pair set and filters at the end — certifying both the grid
+    candidate completeness and the coverage-gate semantics."""
+    from .operators.trajectory import hausdorff_join
+
+    return hausdorff_join(_traj_pos(spark, sf_dir), HAUS_RADIUS)
+
+
+Q_HAUSDORFF_SQL = f"""WITH pos AS (
+  SELECT DISTINCT * FROM ({_TRAJ_POS_SQL})
+),
+cand AS (
+  SELECT a.tid AS ta, b.tid AS tb, a.xs AS xa, a.ys AS ya,
+         (a.xs - b.xs) * (a.xs - b.xs)
+           + (a.ys - b.ys) * (a.ys - b.ys) AS d2
+  FROM pos a JOIN pos b ON a.tid < b.tid
+),
+mina AS (
+  SELECT ta, tb, xa, ya, min(d2) AS md FROM cand GROUP BY 1, 2, 3, 4
+),
+ha AS (SELECT ta, tb, max(md) AS h2a FROM mina GROUP BY 1, 2),
+candb AS (
+  SELECT a.tid AS ta, b.tid AS tb, b.xs AS xb, b.ys AS yb,
+         (a.xs - b.xs) * (a.xs - b.xs)
+           + (a.ys - b.ys) * (a.ys - b.ys) AS d2
+  FROM pos a JOIN pos b ON a.tid < b.tid
+),
+minb AS (
+  SELECT ta, tb, xb, yb, min(d2) AS md FROM candb GROUP BY 1, 2, 3, 4
+),
+hb AS (SELECT ta, tb, max(md) AS h2b FROM minb GROUP BY 1, 2)
+SELECT ta AS tid_a, tb AS tid_b,
+  CAST(greatest(h2a, h2b) AS BIGINT) AS h2
+FROM ha JOIN hb USING (ta, tb)
+WHERE greatest(h2a, h2b) <= {HAUS_RADIUS * HAUS_RADIUS}"""
+
+
+def q_trajectory_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trajectory summary (operators/trajectory.py:
+    trajectory_stats): event count, time span, total/max squared step,
+    net first→last displacement — the mobility/bot-detection feature
+    vector, integer-exact. ONE user shuffle feeds the lag window, both
+    first/last marks and the groupBy (single Exchange, no joins)."""
+    from .operators.trajectory import trajectory_stats
+
+    ev = _t(spark, sf_dir, "events")
+    k, e = F.col("user_id").cast("long"), F.col("event_id").cast("long")
+    pos = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp(F.col("ts")).alias("tse"),
+        ((k * 7919 + e * 13) % 36000).alias("xs"),
+        ((k * 104729 + e * 29) % 18000).alias("ys"),
+    )
+    return trajectory_stats(pos)
+
+
+Q_TRAJECTORY_STATS_SQL = """WITH pos AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS tse,
+    (user_id * 7919 + event_id * 13) % 36000 AS xs,
+    (user_id * 104729 + event_id * 29) % 18000 AS ys
+  FROM events
+),
+s AS (
+  SELECT user_id, tse, xs, ys,
+    xs - lag(xs) OVER w AS dx, ys - lag(ys) OVER w AS dy,
+    row_number() OVER w AS rn_a,
+    row_number() OVER (PARTITION BY user_id
+                       ORDER BY tse DESC, event_id DESC) AS rn_d
+  FROM pos
+  WINDOW w AS (PARTITION BY user_id ORDER BY tse, event_id)
+),
+g AS (
+  SELECT user_id,
+    count(*) AS n_events,
+    max(CASE WHEN rn_d = 1 THEN tse END)
+      - max(CASE WHEN rn_a = 1 THEN tse END) AS duration,
+    coalesce(sum(dx * dx + dy * dy), 0) AS sum_step2,
+    coalesce(max(dx * dx + dy * dy), 0) AS max_step2,
+    max(CASE WHEN rn_d = 1 THEN xs END)
+      - max(CASE WHEN rn_a = 1 THEN xs END) AS ndx,
+    max(CASE WHEN rn_d = 1 THEN ys END)
+      - max(CASE WHEN rn_a = 1 THEN ys END) AS ndy
+  FROM s GROUP BY 1
+)
+SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+  CAST(duration AS BIGINT) AS duration,
+  CAST(sum_step2 AS BIGINT) AS sum_step2,
+  CAST(max_step2 AS BIGINT) AS max_step2,
+  CAST(ndx * ndx + ndy * ndy AS BIGINT) AS net_disp2
+FROM g"""
+
+
 #: hotspot NMS neighborhood radius (Chebyshev cells)
 HOTSPOT_K = 2
 
@@ -876,6 +1005,97 @@ base AS (
                             ORDER BY n DESC, src ASC) AS rn
   FROM nb)
 SELECT cell, CAST(n AS BIGINT) AS n FROM w WHERE rn = 1 AND src = cell"""
+
+
+#: hex-bin edge (degrees) for the aggregation-lattice query
+HEX_SIZE = 2.0
+
+
+def q_hexbin_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hexagonal binning (functions/grid.py:hexbin_expr): per-hex counts
+    of the customer points on a pointy-top axial lattice — the
+    corner-bias-free aggregation grid (H3's reason to exist), as a pure
+    Catalyst encode (IEEE +,−,×,÷,floor,abs only — deterministic across
+    Spark/DuckDB/CPython, certified three ways) + ONE combinable
+    groupBy."""
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    lon = ((k * 7919) % 36000) / F.lit(100.0) - F.lit(180.0)
+    lat = ((k * 104729) % 18000) / F.lit(100.0) - F.lit(90.0)
+    hq, hr = grid.hexbin_expr(lon, lat, HEX_SIZE)
+    return (
+        c.select(hq.alias("hq"), hr.alias("hr"))
+        .groupBy("hq", "hr")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def _hexbin_sql() -> str:
+    lon = "((c_custkey * 7919) % 36000) / 100.0 - 180.0"
+    lat = "((c_custkey * 104729) % 18000) / 100.0 - 90.0"
+    hq, hr = grid.hexbin_sql(lon, lat, HEX_SIZE)
+    return (
+        f"SELECT {hq} AS hq, {hr} AS hr, CAST(count(*) AS BIGINT) AS n "
+        f"FROM customer GROUP BY 1, 2"
+    )
+
+
+def q_raster_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surface gradient + D8 ascent (operators/raster.py:
+    raster_gradient): per cell of the customer density raster, the
+    central-difference (gx, gy) and the D8 index of the steepest-ascent
+    neighbor (ties → lowest index, flat → −1) — the DEM slope/flow
+    primitive on a density surface. ONE 9× scatter + ONE combinable
+    groupBy; integer-exact."""
+    from .operators.raster import raster_gradient, rasterize
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    pts = c.select(
+        (((k * 7919) % 36000) / F.lit(100.0) - F.lit(180.0)).alias("lon"),
+        (((k * 104729) % 18000) / F.lit(100.0) - F.lit(90.0)).alias("lat"),
+    )
+    return raster_gradient(rasterize(pts, RASTER_RES), RASTER_RES)
+
+
+def _raster_gradient_sql() -> str:
+    from .operators.raster import D8_OFFSETS
+
+    shift = grid.CELL_SHIFT
+    mx = (1 << (RASTER_RES + 1)) - 1
+    my = (1 << RASTER_RES) - 1
+    vcols = ",\n    ".join(
+        f"coalesce(max(CASE WHEN rdx = {dx} AND rdy = {dy} THEN n END), 0)"
+        f" AS v{i}"
+        for i, (dx, dy) in enumerate(D8_OFFSETS)
+    )
+    first_match = " ".join(
+        f"WHEN v{i} = mv THEN {i}" for i in range(len(D8_OFFSETS))
+    )
+    return f"""WITH pts AS ({_CUST_PTS_SQL}),
+base AS (
+  SELECT {grid.cell_id_sql('lon', 'lat', RASTER_RES)} AS cell, count(*) AS n
+  FROM pts GROUP BY 1
+), nb AS (
+  SELECT (cell // {shift} + dx) * {shift} + (cell % {shift} + dy) AS ncell,
+         -dx AS rdx, -dy AS rdy, n
+  FROM base,
+       LATERAL (SELECT unnest([-1, 0, 1]) AS dx),
+       LATERAL (SELECT unnest([-1, 0, 1]) AS dy)
+  WHERE cell // {shift} + dx BETWEEN 0 AND {mx}
+    AND cell % {shift} + dy BETWEEN 0 AND {my}
+), g AS (
+  SELECT ncell AS cell,
+    max(CASE WHEN rdx = 0 AND rdy = 0 THEN n END) AS v_self,
+    {vcols}
+  FROM nb GROUP BY 1
+), m AS (
+  SELECT *, greatest(v0, v1, v2, v3, v4, v5, v6, v7) AS mv
+  FROM g WHERE v_self IS NOT NULL
+)
+SELECT cell, CAST(v0 - v4 AS BIGINT) AS gx, CAST(v2 - v6 AS BIGINT) AS gy,
+  CAST(CASE WHEN mv <= 0 THEN -1 {first_match} END AS BIGINT) AS d8
+FROM m"""
 
 
 def _raster_morphology_sql() -> str:
@@ -1527,6 +1747,61 @@ SELECT CAST(radius AS BIGINT) AS radius,
 FROM radii"""
 
 
+#: variogram lag-bin ladder (shares the Ripley rungs so the two
+#: statistics describe the same scales)
+VARIOGRAM_RADII = RIPLEY_RADII
+
+#: spatially-structured integer field over the order points: value =
+#: xs % 97 + ys % 89 — nearby points share residues more often than far
+#: ones, so γ̂ actually grows with lag (a live, non-noise variogram)
+_VGM_VAL = "(xs % 97 + ys % 89)"
+
+
+def q_variogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical variogram (operators/neighbors.py:variogram_bins): per
+    half-open lag bin, the unordered pair count and Σ(v_i − v_j)² of an
+    integer field over the geotagged order points — the kriging
+    calibration statistic. ONE grid ε-join at max(lag) feeds every bin
+    (CASE ladder, no per-rung fan-out), values ride the join — no
+    back-join by id; integer-exact state, γ̂ = ss/(2n) left to the
+    consumer (the HLL convention)."""
+    from .operators.neighbors import variogram_bins
+
+    pts = _order_pts(spark, sf_dir).withColumn(
+        "val", F.col("xs") % 97 + F.col("ys") % 89
+    )
+    return variogram_bins(pts, VARIOGRAM_RADII)
+
+
+_VG_MAX = max(VARIOGRAM_RADII)
+_VG_CASE = " ".join(
+    f"WHEN dist2 <= {r * r} THEN {r}" for r in VARIOGRAM_RADII
+)
+Q_VARIOGRAM_SQL = f"""WITH pts0 AS ({_ORDER_PTS_SQL}),
+pts AS (SELECT id, xs, ys, {_VGM_VAL} AS val FROM pts0),
+cells AS (SELECT id, xs, ys, val,
+  (xs // {_VG_MAX}) * 4294967296 + (ys // {_VG_MAX}) AS cell FROM pts),
+deltas(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                          (1,-1),(1,0),(1,1)),
+rep AS (SELECT id, xs, ys, val, cell + dx * 4294967296 + dy AS cell
+        FROM cells CROSS JOIN deltas),
+pairs AS (
+  SELECT (a.xs-b.xs)*(a.xs-b.xs) + (a.ys-b.ys)*(a.ys-b.ys) AS dist2,
+         (a.val-b.val)*(a.val-b.val) AS sq
+  FROM cells a JOIN rep b USING (cell)
+  WHERE a.id < b.id
+    AND (a.xs-b.xs)*(a.xs-b.xs) + (a.ys-b.ys)*(a.ys-b.ys)
+        <= {_VG_MAX * _VG_MAX}),
+binned AS (
+  SELECT CASE {_VG_CASE} END AS radius, count(*) AS np, sum(sq) AS ss
+  FROM pairs GROUP BY 1),
+radii(radius) AS (VALUES {", ".join(f"({r})" for r in VARIOGRAM_RADII)})
+SELECT CAST(radii.radius AS BIGINT) AS radius,
+  CAST(coalesce(np, 0) AS BIGINT) AS n_pairs,
+  CAST(coalesce(ss, 0) AS BIGINT) AS sum_sq_diff
+FROM radii LEFT JOIN binned ON radii.radius = binned.radius"""
+
+
 #: Rectangle-overlap join fixtures: orders → small extents (way bboxes),
 #: customers → larger extents (region-of-interest boxes). Same shifted
 #: non-negative centidegree domain as the point lattice; widths bounded
@@ -2043,10 +2318,13 @@ SPATIAL_QUERIES = {
     "snap_segment": (q_snap_segment, Q_SNAP_SEGMENT_SQL),
     "neighbor_pairs": (q_neighbor_pairs, Q_NEIGHBOR_PAIRS_SQL),
     "ripley_k": (q_ripley_k, Q_RIPLEY_K_SQL),
+    "variogram": (q_variogram, Q_VARIOGRAM_SQL),
     "rect_overlap": (q_rect_overlap, Q_RECT_OVERLAP_SQL),
     "mk_trend": (q_mk_trend, _mk_trend_sql()),
     "dwell_segments": (q_dwell_segments, _dwell_segments_sql()),
     "colocation": (q_colocation, _colocation_sql()),
+    "hausdorff_pairs": (q_hausdorff_pairs, Q_HAUSDORFF_SQL),
+    "trajectory_stats": (q_trajectory_stats, Q_TRAJECTORY_STATS_SQL),
     "spatial_clusters": (q_spatial_clusters, Q_SPATIAL_CLUSTERS_SQL),
     "knn_join": (q_knn_join, Q_KNN_JOIN_SQL),
     "way_ring_stats": (q_way_ring_stats, Q_WAY_RING_STATS_SQL),
@@ -2060,6 +2338,8 @@ SPATIAL_QUERIES = {
     "cell_assign": (q_cell_assign, Q_CELL_ASSIGN_SQL),
     "geohash_assign": (q_geohash_assign, Q_GEOHASH_ASSIGN_SQL),
     "raster_morphology": (q_raster_morphology, Q_RASTER_MORPHOLOGY_SQL),
+    "raster_gradient": (q_raster_gradient, _raster_gradient_sql()),
+    "hexbin_assign": (q_hexbin_assign, _hexbin_sql()),
     "hotspot_cells": (q_hotspot_cells, Q_HOTSPOT_CELLS_SQL),
     "od_matrix": (q_od_matrix, Q_OD_MATRIX_SQL),
     "morans_i": (q_morans_i, Q_MORANS_I_SQL),

@@ -3546,6 +3546,83 @@ SELECT lang,
 FROM s"""
 
 
+#: KMV (bottom-k / k-minimum-values) sketch size
+KMV_K = 64
+
+
+def kmv_state(docs, k: int = KMV_K):
+    """The KMV distinct-count sketch state over a ``documents``-shaped
+    frame: per lang, the ``k`` SMALLEST md5 values of the distinct
+    tokens — ``(lang, rn, h)`` rows, ≤ |langs|·k of them. MERGEABLE like
+    the HLL registers (tests/test_sketches.py certifies): the state of
+    a union of shards is the bottom-k of the shards' states' union
+    (min-k is associative/commutative/idempotent), so per-partition
+    sketches merge for free. Unlike HLL, the same state doubles as a
+    UNIFORM SAMPLE of the distinct tokens (md5 order is hash order) —
+    one sketch answers both "how many?" and "show me a few".
+
+    Scale shape: ONE distinct shuffle on (lang, h), then the per-lang
+    bottom-k via a rank window that Spark executes as WindowGroupLimit
+    — the limit is applied map-side BEFORE the window shuffle, so the
+    sort never sees more than k rows per lang per task."""
+    from pyspark.sql import Window
+
+    words = docs.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    h = F.md5(F.concat(F.lit("kmv:"), F.col("w")).cast("binary"))
+    dedup = words.select("lang", h.alias("h")).distinct()
+    w = Window.partitionBy("lang").orderBy("h")
+    return dedup.withColumn(
+        "rn", F.row_number().over(w).cast("long")
+    ).filter(F.col("rn") <= k)
+
+
+def q_kmv_distinct(spark, sf_dir):
+    """KMV distinct-token estimation per language — the third sketch of
+    the family (CMS: frequencies, HLL: cardinality via register maxima,
+    KMV: cardinality via order statistics + a free uniform token
+    sample). Per lang: ``m_used`` state rows, the kth-smallest hash,
+    and the estimator (k−1)/h_k computed integer-exactly as
+    ``((k−1)·2^48) div kth48`` over the hash's first 48 bits — every
+    column bigint or hex-string, so the DuckDB twin hashes exactly
+    (langs with < k distinct tokens report the EXACT count — the
+    sketch degenerates to the truth, the LC-correction analog)."""
+    st = kmv_state(_t(spark, sf_dir, "documents"))
+    per = st.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("m_used"),
+        F.max("h").alias("kth_h"),
+    )
+    est = F.when(F.col("m_used") < KMV_K, F.col("m_used")).otherwise(
+        F.expr(
+            f"cast({(KMV_K - 1) * (1 << 48)} div "
+            f"cast(conv(substring(kth_h, 1, 12), 16, 10) as bigint) "
+            f"as bigint)"
+        )
+    )
+    return per.select(
+        "lang", "m_used", "kth_h", est.cast("long").alias("est_distinct")
+    )
+
+
+Q_KMV_DISTINCT_SQL = f"""WITH t AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+wf AS (SELECT DISTINCT lang, md5('kmv:' || w) AS h
+       FROM t WHERE w <> ''),
+r AS (SELECT lang, h,
+        row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+      FROM wf),
+st AS (SELECT * FROM r WHERE rn <= {KMV_K}),
+g AS (SELECT lang, count(*) AS m_used, max(h) AS kth_h
+      FROM st GROUP BY 1)
+SELECT lang, CAST(m_used AS BIGINT) AS m_used, kth_h,
+  CAST(CASE WHEN m_used < {KMV_K} THEN m_used
+    ELSE {(KMV_K - 1) * (1 << 48)} //
+      CAST(('0x' || substr(kth_h, 1, 12))::UBIGINT AS BIGINT)
+  END AS BIGINT) AS est_distinct
+FROM g"""
+
+
 #: hop bound for the weighted shortest-path query (and its twin's
 #: recursive-walk depth) — the loop usually fixpoints earlier
 SSSP_MAX_HOPS = 6
@@ -3804,6 +3881,7 @@ TEXT_QUERIES = {
     "graph_bfs": (q_graph_bfs, Q_GRAPH_BFS_SQL),
     "cms_counts": (q_cms_counts, Q_CMS_COUNTS_SQL),
     "hll_distinct": (q_hll_distinct, Q_HLL_DISTINCT_SQL),
+    "kmv_distinct": (q_kmv_distinct, Q_KMV_DISTINCT_SQL),
     "graph_sssp": (q_graph_sssp, Q_GRAPH_SSSP_SQL),
     "triangles": (q_triangles, Q_TRIANGLES_SQL),
     "co_citation": (q_co_citation, Q_CO_CITATION_SQL),

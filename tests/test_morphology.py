@@ -208,3 +208,65 @@ def test_triple_blur_is_bspline_kernel(spark):
     }
     assert got == want
     assert sum(got.values()) == 27**2  # mass = (3^2)^3 per axis pair
+
+
+from osm_history_splitter_spark.operators.raster import (  # noqa: E402
+    D8_OFFSETS,
+    raster_gradient,
+)
+
+
+def _np_gradient(vals: dict[int, int]):
+    """Dense reference: central differences + D8 max-ascent, 0-padded."""
+    out = {}
+    for c, _v in vals.items():
+        ix, iy = c // CELL_SHIFT, c % CELL_SHIFT
+
+        def at(dx, dy):
+            nx, ny = ix + dx, iy + dy
+            if not (0 <= nx <= MX and 0 <= ny <= MY):
+                return 0
+            return vals.get(nx * CELL_SHIFT + ny, 0)
+
+        gx = at(1, 0) - at(-1, 0)
+        gy = at(0, 1) - at(0, -1)
+        nvals = [at(dx, dy) for dx, dy in D8_OFFSETS]
+        mv = max(nvals)
+        d8 = nvals.index(mv) if mv > 0 else -1
+        out[c] = (gx, gy, d8)
+    return out
+
+
+@pytest.mark.parametrize("seed,n", [(11, 250), (12, 600)])
+def test_gradient_matches_dense_reference(spark, seed, n):
+    rng = np.random.default_rng(seed)
+    ix = rng.integers(0, MX + 1, n)
+    iy = rng.integers(0, MY + 1, n)
+    vals = {
+        int(x) * CELL_SHIFT + int(y): int(v)
+        for x, y, v in zip(ix, iy, rng.integers(1, 100, n))
+    }
+    df = spark.createDataFrame(list(vals.items()), "cell long, n long")
+    got = {
+        r.cell: (r.gx, r.gy, r.d8)
+        for r in raster_gradient(df, RES).collect()
+    }
+    assert got == _np_gradient(vals)
+    assert any(d[2] >= 0 for d in got.values()), "vacuous: no ascent cell"
+    assert any(d[2] == -1 for d in got.values()) or n < 300
+
+
+def test_gradient_isolated_cell_is_flat(spark):
+    df = spark.createDataFrame([(5 * CELL_SHIFT + 5, 9)], "cell long, n long")
+    [r] = raster_gradient(df, RES).collect()
+    assert (r.gx, r.gy, r.d8) == (0, 0, -1)
+
+
+def test_gradient_tie_breaks_to_lowest_direction(spark):
+    # equal E and N neighbors: E (index 0) must win over N (index 2)
+    c = 5 * CELL_SHIFT + 5
+    df = spark.createDataFrame(
+        [(c, 1), (c + CELL_SHIFT, 7), (c + 1, 7)], "cell long, n long"
+    )
+    got = {r.cell: r.d8 for r in raster_gradient(df, RES).collect()}
+    assert got[c] == 0

@@ -488,3 +488,75 @@ def test_geodesic_knn_fewer_than_k(spark):
     got = [(r.id_r, r.rk) for r in
            geodesic_knn_join(ldf, rdf, 5, 1000.0).orderBy("rk").collect()]
     assert got == [(9, 1), (8, 2)]
+
+
+from osm_history_splitter_spark.operators.neighbors import (  # noqa: E402
+    variogram_bins,
+)
+
+
+def _valued_cloud(spark, n: int, seed: int):
+    rng = np.random.default_rng(seed)
+    rows = [
+        (
+            i,
+            int(rng.integers(0, 4000)),
+            int(rng.integers(0, 4000)),
+            int(rng.integers(-50, 50)),
+        )
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "id long, xs long, ys long, val long")
+    return rows, df
+
+
+def _brute_variogram(rows, radii):
+    out = {r: [0, 0] for r in radii}
+    rmax = max(radii)
+    for i, (ia, xa, ya, va) in enumerate(rows):
+        for ib, xb, yb, vb in rows[i + 1:]:
+            d2 = (xa - xb) ** 2 + (ya - yb) ** 2
+            if d2 > rmax * rmax:
+                continue
+            r = next(r for r in radii if d2 <= r * r)
+            out[r][0] += 1
+            out[r][1] += (va - vb) ** 2
+    return {r: tuple(v) for r, v in out.items()}
+
+
+@pytest.mark.parametrize(
+    "seed,n,radii",
+    [(7, 300, (100, 250, 600)), (8, 500, (50, 500, 1000, 2000))],
+)
+def test_variogram_matches_brute(spark, seed, n, radii):
+    rows, df = _valued_cloud(spark, n, seed)
+    got = {
+        r.radius: (r.n_pairs, r.sum_sq_diff)
+        for r in variogram_bins(df, radii).collect()
+    }
+    want = _brute_variogram(rows, radii)
+    assert got == want
+    assert any(v[0] > 0 for v in want.values()), "vacuous fixture"
+
+
+def test_variogram_colocated_pairs_land_in_first_bin(spark):
+    # d = 0 pairs are bin-1 lags with a real squared value difference
+    df = spark.createDataFrame(
+        [(1, 5, 5, 10), (2, 5, 5, 4), (3, 5, 6, 0)],
+        "id long, xs long, ys long, val long",
+    )
+    got = {
+        r.radius: (r.n_pairs, r.sum_sq_diff)
+        for r in variogram_bins(df, (2, 10)).collect()
+    }
+    # pairs: (1,2) d2=0 dv=6 -> bin 2's? no: bin r=2 (d2<=4); (1,3)/(2,3)
+    # d2=1 -> bin 2 as well; sum = 36 + 100 + 16
+    assert got == {2: (3, 152), 10: (0, 0)}
+
+
+def test_variogram_validation(spark):
+    _, df = _valued_cloud(spark, 5, 0)
+    with pytest.raises(ValueError):
+        variogram_bins(df, ())
+    with pytest.raises(ValueError):
+        variogram_bins(df, (100, 50))

@@ -201,3 +201,60 @@ def test_sketch_states_merge_across_shards(spark, testdata_sf):
             k = (r["lang"], r["reg"])
             merged_h[k] = max(merged_h.get(k, 0), r["m"])
     assert merged_h == whole_h
+
+
+from osm_history_splitter_spark.text_queries import (  # noqa: E402
+    KMV_K,
+    kmv_state,
+    q_kmv_distinct,
+)
+
+
+def test_kmv_estimate_tracks_exact_distinct(spark, testdata_sf):
+    """KMV with k=64 has ~12.5% standard error; assert every per-lang
+    estimate lands within 35% of the exact distinct-token count, with
+    small langs (< k distinct) EXACT by the degeneration rule."""
+    out = {r["lang"]: r for r in q_kmv_distinct(spark, testdata_sf).collect()}
+    d = spark.read.parquet(f"{testdata_sf}/documents.parquet")
+    exact = {
+        r["lang"]: r["n"]
+        for r in d.select("lang", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("lang")
+        .agg(F.countDistinct("w").alias("n"))
+        .collect()
+    }
+    assert set(out) == set(exact)
+    for lang, r in out.items():
+        assert 0 < r["m_used"] <= KMV_K
+        if exact[lang] < KMV_K:
+            assert r["est_distinct"] == exact[lang]
+        else:
+            assert r["m_used"] == KMV_K
+            lo, hi = exact[lang] * 0.65, exact[lang] * 1.35
+            assert lo <= r["est_distinct"] <= hi, (lang, r, exact[lang])
+
+
+def test_kmv_state_is_mergeable(spark, testdata_sf):
+    """Shard-mergeability: the state of the UNION equals the bottom-k of
+    the union of the shard states — the property that lets every
+    partition sketch independently."""
+    d = spark.read.parquet(f"{testdata_sf}/documents.parquet")
+    a = d.filter(F.col("doc_id") % 2 == 0)
+    b = d.filter(F.col("doc_id") % 2 == 1)
+
+    def state(df):
+        return {
+            (r["lang"], r["h"]) for r in kmv_state(df).collect()
+        }
+
+    merged_input = state(a) | state(b)
+    by_lang: dict = {}
+    for lang, h in merged_input:
+        by_lang.setdefault(lang, []).append(h)
+    merged = {
+        (lang, h)
+        for lang, hs in by_lang.items()
+        for h in sorted(hs)[:KMV_K]
+    }
+    assert state(d) == merged

@@ -156,3 +156,64 @@ def test_validation(spark):
         dwell_segments(df, min_events=0)
     with pytest.raises(ValueError):
         colocation_pairs(df, 0)
+
+
+from osm_history_splitter_spark.operators.trajectory import (  # noqa: E402
+    trajectory_stats,
+)
+
+
+def _brute_stats(rows):
+    by_user: dict = {}
+    for u, e, t, x, y in rows:
+        by_user.setdefault(u, []).append((t, e, x, y))
+    out = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        steps = [
+            (b[2] - a[2]) ** 2 + (b[3] - a[3]) ** 2
+            for a, b in zip(evs, evs[1:])
+        ]
+        out[u] = (
+            len(evs),
+            evs[-1][0] - evs[0][0],
+            sum(steps),
+            max(steps) if steps else 0,
+            (evs[-1][2] - evs[0][2]) ** 2 + (evs[-1][3] - evs[0][3]) ** 2,
+        )
+    return out
+
+
+@pytest.mark.parametrize("seed,nu,ne", [(3, 6, 200), (4, 15, 500)])
+def test_trajectory_stats_match_reference(spark, seed, nu, ne):
+    rng = np.random.default_rng(seed)
+    rows = [
+        (
+            int(rng.integers(0, nu)),
+            e,
+            int(rng.integers(0, 100000)),
+            int(rng.integers(0, 3000)),
+            int(rng.integers(0, 3000)),
+        )
+        for e in range(ne)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, tse long, xs long, ys long"
+    )
+    got = {
+        r.user_id: (
+            r.n_events, r.duration, r.sum_step2, r.max_step2, r.net_disp2
+        )
+        for r in trajectory_stats(df).collect()
+    }
+    assert got == _brute_stats(rows)
+
+
+def test_trajectory_stats_single_event_user(spark):
+    df = spark.createDataFrame(
+        [(1, 0, 100, 5, 7)],
+        "user_id long, event_id long, tse long, xs long, ys long",
+    )
+    [r] = trajectory_stats(df).collect()
+    assert (r.n_events, r.duration, r.sum_step2, r.max_step2,
+            r.net_disp2) == (1, 0, 0, 0, 0)
