@@ -91,6 +91,7 @@ _DRIVER_EXCLUDE = {
     "raster_gradient",  # same: window full; twin certified there too
     "hexbin_assign",  # same: window full; twin certified there too
     "kmv_distinct",  # same: window full; twin certified there too
+    "trending_terms",  # same: window full; twin certified there too
     "bm25_topk",  # ln() ulps differ across engines — pytest compares
     # rounded scores (tests/test_bm25.py); the exact-hash gate would
     # flake on the last decimal

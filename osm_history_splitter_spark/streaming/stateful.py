@@ -34,6 +34,7 @@ __all__ = [
     "interval_join_stream",
     "cms_sketch_stream",
     "hll_registers_stream",
+    "trending_counts_stream",
     "SESSION_GAP_SEC",
 ]
 
@@ -71,6 +72,45 @@ def hourly_rollup_stream(
             "event_type",
             "n",
             "sum_cents",
+        )
+    )
+
+
+def trending_counts_stream(
+    docs: DataFrame, watermark: str = "1 day"
+) -> DataFrame:
+    """Watermarked per-window token counts — the streaming half of the
+    trending-terms query (``text_queries.q_trending_terms``): tumbling
+    TREND_WIN windows over the synthetic crawl time, one count row per
+    (window, token), append mode. The top-k RANK step is serving-side —
+    a WindowGroupLimit over closed windows at read time — because a
+    rank can flip while a window is open; the counts are the part with
+    unbounded input, and their state is bounded by (open windows ×
+    vocabulary). A drained (availableNow) backlog equals the batch
+    query's pre-rank counts row-for-row, and ranking the drained sink
+    reproduces the batch top-k exactly
+    (tests/test_streaming_stateful.py)."""
+    from ..text_queries import TREND_BASE, TREND_SPAN, TREND_WIN
+
+    tse = F.lit(TREND_BASE) + (F.col("doc_id") * 977) % F.lit(TREND_SPAN)
+    stamped = docs.withColumn(
+        "ts", F.timestamp_seconds(tse).cast("timestamp")
+    )
+    return (
+        stamped.withWatermark("ts", watermark)
+        .select(
+            "ts", F.explode(F.split(F.col("text"), " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy(
+            F.window("ts", f"{TREND_WIN} seconds").alias("w"), "token"
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("long")
+            .alias("win_epoch"),
+            "token",
+            "n",
         )
     )
 

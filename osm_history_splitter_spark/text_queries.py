@@ -3546,6 +3546,71 @@ SELECT lang,
 FROM s"""
 
 
+#: trending-terms: epoch base / span (7 days) / tumbling width / top-k
+TREND_BASE = 1_700_000_000
+TREND_SPAN = 604_800
+TREND_WIN = 86_400
+TREND_K = 5
+
+
+def _trend_tse():
+    """Synthetic crawl time: doc_id spread over one week (977 is coprime
+    to the span, so every residue class is hit — no empty windows)."""
+    return F.lit(TREND_BASE) + (F.col("doc_id") * 977) % F.lit(TREND_SPAN)
+
+
+def q_trending_terms(spark, sf_dir):
+    """Windowed trending terms — per tumbling day of crawl time, the
+    top-k tokens by document-stream frequency (count DESC, token ASC
+    ties): the hot-topic / burst-detection primitive over an endless
+    crawl. Integer window arithmetic end-to-end (win = tse − tse mod W —
+    no timestamp/timezone surface in the batch contract); the streaming
+    twin (streaming/stateful.py:trending_counts_stream) computes the
+    same counts with an event-time watermark, and the rank step is the
+    serving-side read over closed windows (tests certify drained ==
+    batch). Scale shape: ONE explode → ONE combinable groupBy
+    (win, token); top-k per window runs as WindowGroupLimit (rank
+    pushed map-side), never a global sort."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    tse = _trend_tse()
+    win = (tse - tse % F.lit(TREND_WIN)).cast("long")
+    counts = (
+        d.select(
+            win.alias("win_epoch"),
+            F.explode(F.split(F.col("text"), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .groupBy("win_epoch", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.partitionBy("win_epoch").orderBy(
+        F.col("n").desc(), F.col("token").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TREND_K)
+    )
+
+
+Q_TRENDING_TERMS_SQL = f"""WITH d AS (
+  SELECT {TREND_BASE} + (doc_id * 977) % {TREND_SPAN} AS tse, text
+  FROM documents),
+t AS (
+  SELECT CAST(tse - tse % {TREND_WIN} AS BIGINT) AS win_epoch,
+         unnest(string_split(text, ' ')) AS token
+  FROM d),
+c AS (
+  SELECT win_epoch, token, CAST(count(*) AS BIGINT) AS n
+  FROM t WHERE token <> '' GROUP BY 1, 2),
+r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY win_epoch
+             ORDER BY n DESC, token ASC) AS BIGINT) AS rank
+  FROM c)
+SELECT win_epoch, token, n, rank FROM r WHERE rank <= {TREND_K}"""
+
+
 #: KMV (bottom-k / k-minimum-values) sketch size
 KMV_K = 64
 
@@ -3882,6 +3947,7 @@ TEXT_QUERIES = {
     "cms_counts": (q_cms_counts, Q_CMS_COUNTS_SQL),
     "hll_distinct": (q_hll_distinct, Q_HLL_DISTINCT_SQL),
     "kmv_distinct": (q_kmv_distinct, Q_KMV_DISTINCT_SQL),
+    "trending_terms": (q_trending_terms, Q_TRENDING_TERMS_SQL),
     "graph_sssp": (q_graph_sssp, Q_GRAPH_SSSP_SQL),
     "triangles": (q_triangles, Q_TRIANGLES_SQL),
     "co_citation": (q_co_citation, Q_CO_CITATION_SQL),

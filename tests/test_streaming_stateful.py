@@ -321,3 +321,65 @@ def test_hll_registers_stream_matches_batch(spark, tmp_path):
         (r["lang"], r["reg"]): r["m"] for r in hll_registers(docs).collect()
     }
     assert got == want and len(want) > 50
+
+
+def test_trending_counts_stream_matches_batch(spark, tmp_path):
+    """Drained trending counts == the batch query's pre-rank counts, and
+    ranking the drained sink reproduces the batch top-k exactly."""
+    from pyspark.sql import Window
+
+    from osm_history_splitter_spark.streaming.stateful import (
+        trending_counts_stream,
+    )
+    from osm_history_splitter_spark.text_queries import (
+        TREND_K,
+        q_trending_terms,
+    )
+
+    batch = spark.read.parquet(f"{SF}/documents.parquet")
+    src = str(tmp_path / "docs_src")
+    batch.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+
+    q = (
+        trending_counts_stream(stream)
+        .writeStream.format("memory")
+        .queryName("trend_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_t"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    drained = spark.sql("SELECT * FROM trend_sink")
+    want_topk = {
+        (r["win_epoch"], r["token"]): (r["n"], r["rank"])
+        for r in q_trending_terms(spark, SF).collect()
+    }
+    # append mode may withhold still-open windows; every closed window's
+    # counts must match the batch counts exactly
+    got_counts = {
+        (r["win_epoch"], r["token"]): r["n"] for r in drained.collect()
+    }
+    assert got_counts, "no windows emitted"
+    # serving-side rank over the drained sink
+    w = Window.partitionBy("win_epoch").orderBy(
+        F.col("n").desc(), F.col("token").asc()
+    )
+    ranked = (
+        drained.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TREND_K)
+    )
+    got_topk = {
+        (r["win_epoch"], r["token"]): (r["n"], r["rank"])
+        for r in ranked.collect()
+    }
+    emitted_windows = {k[0] for k in got_topk}
+    for k, v in got_topk.items():
+        assert want_topk[k] == v, (k, v, want_topk.get(k))
+    # the final (open) window is withheld, and the watermark that closes
+    # windows is the PREVIOUS micro-batch's max event time, so a second
+    # window can lag one drain — same slack as the hourly-rollup test
+    want_windows = {k[0] for k in want_topk}
+    assert len(emitted_windows) >= len(want_windows) - 2
