@@ -67,6 +67,13 @@ BENCH_QUERIES = [
     "hilbert",
     "dwell_segments",
     "colocation",
+    "hausdorff_pairs",
+    "variogram",
+    "trajectory_stats",
+    "raster_gradient",
+    "hexbin_assign",
+    "kmv_distinct",
+    "trending_terms",
 ]
 
 
