@@ -92,6 +92,8 @@ _DRIVER_EXCLUDE = {
     "hexbin_assign",  # same: window full; twin certified there too
     "kmv_distinct",  # same: window full; twin certified there too
     "trending_terms",  # same: window full; twin certified there too
+    "kcore",  # same: window full; twin certified there too
+    "vocab_growth",  # same: window full; twin certified there too
     "bm25_topk",  # ln() ulps differ across engines — pytest compares
     # rounded scores (tests/test_bm25.py); the exact-hash gate would
     # flake on the last decimal

@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "bfs_levels", "sssp_dists", "triangles"]
+__all__ = ["pagerank", "bfs_levels", "sssp_dists", "triangles", "kcore"]
 
 
 def bfs_levels(
@@ -254,3 +254,59 @@ def pagerank(
         if (it + 1) % checkpoint_every == 0 and it + 1 < num_iter:
             pr = pr.localCheckpoint(eager=False)
     return pr
+
+
+def kcore(edges: DataFrame, k: int, max_rounds: int = 30) -> DataFrame:
+    """The k-core of an undirected graph — the maximal subgraph where
+    every vertex keeps ≥ ``k`` neighbors: the standard dense-community /
+    spam-farm extractor over a host link graph (a crawl's "core web"),
+    and the degeneracy layer under triangle/community work.
+
+    ``edges(src, dst)`` in any orientation (each undirected edge once or
+    twice — symmetrized and dedup'd internally; self-loops dropped).
+    Returns ``(id, deg)``: the surviving vertices with their degree
+    INSIDE the core. Exact fixpoint semantics: repeatedly delete every
+    vertex of degree < k, simultaneously (the classic synchronous peel —
+    deletion order never changes the fixpoint, which is why the result
+    is well-defined and oracle-reproducible).
+
+    Raises ``RuntimeError`` if the peel hasn't converged after
+    ``max_rounds`` (the closure-loop convention: fail loudly, never
+    return a non-fixpoint silently). Rounds needed = the longest peel
+    chain, ≤ graph degeneracy-ish in practice — single digits on
+    hub-skewed web graphs.
+
+    Scale shape per round: ONE map-side-combinable degree agg + two
+    anti-joins against the (usually tiny, AQE-broadcast) low-degree set;
+    the edge set only shrinks. Eager ``localCheckpoint`` keeps lineage
+    flat across rounds and materializes the emptiness probe's work for
+    the next iteration instead of recomputing the whole peel history.
+    """
+    if k < 1:
+        raise ValueError(f"k must be a positive integer, got {k}")
+    e = edges.select(
+        F.col("src").cast("long").alias("a"),
+        F.col("dst").cast("long").alias("b"),
+    ).filter(F.col("a") != F.col("b"))
+    alive = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        deg = alive.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+        low = deg.filter(F.col("deg") < k).select("a").localCheckpoint(
+            eager=True
+        )
+        if not low.take(1):
+            return deg.select(
+                F.col("a").alias("id"), F.col("deg").cast("long").alias("deg")
+            )
+        alive = (
+            alive.join(low, "a", "left_anti")
+            .join(low.select(F.col("a").alias("b")), "b", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(
+        f"kcore did not converge within {max_rounds} peel rounds"
+    )

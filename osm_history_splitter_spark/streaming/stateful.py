@@ -35,6 +35,8 @@ __all__ = [
     "cms_sketch_stream",
     "hll_registers_stream",
     "trending_counts_stream",
+    "rasterize_stream",
+    "event_cell_counts",
     "SESSION_GAP_SEC",
 ]
 
@@ -144,6 +146,37 @@ def hll_registers_stream(docs: DataFrame) -> DataFrame:
     from ..text_queries import hll_registers
 
     return hll_registers(docs)
+
+
+def event_cell_counts(events: DataFrame, res: int) -> DataFrame:
+    """Shared heatmap builder (batch AND streaming — identity by
+    construction, the cms/hll twin pattern): grid-cell counts of the
+    deterministic od-matrix event positions at resolution ``res``."""
+    from ..functions import grid
+
+    k, e = F.col("user_id").cast("long"), F.col("event_id").cast("long")
+    lon = ((k * 7919 + e * 13) % 36000) / F.lit(100.0) - F.lit(180.0)
+    lat = ((k * 104729 + e * 29) % 18000) / F.lit(100.0) - F.lit(90.0)
+    return (
+        events.select(grid.cell_id_expr(lon, lat, res).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def rasterize_stream(events: DataFrame, res: int = 5) -> DataFrame:
+    """Streaming heatmap / live density raster — the spatial member of
+    the complete-mode bounded-state family (CMS: frequencies, HLL:
+    cardinality, THIS: the map): per-cell event counts whose state tops
+    out at the occupied-cell count (≤ 2^(2·res+1) for the whole planet,
+    2 048 cells at res 5) no matter how long the stream runs, and
+    ``count`` is a plain running sum, so complete mode re-emits the
+    exact current raster per trigger. A drained backlog equals the
+    batch builder row-for-row (shared builder — identity by
+    construction; tests/test_streaming_stateful.py). Downstream raster
+    ops (box_blur → KDE, local_maxima → live hotspots, raster_gradient
+    → drift) consume each emitted snapshot as an ordinary raster."""
+    return event_cell_counts(events, res)
 
 
 def _make_session_fn(evict_ms: int):

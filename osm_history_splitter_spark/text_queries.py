@@ -1647,6 +1647,122 @@ r AS (
 SELECT id AS doc_id, CAST(min(level) AS BIGINT) AS level FROM r GROUP BY 1"""
 
 
+def _vocab_ladder(n: int) -> list[int]:
+    """Corpus-prefix rungs (¹⁄₈, ¼, ½, all) — SF-relative so the curve
+    is non-degenerate at every scale."""
+    return sorted({max(1, n // 8), max(1, n // 4), max(1, n // 2), n})
+
+
+def q_vocab_growth(spark, sf_dir):
+    """Vocabulary growth curve (Heaps' law): distinct vocabulary size
+    after the first N documents, for a prefix ladder of N — the
+    corpus-health statistic behind dedup QA (a flattening curve means
+    the crawl is re-reading itself) and tokenizer sizing; the Heaps
+    exponent fit is consumer-side (the HLL convention). Scale shape:
+    ONE explode → ONE content-keyed groupBy(token) for each token's
+    FIRST document (min doc_id — the same first-occurrence idiom as
+    chunk_dedup), then a ≤|ladder| map-side fan-out into a combinable
+    4-row agg; the curve never re-scans the corpus per rung."""
+    d = _t(spark, sf_dir, "documents")
+    n = d.count()
+    ladder = _vocab_ladder(n)
+    first = (
+        d.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.min("doc_id").alias("fs"))
+    )
+    hits = (
+        first.select(
+            F.explode(F.array(*[F.lit(r) for r in ladder])).alias("n_docs"),
+            "fs",
+        )
+        .filter(F.col("fs") < F.col("n_docs"))
+        .groupBy("n_docs")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    lad = d.sparkSession.createDataFrame([(r,) for r in ladder], "n_docs long")
+    return lad.join(hits, "n_docs", "left").select(
+        "n_docs",
+        F.coalesce(F.col("v"), F.lit(0)).cast("long").alias("vocab"),
+    )
+
+
+Q_VOCAB_GROWTH_SQL = """WITH n AS (SELECT count(*) AS n FROM documents),
+t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+f AS (SELECT w, min(doc_id) AS fs FROM t WHERE w <> '' GROUP BY w),
+ladder AS (
+  SELECT DISTINCT unnest([greatest(1, n // 8), greatest(1, n // 4),
+                          greatest(1, n // 2), n]) AS n_docs
+  FROM n)
+SELECT CAST(n_docs AS BIGINT) AS n_docs,
+  CAST((SELECT count(*) FROM f WHERE f.fs < ladder.n_docs) AS BIGINT)
+    AS vocab
+FROM ladder"""
+
+
+#: k-core threshold / peel-round bound (Spark RAISES past the bound, so
+#: the bound is part of the semantics the unrolled SQL twin replays)
+KCORE_K = 5
+KCORE_ROUNDS = 8
+
+
+def q_kcore(spark, sf_dir):
+    """k-core of the synthetic link graph (operators/graph.py:kcore) —
+    the dense-community / core-web extractor: surviving vertices + their
+    in-core degrees after synchronously peeling degree<k vertices to
+    fixpoint. Semi-naive peel loop (degree agg + two anti-joins per
+    round, edge set only shrinks) vs the oracle's ROUND-UNROLLED chained
+    CTEs (the hilbert twin's trick for iteration DuckDB can't recurse
+    with aggregates): Spark raises if > KCORE_ROUNDS rounds are needed,
+    so both sides compute the same bounded fixpoint."""
+    from .operators.graph import kcore
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    parts = [
+        d.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * a + b) % n).alias("dst"),
+        )
+        for a, b in ((7, 1), (13, 2), (29, 3))
+    ]
+    e = parts[0]
+    for p in parts[1:]:
+        e = e.unionByName(p)
+    edges = e.filter(F.col("src") != F.col("dst")).distinct()
+    return kcore(edges, KCORE_K, max_rounds=KCORE_ROUNDS)
+
+
+def _kcore_sql() -> str:
+    # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
+    # round references the previous one 3×, so 8 unrolled rounds would
+    # expand to 3^8 scans of the base parquet (observed: fd exhaustion).
+    rounds = "".join(
+        f""",
+d{i} AS MATERIALIZED (
+  SELECT a FROM e{i} GROUP BY a HAVING count(*) >= {KCORE_K}),
+e{i + 1} AS MATERIALIZED (SELECT e{i}.a, e{i}.b FROM e{i}
+  JOIN d{i} x ON e{i}.a = x.a JOIN d{i} y ON e{i}.b = y.a)"""
+        for i in range(KCORE_ROUNDS)
+    )
+    return f"""WITH n AS (SELECT count(*) AS n FROM documents),
+ed AS (
+  SELECT doc_id AS src, (doc_id * 7 + 1) % n.n AS dst FROM documents, n
+  UNION SELECT doc_id, (doc_id * 13 + 2) % n.n FROM documents, n
+  UNION SELECT doc_id, (doc_id * 29 + 3) % n.n FROM documents, n),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT src AS a, dst AS b FROM ed WHERE src <> dst
+    UNION ALL
+    SELECT dst AS a, src AS b FROM ed WHERE src <> dst)){rounds}
+SELECT a AS id, CAST(count(*) AS BIGINT) AS deg
+FROM e{KCORE_ROUNDS} GROUP BY a"""
+
+
 def q_kmeans(spark, sf_dir):
     """Deterministic k-means (operators/kmeans.py): 2 Lloyd iterations,
     k=8, integer-quantized vectors, truncated-floor centroid means,
@@ -3948,6 +4064,8 @@ TEXT_QUERIES = {
     "hll_distinct": (q_hll_distinct, Q_HLL_DISTINCT_SQL),
     "kmv_distinct": (q_kmv_distinct, Q_KMV_DISTINCT_SQL),
     "trending_terms": (q_trending_terms, Q_TRENDING_TERMS_SQL),
+    "kcore": (q_kcore, _kcore_sql()),
+    "vocab_growth": (q_vocab_growth, Q_VOCAB_GROWTH_SQL),
     "graph_sssp": (q_graph_sssp, Q_GRAPH_SSSP_SQL),
     "triangles": (q_triangles, Q_TRIANGLES_SQL),
     "co_citation": (q_co_citation, Q_CO_CITATION_SQL),

@@ -96,3 +96,68 @@ def test_triangles_random_differential(spark):
         df = spark.createDataFrame(edges, "src long, dst long")
         got = {(r["a"], r["b"], r["c"]) for r in triangles(df).collect()}
         assert got == want, seed
+
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from osm_history_splitter_spark.operators.graph import kcore  # noqa: E402
+
+
+def _py_kcore(pairs, k):
+    """Synchronous-peel reference (order-free fixpoint)."""
+    adj: dict = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    while True:
+        low = {v for v in alive if len(adj[v] & alive) < k}
+        if not low:
+            return {v: len(adj[v] & alive) for v in alive}
+        alive -= low
+
+
+def test_kcore_k4_plus_tail(spark):
+    # K5 clique with a pendant chain: the 4-core is exactly the clique
+    clique = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    tail = [(4, 5), (5, 6)]
+    df = spark.createDataFrame(clique + tail, "src long, dst long")
+    got = {r.id: r.deg for r in kcore(df, 4).collect()}
+    assert got == {v: 4 for v in range(5)}
+
+
+def test_kcore_empty_core(spark):
+    df = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    assert kcore(df, 3).count() == 0
+
+
+@pytest.mark.parametrize("seed,n,m,k", [(5, 40, 160, 3), (6, 60, 240, 4)])
+def test_kcore_random_differential(spark, seed, n, m, k):
+    rng = np.random.default_rng(seed)
+    pairs = [
+        (int(rng.integers(0, n)), int(rng.integers(0, n))) for _ in range(m)
+    ]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    got = {r.id: r.deg for r in kcore(df, k).collect()}
+    want = _py_kcore(pairs, k)
+    assert got == want
+    assert want, "vacuous fixture — empty core"
+
+
+def test_kcore_raises_past_round_bound(spark):
+    # a length-6 chain peels one end pair per round at k=1? no — k=2:
+    # a path peels from both ends, one layer per round: 3 rounds for 6
+    # vertices; max_rounds=1 must raise
+    path = [(i, i + 1) for i in range(6)]
+    df = spark.createDataFrame(path, "src long, dst long")
+    with pytest.raises(RuntimeError):
+        kcore(df, 2, max_rounds=1)
+
+
+def test_kcore_validation(spark):
+    df = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError):
+        kcore(df, 0)

@@ -258,3 +258,29 @@ def test_kmv_state_is_mergeable(spark, testdata_sf):
         for h in sorted(hs)[:KMV_K]
     }
     assert state(d) == merged
+
+
+def test_vocab_growth_curve_is_monotone_and_exact_at_the_end(spark, testdata_sf):
+    """Heaps curve: nondecreasing in N, and the full-corpus rung equals
+    the exact distinct-token count."""
+    from osm_history_splitter_spark.text_queries import q_vocab_growth
+
+    rows = sorted(
+        (r["n_docs"], r["vocab"])
+        for r in q_vocab_growth(spark, testdata_sf).collect()
+    )
+    assert len(rows) >= 2
+    assert all(a[1] <= b[1] for a, b in zip(rows, rows[1:]))
+    d = spark.read.parquet(f"{testdata_sf}/documents.parquet")
+    n_docs = d.count()
+    exact = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .select("w")
+        .distinct()
+        .count()
+    )
+    assert rows[-1] == (n_docs, exact)
+    # the synthetic vocab is tiny (≈31 tokens) so the curve may saturate
+    # by the first rung — only require it starts non-empty and bounded
+    assert 0 < rows[0][1] <= exact

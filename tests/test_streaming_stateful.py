@@ -383,3 +383,36 @@ def test_trending_counts_stream_matches_batch(spark, tmp_path):
     # window can lag one drain — same slack as the hourly-rollup test
     want_windows = {k[0] for k in want_topk}
     assert len(emitted_windows) >= len(want_windows) - 2
+
+
+def test_rasterize_stream_matches_batch(spark, tmp_path):
+    """Streaming heatmap in complete mode over a drained event backlog
+    equals the batch raster — bounded state (occupied cells), the
+    spatial member of the CMS/HLL family — and the drained snapshot is
+    consumable by downstream raster ops (hotspot NMS runs on it)."""
+    from osm_history_splitter_spark.operators.raster import local_maxima
+    from osm_history_splitter_spark.streaming.stateful import (
+        event_cell_counts,
+        rasterize_stream,
+    )
+
+    batch, stream = _event_stream(spark, tmp_path)
+    q = (
+        rasterize_stream(stream, res=5)
+        .writeStream.format("memory")
+        .queryName("raster_sink")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck_r"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    drained = spark.sql("SELECT * FROM raster_sink")
+    got = {r["cell"]: r["n"] for r in drained.collect()}
+    want = {
+        r["cell"]: r["n"] for r in event_cell_counts(batch, 5).collect()
+    }
+    assert got == want
+    assert got, "empty raster"
+    # the emitted snapshot is an ordinary raster: NMS over it works
+    assert local_maxima(drained, 5, k=1).count() > 0
