@@ -94,6 +94,9 @@ _DRIVER_EXCLUDE = {
     "trending_terms",  # same: window full; twin certified there too
     "kcore",  # same: window full; twin certified there too
     "vocab_growth",  # same: window full; twin certified there too
+    "hits",  # same: window full; twin certified there too
+    "phrase_match",  # same: window full; twin certified there too
+    "pmi_bigrams",  # same: window full; twin certified there too
     "bm25_topk",  # ln() ulps differ across engines — pytest compares
     # rounded scores (tests/test_bm25.py); the exact-hash gate would
     # flake on the last decimal

@@ -74,6 +74,9 @@ BENCH_QUERIES = [
     "hexbin_assign",
     "kmv_distinct",
     "trending_terms",
+    "kcore",
+    "vocab_growth",
+    "hits",
 ]
 
 

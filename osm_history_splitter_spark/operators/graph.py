@@ -36,7 +36,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "bfs_levels", "sssp_dists", "triangles", "kcore"]
+__all__ = [
+    "pagerank",
+    "bfs_levels",
+    "sssp_dists",
+    "triangles",
+    "kcore",
+    "hits",
+]
 
 
 def bfs_levels(
@@ -309,4 +316,85 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 30) -> DataFrame:
         )
     raise RuntimeError(
         f"kcore did not converge within {max_rounds} peel rounds"
+    )
+
+
+def hits(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    num_iter: int = 2,
+    scale: int = 10**6,
+) -> DataFrame:
+    """HITS hubs & authorities over a directed link graph — the classic
+    Kleinberg companion to :func:`pagerank` on a crawl's page→page
+    graph: authorities are pages many good hubs point AT, hubs are
+    pages pointing at many good authorities (directories / link lists).
+    PageRank ranks by endorsement flow; HITS separates the two roles —
+    the pair is the standard seed-quality signal for crawl frontiers.
+
+    ``edges(src, dst)`` directed, ``vertices(id)`` optional (defaults to
+    all endpoints; pass the corpus vertex set so link-less pages appear
+    with 0/0). Returns ``(id, auth, hub)`` integer-scaled.
+
+    Determinism contract (why this is NOT float HITS): the usual L2
+    normalization needs sqrt, which no cross-engine hash gate survives.
+    Instead each half-step renormalizes by the MAX via truncating
+    integer division — ``x' = x·scale div max(x)`` — which preserves the
+    ranking exactly, keeps every value in ``[0, scale]`` (so sums fit
+    int64 for any in-degree < 2^63/scale), and is bit-identical in
+    Spark (``div``) and DuckDB (``//``) for the unrolled oracle twin.
+
+    Scale shape per iteration: two (edges ⋈ scores → combinable
+    groupBy) shuffles — by dst for the authority gather, by src for the
+    hub gather — plus a 1-row max broadcast each; the vertex re-attach
+    is a left join against the persisted vertex set. A mega-hub dst
+    (everyone links to it) is absorbed map-side by the partial sum.
+    """
+    if num_iter < 1:
+        raise ValueError(f"num_iter must be >= 1, got {num_iter}")
+    e = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    )
+    if vertices is None:
+        vertices = (
+            e.select(F.col("src").alias("id"))
+            .unionByName(e.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+    verts = vertices.select(F.col("id").cast("long").alias("id")).persist()
+
+    def _renorm(raw: DataFrame, col: str) -> DataFrame:
+        """x·scale div max(x) over (id, col); empty/zero-safe."""
+        mx = raw.agg(F.greatest(F.max(col), F.lit(1)).alias("mx"))
+        return raw.crossJoin(F.broadcast(mx)).select(
+            "id",
+            F.expr(f"({col} * {scale}L) div mx").cast("long").alias(col),
+        )
+
+    hub = verts.withColumn("hub", F.lit(scale).cast("long"))
+    auth = None
+    for _ in range(num_iter):
+        a_raw = (
+            e.join(hub.select(F.col("id").alias("src"), "hub"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("hub").alias("a"))
+        )
+        auth = _renorm(a_raw, "a")
+        h_raw = (
+            e.join(auth.select(F.col("id").alias("dst"), "a"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("a").alias("h"))
+        )
+        hub = _renorm(h_raw, "h").select(
+            "id", F.col("h").alias("hub")
+        ).localCheckpoint(eager=False)
+    return (
+        verts.join(auth, "id", "left")
+        .join(hub, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("a"), F.lit(0)).cast("long").alias("auth"),
+            F.coalesce(F.col("hub"), F.lit(0)).cast("long").alias("hub"),
+        )
     )

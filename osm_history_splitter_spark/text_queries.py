@@ -1704,6 +1704,147 @@ SELECT CAST(n_docs AS BIGINT) AS n_docs,
 FROM ladder"""
 
 
+#: the fixed search phrase for the positional-postings query (chained
+#: adjacency intersection — terms chosen from the generator's core vocab
+#: so the result is non-vacuous at every SF)
+PHRASE = ("small", "query", "line")
+
+
+def q_phrase_match(spark, sf_dir):
+    """Exact phrase search via positional postings — the serving-side
+    complement to the BM25 bag-of-words path (`q_bm25_topk` never looks
+    at positions): docs containing the fixed 3-token PHRASE with the
+    occurrence count, computed as the classic positional-intersection —
+    posting list of term0 ⋈ term1 shifted by 1 ⋈ term2 shifted by 2 on
+    (doc, pos).
+
+    Scale shape: ONE posexplode, then each term's posting stream is
+    pruned MAP-SIDE by the term filter before any shuffle (the exploded
+    fan-out never moves — only the ~per-term posting lists do), and the
+    two chained joins are narrow (doc_id, pos) equi-joins. A hot term
+    (stopword-scale posting list) shuffles only its own list; the final
+    count is a combinable groupBy(doc_id)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    legs = [
+        toks.filter(F.col("w") == t).select(
+            "doc_id", (F.col("pos") - i).alias("p")
+        )
+        for i, t in enumerate(PHRASE)
+    ]
+    m = legs[0]
+    for leg in legs[1:]:
+        m = m.join(leg, ["doc_id", "p"])
+    return m.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occ")
+    )
+
+
+Q_PHRASE_MATCH_SQL = f"""WITH tok AS (
+  SELECT doc_id, d.arr[i] AS w, i AS pos
+  FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents) d,
+       LATERAL (SELECT unnest(generate_series(1, len(d.arr))) AS i) t),
+m AS (
+  SELECT t0.doc_id FROM tok t0
+  JOIN tok t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+             AND t1.w = '{PHRASE[1]}'
+  JOIN tok t2 ON t2.doc_id = t0.doc_id AND t2.pos = t0.pos + 2
+             AND t2.w = '{PHRASE[2]}'
+  WHERE t0.w = '{PHRASE[0]}')
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occ FROM m GROUP BY 1"""
+
+
+#: global top-k collocations kept (full deterministic order: lift desc,
+#: then bigram asc — the limit boundary never depends on engine order)
+PMI_TOP_K = 50
+
+
+def q_pmi_bigrams(spark, sf_dir):
+    """PMI-style collocation mining: top-``PMI_TOP_K`` adjacent bigrams
+    by association lift — the classic corpus-linguistics statistic for
+    phrase/tokenizer-merge candidates. Integer contract (the HLL/BM25
+    convention, but exact): emit counts and the cross-multiplied
+    ``lift_milli = (n12 · T · 1000) div (n1 · n2)`` (= exp(PMI)·1000,
+    truncating) instead of the float log — the actual PMI is a
+    consumer-side ``ln``. int64 bound: safe while T < ~3·10⁶ tokens per
+    partition-of-study (n12 ≤ T ⇒ product ≤ T²·10³); beyond that,
+    compute per shard or lift to decimal.
+
+    Scale shape: bigrams are built IN-ROW (transform over the token
+    array — no positional self-join, no window), so the whole job is
+    two combinable groupBys (bigram, unigram) + a 1-row total broadcast
+    + one broadcastable unigram join, then a global top-k (sorts only
+    the distinct-bigram aggregate, never token rows)."""
+    d = _t(spark, sf_dir, "documents")
+    arr = d.select(F.split("text", " ").alias("a")).filter(
+        F.size("a") >= 2
+    )
+    bi = arr.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(a) - 2),"
+                " i -> struct(a[i] AS w1, a[i + 1] AS w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2").filter((F.col("w1") != "") & (F.col("w2") != ""))
+    n12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uni = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = uni.agg(F.sum("c").alias("t"))
+    scored = (
+        n12.join(
+            F.broadcast(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("long").alias("n12"),
+            F.expr("(c12 * t * 1000L) div (c1 * c2)")
+            .cast("long")
+            .alias("lift_milli"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("lift_milli"), "w1", "w2"
+    ).limit(PMI_TOP_K)
+
+
+Q_PMI_BIGRAMS_SQL = f"""WITH arr AS (
+  SELECT string_split(text, ' ') AS a FROM documents
+  WHERE len(string_split(text, ' ')) >= 2),
+bi AS (
+  SELECT a[i] AS w1, a[i + 1] AS w2
+  FROM arr, LATERAL (
+    SELECT unnest(generate_series(1, len(arr.a) - 1)) AS i) t
+  WHERE a[i] <> '' AND a[i + 1] <> ''),
+n12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+uni AS (
+  SELECT w, count(*) AS c FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM uni)
+SELECT n12.w1, n12.w2, CAST(c12 AS BIGINT) AS n12,
+  CAST((c12 * tot.t * 1000) // (u1.c * u2.c) AS BIGINT) AS lift_milli
+FROM n12
+JOIN uni u1 ON u1.w = n12.w1
+JOIN uni u2 ON u2.w = n12.w2
+CROSS JOIN tot
+ORDER BY lift_milli DESC, n12.w1, n12.w2
+LIMIT {PMI_TOP_K}"""
+
+
 #: k-core threshold / peel-round bound (Spark RAISES past the bound, so
 #: the bound is part of the semantics the unrolled SQL twin replays)
 KCORE_K = 5
@@ -1761,6 +1902,75 @@ e0 AS MATERIALIZED (
     SELECT dst AS a, src AS b FROM ed WHERE src <> dst)){rounds}
 SELECT a AS id, CAST(count(*) AS BIGINT) AS deg
 FROM e{KCORE_ROUNDS} GROUP BY a"""
+
+
+#: HITS integer scale shared by the Spark operator and the SQL twin
+HITS_SCALE = 10**6
+
+
+def q_hits(spark, sf_dir):
+    """HITS hubs & authorities (operators/graph.py:hits): 2 iterations,
+    max-renormalized truncating integer arithmetic — bit-identical
+    across engines, so the oracle unrolls both half-steps per iteration
+    in chained CTEs. The graph is deliberately SKEWED (unlike the
+    pagerank query's regular permutation graph, on which HITS is
+    uniform): every page also links into the first n/10 ids (portal
+    authorities, hot dst keys — the map-side-combine skew case) plus a
+    quadratic map with irregular in-degree, so scores genuinely vary."""
+    from .operators.graph import hits
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    k = max(1, n // 10)
+    s = F.col("doc_id")
+    parts = [
+        d.select(s.alias("src"), (s % k).alias("dst")),
+        d.select(s.alias("src"), ((s * s + 1) % n).alias("dst")),
+        d.select(s.alias("src"), ((s * 7 + 1) % n).alias("dst")),
+    ]
+    e = parts[0]
+    for p in parts[1:]:
+        e = e.unionByName(p)
+    edges = e.filter(F.col("src") != F.col("dst")).distinct()
+    verts = d.select(F.col("doc_id").alias("id"))
+    out = hits(edges, vertices=verts, num_iter=2, scale=HITS_SCALE)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("auth").cast("long").alias("auth"),
+        F.col("hub").cast("long").alias("hub"),
+    )
+
+
+def _hits_sql(num_iter: int = 2) -> str:
+    s = HITS_SCALE
+    steps = []
+    prev_h = "h0"
+    for i in range(1, num_iter + 1):
+        steps.append(f"""
+a{i}r AS (SELECT e.dst AS id, SUM({prev_h}.hub) AS a
+  FROM edges e JOIN {prev_h} ON {prev_h}.id = e.src GROUP BY 1),
+a{i}m AS (SELECT greatest(max(a), 1) AS mx FROM a{i}r),
+a{i} AS (SELECT id, (a * {s}) // mx AS a FROM a{i}r, a{i}m),
+h{i}r AS (SELECT e.src AS id, SUM(a{i}.a) AS h
+  FROM edges e JOIN a{i} ON a{i}.id = e.dst GROUP BY 1),
+h{i}m AS (SELECT greatest(max(h), 1) AS mx FROM h{i}r),
+h{i} AS (SELECT id, (h * {s}) // mx AS hub FROM h{i}r, h{i}m)""")
+    k = num_iter
+    return f"""WITH n AS (SELECT count(*) AS n FROM documents),
+e0 AS (
+  SELECT doc_id AS src,
+         doc_id % greatest(1, n.n // 10) AS dst FROM documents, n
+  UNION SELECT doc_id, (doc_id * doc_id + 1) % n.n FROM documents, n
+  UNION SELECT doc_id, (doc_id * 7 + 1) % n.n FROM documents, n),
+edges AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+verts AS (SELECT doc_id AS id FROM documents),
+h0 AS (SELECT id, CAST({s} AS BIGINT) AS hub FROM verts),{",".join(steps)}
+SELECT v.id AS doc_id,
+  CAST(COALESCE(a{k}.a, 0) AS BIGINT) AS auth,
+  CAST(COALESCE(h{k}.hub, 0) AS BIGINT) AS hub
+FROM verts v
+LEFT JOIN a{k} ON a{k}.id = v.id
+LEFT JOIN h{k} ON h{k}.id = v.id"""
 
 
 def q_kmeans(spark, sf_dir):
@@ -4066,6 +4276,9 @@ TEXT_QUERIES = {
     "trending_terms": (q_trending_terms, Q_TRENDING_TERMS_SQL),
     "kcore": (q_kcore, _kcore_sql()),
     "vocab_growth": (q_vocab_growth, Q_VOCAB_GROWTH_SQL),
+    "hits": (q_hits, _hits_sql()),
+    "phrase_match": (q_phrase_match, Q_PHRASE_MATCH_SQL),
+    "pmi_bigrams": (q_pmi_bigrams, Q_PMI_BIGRAMS_SQL),
     "graph_sssp": (q_graph_sssp, Q_GRAPH_SSSP_SQL),
     "triangles": (q_triangles, Q_TRIANGLES_SQL),
     "co_citation": (q_co_citation, Q_CO_CITATION_SQL),

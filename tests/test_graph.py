@@ -161,3 +161,67 @@ def test_kcore_validation(spark):
     df = spark.createDataFrame([(0, 1)], "src long, dst long")
     with pytest.raises(ValueError):
         kcore(df, 0)
+
+
+from osm_history_splitter_spark.operators.graph import hits  # noqa: E402
+
+
+def _py_hits(pairs, num_iter=2, scale=10**6):
+    """Integer max-renormalized HITS reference (same contract)."""
+    verts = sorted({v for p in pairs for v in p})
+    edges = sorted({(a, b) for a, b in pairs if a != b})
+    hub = {v: scale for v in verts}
+    auth = {}
+    for _ in range(num_iter):
+        raw_a = {}
+        for s, d in edges:
+            raw_a[d] = raw_a.get(d, 0) + hub[s]
+        mx = max(raw_a.values(), default=0) or 1
+        auth = {v: (x * scale) // mx for v, x in raw_a.items()}
+        raw_h = {}
+        for s, d in edges:
+            raw_h[s] = raw_h.get(s, 0) + auth.get(d, 0)
+        mx = max(raw_h.values(), default=0) or 1
+        hub = {v: (x * scale) // mx for v, x in raw_h.items()}
+    return {v: (auth.get(v, 0), hub.get(v, 0)) for v in verts}
+
+
+def test_hits_star_graph(spark):
+    # every spoke links to the center: center = sole authority (scale),
+    # zero hub score; spokes are identical full-scale hubs, zero auth
+    edges = [(i, 99) for i in range(1, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: (r.auth, r.hub) for r in hits(df, num_iter=2).collect()}
+    assert got[99] == (10**6, 0)
+    assert all(got[i] == (0, 10**6) for i in range(1, 6))
+
+
+@pytest.mark.parametrize("seed,n,m,it", [(7, 30, 120, 2), (8, 50, 200, 3)])
+def test_hits_random_differential(spark, seed, n, m, it):
+    rng = np.random.default_rng(seed)
+    pairs = [
+        (int(rng.integers(0, n)), int(rng.integers(0, n))) for _ in range(m)
+    ]
+    df = spark.createDataFrame(pairs, "src long, dst long").filter(
+        "src <> dst"
+    ).distinct()
+    got = {r.id: (r.auth, r.hub) for r in hits(df, num_iter=it).collect()}
+    want = _py_hits(pairs, num_iter=it)
+    assert got == want
+
+
+def test_hits_linkless_vertices_get_zero(spark):
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    verts = spark.createDataFrame([(0,), (1,), (2,)], "id long")
+    got = {
+        r.id: (r.auth, r.hub)
+        for r in hits(edges, vertices=verts, num_iter=2).collect()
+    }
+    assert got[2] == (0, 0)
+    assert got[1] == (10**6, 0) and got[0] == (0, 10**6)
+
+
+def test_hits_validation(spark):
+    df = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError):
+        hits(df, num_iter=0)
