@@ -1,0 +1,456 @@
+"""WARC / WET container source + sink for the Common-Crawl-style pages
+table ``(url, warc_ts, html, text, lang)``.
+
+The reference engine speaks its domain's container formats both ways
+(``.osm``/``.osh`` XML and ``.pbf``, ``cut.hpp:73-74``); this module is
+the webtext twin: the ISO 28500 WARC format Common Crawl ships crawls
+in, written the way Common Crawl writes it —
+
+- ``*.warc.gz``: ``response`` records (HTTP response head + the raw
+  ``html`` payload), **one gzip member per record** so readers can
+  byte-range into the middle of a file and inflate a whole record
+  without touching the rest;
+- ``*.wet.gz``: ``conversion`` records carrying the extracted ``text``
+  plus the real-world ``WARC-Identified-Content-Language`` header (the
+  per-url byte-identity invariant rides in this payload);
+- ``*.gz.idx``: a sidecar member-offset index (``offset\\tlength`` per
+  gzip member — the role Common Crawl's CDX index plays) so the reader
+  can split ONE file across many tasks. DEFLATE has no sync marker, so
+  without an index gzip members cannot be found except by inflating
+  from the front; with it, any (offset, length) slice is a stand-alone
+  multi-member gzip stream.
+
+Scale shape: the sink range-partitions by (url, warc_ts) and packs each
+partition's records executor-side in Arrow batches (payload bytes never
+visit the driver unassembled — the ``plans/pbf_writer.py`` staging
+pattern); the driver only streams staged fragments into one
+``part-NNNNN`` file per partition, mirroring Common Crawl's
+many-~1 GB-files layout. The reader parallelizes across files AND,
+where an index sidecar exists, across record ranges inside a file; a
+crawl-scale job therefore never serializes on file count or file size.
+
+Determinism contract: record ids are content-derived (sha1 of
+url + timestamp — no uuid/random), gzip members use mtime=0, and the
+warcinfo preamble carries a fixed date, so the same frame always
+serializes to the same bytes (the repo-wide reproducibility rule).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import gzip
+import hashlib
+import io
+import zlib
+from pathlib import Path
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "encode_response_record",
+    "encode_conversion_record",
+    "encode_warcinfo_record",
+    "gzip_member",
+    "iter_members",
+    "parse_records",
+    "write_warc",
+    "read_warc",
+    "read_wet",
+]
+
+_CRLF = b"\r\n"
+#: fixed warcinfo date — determinism over realism (see module docstring)
+_INFO_DATE = "2024-01-01T00:00:00Z"
+#: records per read task when an index sidecar is available
+RECORDS_PER_TASK = 2000
+#: staged-fragment flush threshold (compressed bytes) in the sink
+FRAGMENT_BYTES = 64 << 20
+
+
+def _record_id(url: str, ts_iso: str) -> str:
+    h = hashlib.sha1(f"{url}|{ts_iso}".encode()).hexdigest()
+    return f"<urn:sha1:{h}>"
+
+
+def _ts_iso(ts) -> str:
+    """Naive-UTC timestamp (the engine pins sessions to UTC) → WARC-Date."""
+    return pd.Timestamp(ts).strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+def _record(headers: list[tuple[str, str]], payload: bytes) -> bytes:
+    head = b"".join(
+        f"{k}: {v}".encode() + _CRLF for k, v in headers
+    )
+    return (
+        b"WARC/1.0" + _CRLF
+        + head
+        + f"Content-Length: {len(payload)}".encode() + _CRLF
+        + _CRLF
+        + payload
+        + _CRLF + _CRLF
+    )
+
+
+def encode_response_record(url: str, ts, html: bytes) -> bytes:
+    """``response`` record: HTTP/1.1 head + the raw html payload."""
+    ts_iso = _ts_iso(ts)
+    http = (
+        b"HTTP/1.1 200 OK" + _CRLF
+        + b"Content-Type: text/html; charset=UTF-8" + _CRLF
+        + f"Content-Length: {len(html)}".encode() + _CRLF
+        + _CRLF
+        + html
+    )
+    return _record(
+        [
+            ("WARC-Type", "response"),
+            ("WARC-Record-ID", _record_id(url, ts_iso)),
+            ("WARC-Date", ts_iso),
+            ("WARC-Target-URI", url),
+            ("Content-Type", "application/http; msgtype=response"),
+        ],
+        http,
+    )
+
+
+def encode_conversion_record(url: str, ts, text: str, lang: str) -> bytes:
+    """WET ``conversion`` record: extracted text + identified language."""
+    ts_iso = _ts_iso(ts)
+    return _record(
+        [
+            ("WARC-Type", "conversion"),
+            ("WARC-Record-ID", _record_id(url + "#wet", ts_iso)),
+            ("WARC-Refers-To", _record_id(url, ts_iso)),
+            ("WARC-Date", ts_iso),
+            ("WARC-Target-URI", url),
+            ("WARC-Identified-Content-Language", lang),
+            ("Content-Type", "text/plain"),
+        ],
+        text.encode("utf-8"),
+    )
+
+
+def encode_warcinfo_record(filename: str) -> bytes:
+    payload = (
+        b"software: osm-history-splitter-spark" + _CRLF
+        + b"format: WARC File Format 1.0" + _CRLF
+    )
+    return _record(
+        [
+            ("WARC-Type", "warcinfo"),
+            ("WARC-Record-ID", _record_id(f"warcinfo:{filename}", _INFO_DATE)),
+            ("WARC-Date", _INFO_DATE),
+            ("WARC-Filename", filename),
+            ("Content-Type", "application/warc-fields"),
+        ],
+        payload,
+    )
+
+
+def gzip_member(data: bytes) -> bytes:
+    """One deterministic gzip member (mtime=0, no filename)."""
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+        g.write(data)
+    return buf.getvalue()
+
+
+def iter_members(data: bytes):
+    """Yield the decompressed payload of each gzip member in ``data``
+    (a byte slice that starts ON a member boundary — e.g. a whole file
+    or an index-aligned range)."""
+    i = 0
+    n = len(data)
+    while i < n:
+        d = zlib.decompressobj(wbits=47)  # gzip wrapper
+        out = d.decompress(data[i:])
+        out += d.flush()
+        yield out
+        consumed = (n - i) - len(d.unused_data)
+        if consumed <= 0:  # pragma: no cover - corrupt stream guard
+            raise ValueError(f"gzip member at offset {i} consumed 0 bytes")
+        i += consumed
+
+
+def parse_records(plain: bytes):
+    """Parse concatenated WARC records from decompressed bytes.
+
+    Yields ``(headers: dict, payload: bytes)`` — header keys lowercased.
+    Tolerates any member↔record alignment because it walks
+    Content-Length, never gzip boundaries.
+    """
+    i = 0
+    n = len(plain)
+    while i < n:
+        if plain[i:i + 5] != b"WARC/":
+            raise ValueError(f"expected WARC header at offset {i}")
+        head_end = plain.index(b"\r\n\r\n", i)
+        lines = plain[i:head_end].split(_CRLF)
+        headers: dict[str, str] = {}
+        for line in lines[1:]:
+            k, _, v = line.decode("utf-8").partition(":")
+            headers[k.strip().lower()] = v.strip()
+        length = int(headers["content-length"])
+        start = head_end + 4
+        payload = plain[start:start + length]
+        i = start + length + 4  # trailing \r\n\r\n
+        yield headers, payload
+
+
+def _parse_http(payload: bytes) -> bytes:
+    """Strip the HTTP response head from a ``response`` record payload."""
+    sep = payload.index(b"\r\n\r\n")
+    return payload[sep + 4:]
+
+
+# ---------------------------------------------------------------- sink
+
+def write_warc(
+    df: DataFrame,
+    out_dir: str,
+    partitions: int = 4,
+    wet: bool = True,
+) -> dict:
+    """Distributed WARC(+WET) sink for a pages frame
+    ``(url, warc_ts, html, text, lang)``.
+
+    Rows are range-partitioned and sorted by (url, warc_ts) — every
+    snapshot of a url lands in the same file, in version order (the
+    O1/O2 order-reproduction rule applied to crawls). Executors pack
+    each partition into gzip members + a member index; fragments stage
+    in parquet and the driver streams one ``part-NNNNN.warc.gz`` (and
+    ``.wet.gz``) + ``.gz.idx`` per partition — bounded driver memory,
+    payload compressed before it ever moves.
+
+    Returns ``{"files": [...], "records": n}``.
+    """
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    cols = ["url", "warc_ts", "html", "text", "lang"]
+    part = (
+        df.select(*cols)
+        .repartitionByRange(partitions, "url")  # url ONLY: a (url, ts)
+        # range boundary could strand one snapshot in the next file
+        .sortWithinPartitions("url", "warc_ts")
+        .withColumn("pid", F.spark_partition_id())
+    )
+
+    def pack(batches):
+        # one Spark partition per task ⇒ a single pid; flush a fragment
+        # row every FRAGMENT_BYTES so a ~1 GB output file never sits in
+        # one task's memory (the pbf_writer BLOCK_ROWS discipline)
+        pid = None
+        seq = 0
+        warc_parts: list[bytes] = []
+        wet_parts: list[bytes] = []
+        lengths: list[int] = []
+        wet_lengths: list[int] = []
+        size = 0
+
+        def flush():
+            nonlocal seq, warc_parts, wet_parts, lengths, wet_lengths, size
+            row = pd.DataFrame(
+                {
+                    "pid": [pid],
+                    "seq": [seq],
+                    "n_records": [len(lengths)],
+                    "warc": [b"".join(warc_parts)],
+                    "wet": [b"".join(wet_parts)],
+                    "lengths": [lengths],
+                    "wet_lengths": [wet_lengths],
+                }
+            )
+            seq += 1
+            warc_parts, wet_parts, lengths, wet_lengths, size = (
+                [], [], [], [], 0
+            )
+            return row
+
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                pid = int(r.pid)
+                html = bytes(r.html) if r.html is not None else b""
+                m = gzip_member(
+                    encode_response_record(r.url, r.warc_ts, html)
+                )
+                warc_parts.append(m)
+                lengths.append(len(m))
+                size += len(m)
+                if wet:
+                    wm = gzip_member(
+                        encode_conversion_record(
+                            r.url, r.warc_ts, r.text, r.lang
+                        )
+                    )
+                    wet_parts.append(wm)
+                    wet_lengths.append(len(wm))
+                if size >= FRAGMENT_BYTES:
+                    yield flush()
+        if lengths:
+            yield flush()
+
+    frags = part.mapInPandas(
+        pack,
+        schema=(
+            "pid int, seq int, n_records long, warc binary, wet binary,"
+            " lengths array<long>, wet_lengths array<long>"
+        ),
+    )
+    files: list[str] = []
+    total = 0
+    # fragments stream in (pid, seq) order; driver appends — bounded memory
+    cur_pid = None
+    warc_fh = wet_fh = None
+    warc_path = wet_path = None
+    offsets: list[str] = []
+    wet_offsets: list[str] = []
+    base = wet_base = 0
+
+    def close_current():
+        nonlocal warc_fh, wet_fh
+        if warc_fh is not None:
+            warc_fh.close()
+            warc_fh = None
+            Path(str(warc_path) + ".idx").write_text(
+                "\n".join(offsets) + "\n"
+            )
+        if wet_fh is not None:
+            wet_fh.close()
+            wet_fh = None
+            Path(str(wet_path) + ".idx").write_text(
+                "\n".join(wet_offsets) + "\n"
+            )
+
+    for row in frags.orderBy("pid", "seq").toLocalIterator():
+        if row["pid"] != cur_pid:
+            close_current()
+            cur_pid = row["pid"]
+            name = f"part-{cur_pid:05d}"
+            warc_path = out / f"{name}.warc.gz"
+            info = gzip_member(encode_warcinfo_record(warc_path.name))
+            warc_fh = open(warc_path, "wb")
+            warc_fh.write(info)
+            offsets = [f"0\t{len(info)}"]
+            base = len(info)
+            files.append(str(warc_path))
+            if wet:
+                wet_path = out / f"{name}.wet.gz"
+                winfo = gzip_member(encode_warcinfo_record(wet_path.name))
+                wet_fh = open(wet_path, "wb")
+                wet_fh.write(winfo)
+                wet_offsets = [f"0\t{len(winfo)}"]
+                wet_base = len(winfo)
+                files.append(str(wet_path))
+        warc_fh.write(bytes(row["warc"]))
+        for ln in row["lengths"]:
+            offsets.append(f"{base}\t{ln}")
+            base += int(ln)
+        if wet:
+            wet_fh.write(bytes(row["wet"]))
+            for ln in row["wet_lengths"]:
+                wet_offsets.append(f"{wet_base}\t{ln}")
+                wet_base += int(ln)
+        total += int(row["n_records"])
+    close_current()
+    return {"files": files, "records": total}
+
+
+# -------------------------------------------------------------- source
+
+def _read_tasks(path: str, pattern: str) -> list[tuple[str, int, int]]:
+    """(file, offset, length) byte-range tasks. Index-aligned ranges of
+    ≤ RECORDS_PER_TASK members where a ``<file>.idx`` sidecar exists;
+    whole files otherwise (still one task per file — the Common Crawl
+    file-level-parallel posture)."""
+    tasks: list[tuple[str, int, int]] = []
+    for f in sorted(_glob.glob(str(Path(path) / pattern))):
+        idx = Path(f + ".idx")
+        if idx.exists():
+            rows = [
+                tuple(map(int, line.split("\t")))
+                for line in idx.read_text().splitlines()
+                if line
+            ]
+            for i in range(0, len(rows), RECORDS_PER_TASK):
+                chunk = rows[i:i + RECORDS_PER_TASK]
+                lo = chunk[0][0]
+                hi = chunk[-1][0] + chunk[-1][1]
+                tasks.append((f, lo, hi - lo))
+        else:
+            tasks.append((f, 0, Path(f).stat().st_size))
+    return tasks
+
+
+def _read_frame(
+    spark: SparkSession,
+    path: str,
+    pattern: str,
+    schema: str,
+    extract,
+) -> DataFrame:
+    tasks = _read_tasks(path, pattern)
+    names = [c.strip().split(" ")[0] for c in schema.split(",")]
+    tdf = spark.createDataFrame(
+        tasks, "file string, off long, length long"
+    ).repartition(max(1, len(tasks)))
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for t in pdf.itertuples(index=False):
+                with open(t.file, "rb") as fh:
+                    fh.seek(t.off)
+                    raw = fh.read(t.length)
+                plain = b"".join(iter_members(raw))
+                for headers, payload in parse_records(plain):
+                    r = extract(headers, payload)
+                    if r is not None:
+                        rows.append(r)
+            if rows:
+                yield pd.DataFrame(rows, columns=names)
+
+    return tdf.mapInPandas(decode, schema=schema)
+
+
+def _ts_parse(v: str):
+    return pd.Timestamp(v.rstrip("Z"))
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed WARC read → ``(url, warc_ts, html)``; skips
+    non-``response`` records (warcinfo preambles etc.)."""
+
+    def extract(headers, payload):
+        if headers.get("warc-type") != "response":
+            return None
+        return (
+            headers["warc-target-uri"],
+            _ts_parse(headers["warc-date"]),
+            _parse_http(payload),
+        )
+
+    return _read_frame(
+        spark, path, "*.warc.gz",
+        "url string, warc_ts timestamp, html binary", extract,
+    )
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed WET read → ``(url, warc_ts, text, lang)``."""
+
+    def extract(headers, payload):
+        if headers.get("warc-type") != "conversion":
+            return None
+        return (
+            headers["warc-target-uri"],
+            _ts_parse(headers["warc-date"]),
+            payload.decode("utf-8"),
+            headers.get("warc-identified-content-language", ""),
+        )
+
+    return _read_frame(
+        spark, path, "*.wet.gz",
+        "url string, warc_ts timestamp, text string, lang string", extract,
+    )

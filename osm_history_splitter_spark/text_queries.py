@@ -1955,6 +1955,7 @@ h{i}r AS (SELECT e.src AS id, SUM(a{i}.a) AS h
   FROM edges e JOIN a{i} ON a{i}.id = e.dst GROUP BY 1),
 h{i}m AS (SELECT greatest(max(h), 1) AS mx FROM h{i}r),
 h{i} AS (SELECT id, (h * {s}) // mx AS hub FROM h{i}r, h{i}m)""")
+        prev_h = f"h{i}"
     k = num_iter
     return f"""WITH n AS (SELECT count(*) AS n FROM documents),
 e0 AS (

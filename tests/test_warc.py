@@ -1,0 +1,134 @@
+"""WARC/WET container codec + distributed sink/source
+(sources/warc.py): pure-python record roundtrips, member framing,
+index-split reads, byte determinism, pages-table roundtrip."""
+
+from __future__ import annotations
+
+import datetime as dt
+import gzip
+from pathlib import Path
+
+import pytest
+
+from osm_history_splitter_spark.sources import warc as W
+from osm_history_splitter_spark.sources.pages import synth_pages
+
+TS = dt.datetime(2024, 3, 1, 12, 30, 0)
+
+
+def test_record_roundtrip_pure():
+    rec = W.encode_response_record("https://x.test/a?b=1", TS, b"<html>\xff</html>")
+    [(headers, payload)] = list(W.parse_records(rec))
+    assert headers["warc-type"] == "response"
+    assert headers["warc-target-uri"] == "https://x.test/a?b=1"
+    assert headers["warc-date"] == "2024-03-01T12:30:00Z"
+    assert W._parse_http(payload) == b"<html>\xff</html>"
+
+
+def test_conversion_record_lang_and_text():
+    rec = W.encode_conversion_record("u", TS, "héllo wörld", "de")
+    [(h, p)] = list(W.parse_records(rec))
+    assert h["warc-type"] == "conversion"
+    assert h["warc-identified-content-language"] == "de"
+    assert p.decode("utf-8") == "héllo wörld"
+
+
+def test_members_and_mixed_alignment():
+    # three records, two members (record 2+3 share one member):
+    # parse_records walks Content-Length, not member boundaries
+    r1 = W.encode_response_record("u1", TS, b"a")
+    r2 = W.encode_response_record("u2", TS, b"bb")
+    r3 = W.encode_warcinfo_record("f.warc.gz")
+    data = W.gzip_member(r1) + W.gzip_member(r2 + r3)
+    plain = b"".join(W.iter_members(data))
+    got = list(W.parse_records(plain))
+    assert [h["warc-type"] for h, _ in got] == [
+        "response", "response", "warcinfo",
+    ]
+    assert W._parse_http(got[1][1]) == b"bb"
+
+
+def test_gzip_member_deterministic_and_standard():
+    m1, m2 = W.gzip_member(b"payload"), W.gzip_member(b"payload")
+    assert m1 == m2
+    assert gzip.decompress(m1) == b"payload"
+
+
+@pytest.fixture(scope="module")
+def pages(spark, testdata_sf):
+    return synth_pages(spark, testdata_sf).cache()
+
+
+def _canon(df):
+    return sorted(
+        (r["url"], r["warc_ts"], bytes(r["html"]))
+        for r in df.collect()
+    )
+
+
+def test_sink_source_roundtrip(spark, pages, tmp_path):
+    out = tmp_path / "crawl"
+    res = W.write_warc(pages, str(out), partitions=3)
+    n = pages.count()
+    assert res["records"] == n
+    warc_files = sorted(out.glob("*.warc.gz"))
+    assert 1 <= len(warc_files) <= 3
+    assert len(sorted(out.glob("*.warc.gz.idx"))) == len(warc_files)
+
+    got = W.read_warc(spark, str(out))
+    want = pages.select("url", "warc_ts", "html")
+    assert _canon(got) == _canon(want)
+
+    wet = W.read_wet(spark, str(out))
+    assert sorted(
+        (r["url"], r["warc_ts"], r["text"], r["lang"]) for r in wet.collect()
+    ) == sorted(
+        (r["url"], r["warc_ts"], r["text"], r["lang"])
+        for r in pages.select("url", "warc_ts", "text", "lang").collect()
+    )
+
+
+def test_index_range_split_equals_whole_file(
+    spark, pages, tmp_path, monkeypatch
+):
+    out = tmp_path / "crawl"
+    W.write_warc(pages.limit(200), str(out), partitions=2, wet=False)
+    whole = _canon(W.read_warc(spark, str(out)))
+    # force many byte-range tasks through the sidecar index
+    monkeypatch.setattr(W, "RECORDS_PER_TASK", 7)
+    split_tasks = W._read_tasks(str(out), "*.warc.gz")
+    assert len(split_tasks) > 2  # genuinely intra-file split
+    assert _canon(W.read_warc(spark, str(out))) == whole
+    # index removal falls back to whole-file tasks, same rows
+    for idx in out.glob("*.warc.gz.idx"):
+        idx.unlink()
+    assert W._read_tasks(str(out), "*.warc.gz") != split_tasks
+    assert _canon(W.read_warc(spark, str(out))) == whole
+
+
+def test_write_deterministic_bytes(spark, pages, tmp_path):
+    a, b = tmp_path / "a", tmp_path / "b"
+    W.write_warc(pages.limit(60), str(a), partitions=2)
+    W.write_warc(pages.limit(60), str(b), partitions=2)
+    fa = sorted(p.name for p in a.iterdir())
+    assert fa == sorted(p.name for p in b.iterdir())
+    for name in fa:
+        assert (a / name).read_bytes() == (b / name).read_bytes(), name
+
+
+def test_url_snapshots_colocated_in_version_order(spark, pages, tmp_path):
+    """O1/O2 for crawls: all snapshots of a url in ONE file, ts-ascending."""
+    out = tmp_path / "crawl"
+    W.write_warc(pages, str(out), partitions=3, wet=False)
+    seen: dict[str, tuple[str, object]] = {}
+    for f in sorted(out.glob("*.warc.gz")):
+        plain = b"".join(W.iter_members(Path(f).read_bytes()))
+        for h, _ in W.parse_records(plain):
+            if h["warc-type"] != "response":
+                continue
+            url, ts = h["warc-target-uri"], h["warc-date"]
+            if url in seen:
+                pf, pts = seen[url]
+                assert pf == str(f), f"url {url} split across files"
+                assert pts <= ts, f"url {url} out of version order"
+            seen[url] = (str(f), ts)
