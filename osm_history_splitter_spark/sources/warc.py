@@ -58,6 +58,8 @@ __all__ = [
     "write_warc",
     "read_warc",
     "read_wet",
+    "read_pages",
+    "split_pages_to_warc",
 ]
 
 _CRLF = b"\r\n"
@@ -212,6 +214,7 @@ def write_warc(
     out_dir: str,
     partitions: int = 4,
     wet: bool = True,
+    by: str | None = None,
 ) -> dict:
     """Distributed WARC(+WET) sink for a pages frame
     ``(url, warc_ts, html, text, lang)``.
@@ -224,24 +227,34 @@ def write_warc(
     ``.wet.gz``) + ``.gz.idx`` per partition — bounded driver memory,
     payload compressed before it ever moves.
 
-    Returns ``{"files": [...], "records": n}``.
+    ``by``: optional grouping column (e.g. ``extract``) — output lands
+    in one subdirectory per group, still ONE distributed job for all
+    groups (the mixed-format sink discipline from ``plans/osm_writer``);
+    the range partitioner keys on (by, url) so a group's files stay
+    contiguous and a url never straddles files within a group.
+
+    Returns ``{"files": [...], "records": n, "groups": {...}}``.
     """
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     cols = ["url", "warc_ts", "html", "text", "lang"]
+    key = [by] if by else []
     part = (
-        df.select(*cols)
-        .repartitionByRange(partitions, "url")  # url ONLY: a (url, ts)
-        # range boundary could strand one snapshot in the next file
-        .sortWithinPartitions("url", "warc_ts")
+        df.select(*key, *cols)
+        # key excludes warc_ts: a (url, ts) range boundary could strand
+        # one snapshot of a url in the next file
+        .repartitionByRange(partitions, *key, "url")
+        .sortWithinPartitions(*key, "url", "warc_ts")
         .withColumn("pid", F.spark_partition_id())
     )
 
     def pack(batches):
         # one Spark partition per task ⇒ a single pid; flush a fragment
         # row every FRAGMENT_BYTES so a ~1 GB output file never sits in
-        # one task's memory (the pbf_writer BLOCK_ROWS discipline)
+        # one task's memory (the pbf_writer BLOCK_ROWS discipline); the
+        # sort makes groups contiguous, so a group change also flushes
         pid = None
+        grp = None
         seq = 0
         warc_parts: list[bytes] = []
         wet_parts: list[bytes] = []
@@ -253,6 +266,7 @@ def write_warc(
             nonlocal seq, warc_parts, wet_parts, lengths, wet_lengths, size
             row = pd.DataFrame(
                 {
+                    "grp": [grp or ""],
                     "pid": [pid],
                     "seq": [seq],
                     "n_records": [len(lengths)],
@@ -270,7 +284,12 @@ def write_warc(
 
         for pdf in batches:
             for r in pdf.itertuples(index=False):
+                rg = getattr(r, by) if by else ""
+                if lengths and rg != grp:
+                    yield flush()
+                    seq = 0
                 pid = int(r.pid)
+                grp = rg
                 html = bytes(r.html) if r.html is not None else b""
                 m = gzip_member(
                     encode_response_record(r.url, r.warc_ts, html)
@@ -294,14 +313,16 @@ def write_warc(
     frags = part.mapInPandas(
         pack,
         schema=(
-            "pid int, seq int, n_records long, warc binary, wet binary,"
+            "grp string, pid int, seq int, n_records long,"
+            " warc binary, wet binary,"
             " lengths array<long>, wet_lengths array<long>"
         ),
     )
     files: list[str] = []
+    groups: dict[str, int] = {}
     total = 0
-    # fragments stream in (pid, seq) order; driver appends — bounded memory
-    cur_pid = None
+    # fragments stream in (grp, pid, seq) order; driver appends — bounded
+    cur = None
     warc_fh = wet_fh = None
     warc_path = wet_path = None
     offsets: list[str] = []
@@ -323,12 +344,14 @@ def write_warc(
                 "\n".join(wet_offsets) + "\n"
             )
 
-    for row in frags.orderBy("pid", "seq").toLocalIterator():
-        if row["pid"] != cur_pid:
+    for row in frags.orderBy("grp", "pid", "seq").toLocalIterator():
+        if (row["grp"], row["pid"]) != cur:
             close_current()
-            cur_pid = row["pid"]
-            name = f"part-{cur_pid:05d}"
-            warc_path = out / f"{name}.warc.gz"
+            cur = (row["grp"], row["pid"])
+            dest = out / row["grp"] if by else out
+            dest.mkdir(parents=True, exist_ok=True)
+            name = f"part-{row['pid']:05d}"
+            warc_path = dest / f"{name}.warc.gz"
             info = gzip_member(encode_warcinfo_record(warc_path.name))
             warc_fh = open(warc_path, "wb")
             warc_fh.write(info)
@@ -336,7 +359,7 @@ def write_warc(
             base = len(info)
             files.append(str(warc_path))
             if wet:
-                wet_path = out / f"{name}.wet.gz"
+                wet_path = dest / f"{name}.wet.gz"
                 winfo = gzip_member(encode_warcinfo_record(wet_path.name))
                 wet_fh = open(wet_path, "wb")
                 wet_fh.write(winfo)
@@ -352,9 +375,12 @@ def write_warc(
             for ln in row["wet_lengths"]:
                 wet_offsets.append(f"{wet_base}\t{ln}")
                 wet_base += int(ln)
-        total += int(row["n_records"])
+        n = int(row["n_records"])
+        total += n
+        if by:
+            groups[row["grp"]] = groups.get(row["grp"], 0) + n
     close_current()
-    return {"files": files, "records": total}
+    return {"files": files, "records": total, "groups": groups}
 
 
 # -------------------------------------------------------------- source
@@ -453,4 +479,52 @@ def read_wet(spark: SparkSession, path: str) -> DataFrame:
     return _read_frame(
         spark, path, "*.wet.gz",
         "url string, warc_ts timestamp, text string, lang string", extract,
+    )
+
+
+def read_pages(spark: SparkSession, path: str) -> DataFrame:
+    """Rebuild the full pages table ``(url, warc_ts, html, text, lang)``
+    from a WARC+WET directory — response and conversion records joined
+    on (url, warc_ts). The join is a plain equi-join on narrow keys;
+    both payload columns arrive already distributed (never on the
+    driver), so this is the standard crawl→table ingest shape."""
+    w = read_warc(spark, path)
+    t = read_wet(spark, path)
+    return w.join(t, ["url", "warc_ts"]).select(
+        "url", "warc_ts", "html", "text", "lang"
+    )
+
+
+def split_pages_to_warc(
+    spark: SparkSession,
+    pages: DataFrame,
+    catalog,
+    out_dir: str,
+    partitions: int = 4,
+) -> dict:
+    """The flagship web-text split emitted in the crawl's own container
+    format: geotag extraction → broadcast cell-cover spatial join →
+    url-level softcut membership (ANY snapshot inside ⇒ ALL snapshots
+    out, ``softcut.hpp:357-370`` applied to urls) → one WARC+WET
+    directory per extract, written by ONE distributed job
+    (``write_warc(by='extract')``).
+
+    The per-url byte-identity invariant holds by construction: the sink
+    serializes the ORIGINAL ``html``/``text`` bytes of every retained
+    row — membership only selects rows, never rewrites them.
+    """
+    from ..functions.geotags import extract_geotags
+    from ..operators.spatial_join import assign_extracts
+
+    pts = pages.select(
+        "url", F.explode(extract_geotags(F.col("text"))).alias("g")
+    ).select(
+        "url", F.col("g.lat").alias("lat"), F.col("g.lon").alias("lon")
+    ).persist()
+    members = (
+        assign_extracts(pts, catalog).select("url", "extract").distinct()
+    )
+    tagged = pages.join(members, "url")
+    return write_warc(
+        tagged, out_dir, partitions=partitions, by="extract"
     )

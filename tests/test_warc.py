@@ -9,6 +9,7 @@ import gzip
 from pathlib import Path
 
 import pytest
+from pyspark.sql import functions as F
 
 from osm_history_splitter_spark.sources import warc as W
 from osm_history_splitter_spark.sources.pages import synth_pages
@@ -132,3 +133,57 @@ def test_url_snapshots_colocated_in_version_order(spark, pages, tmp_path):
                 assert pf == str(f), f"url {url} split across files"
                 assert pts <= ts, f"url {url} out of version order"
             seen[url] = (str(f), ts)
+
+
+def test_read_pages_full_roundtrip(spark, pages, tmp_path):
+    out = tmp_path / "crawl"
+    W.write_warc(pages.limit(120), str(out), partitions=2)
+    got = W.read_pages(spark, str(out))
+    key = lambda r: (r["url"], r["warc_ts"])  # noqa: E731
+    grows = sorted(
+        (r["url"], r["warc_ts"], bytes(r["html"]), r["text"], r["lang"])
+        for r in got.collect()
+    )
+    wrows = sorted(
+        (r["url"], r["warc_ts"], bytes(r["html"]), r["text"], r["lang"])
+        for r in pages.limit(120).collect()
+    )
+    assert grows == wrows
+
+
+def test_split_pages_to_warc_membership_and_byte_identity(
+    spark, pages, testdata_sf, tmp_path
+):
+    """Per-extract WARC dirs == the oracle-certified pages_split
+    membership, and every emitted text/html byte-identical per url
+    (the input_hint invariant driven through the container sink)."""
+    from osm_history_splitter_spark.oracle_queries import catalog, q_pages_split
+
+    out = tmp_path / "split"
+    res = W.split_pages_to_warc(spark, pages, catalog(), str(out))
+    want = q_pages_split(spark, testdata_sf)
+    want_members = {
+        (r["url"], r["extract"]) for r in want.collect()
+    }
+    assert res["groups"].keys() == {e for _, e in want_members}
+    got_members = set()
+    src = {
+        (r["url"], r["warc_ts"]): (bytes(r["html"]), r["text"])
+        for r in pages.collect()
+    }
+    for ext in res["groups"]:
+        df = W.read_pages(spark, str(out / ext))
+        for r in df.collect():
+            got_members.add((r["url"], ext))
+            assert (bytes(r["html"]), r["text"]) == src[
+                (r["url"], r["warc_ts"])
+            ]
+    assert got_members == want_members
+    # softcut completeness: every member url appears with ALL snapshots
+    n_per_url = {
+        r["url"]: r["n"]
+        for r in pages.groupBy("url").agg(F.count("*").alias("n")).collect()
+    }
+    for ext, n_rec in res["groups"].items():
+        urls = {u for u, e in got_members if e == ext}
+        assert n_rec == sum(n_per_url[u] for u in urls)
