@@ -77,6 +77,8 @@ BENCH_QUERIES = [
     "kcore",
     "vocab_growth",
     "hits",
+    "phrase_match",
+    "pmi_bigrams",
 ]
 
 
@@ -104,7 +106,12 @@ def run(sf_dir: str, cores: int | None = None) -> dict:
     out["value"] = round(sum(out["queries"].values()), 3)
     out["split_docs_per_sec"] = max(a["split_docs_per_sec"], b["split_docs_per_sec"])
     out["docs_per_sec"] = max(a["docs_per_sec"], b["docs_per_sec"])
-    for k in ("xml_sink_elems_per_sec", "pbf_sink_elems_per_sec"):
+    for k in (
+        "xml_sink_elems_per_sec",
+        "pbf_sink_elems_per_sec",
+        "warc_sink_pages_per_sec",
+        "warc_read_pages_per_sec",
+    ):
         if k in a and k in b:
             out[k] = max(a[k], b[k])
     # CDC runs once (it is internally best-of-N already) in its own
@@ -169,6 +176,7 @@ def _run_once(sf_dir: str, cores: int | None = None) -> dict:
     # tmpfs (generation unmeasured), split measured warm (best of 2)
     split_thr, split_pages = _split_throughput(spark, sf_dir, n_pages)
     sink_thr = _sink_throughput(spark, sf_dir)
+    sink_thr.update(_warc_throughput(spark, sf_dir))
 
     # cap-induced recall loss must be visible, not a silent unknown: the
     # hot-bucket caps in the LSH paths report what they dropped (counters
@@ -266,6 +274,37 @@ def _sink_throughput(spark, sf_dir: str, replicate: int = 16) -> dict:
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+def _warc_throughput(spark, sf_dir: str, replicate: int = 16) -> dict:
+    """WARC container sink + source throughput (pages/sec) on a
+    replicated synthetic crawl written to tmpfs: one timed distributed
+    write (gzip member per record + index sidecars) and one timed
+    index-split read back."""
+    import shutil
+    import tempfile
+
+    from osm_history_splitter_spark.sources.pages import synth_pages
+    from osm_history_splitter_spark.sources.warc import read_warc, write_warc
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    pages = synth_pages(spark, sf_dir, replicate=replicate, partitions=16)
+    n = pages.count()  # outside the timed region
+    tmp = tempfile.mkdtemp(prefix="bench_warc_", dir=base)
+    try:
+        t0 = time.perf_counter()
+        write_warc(pages, tmp, partitions=16, wet=False)
+        w = round(n / (time.perf_counter() - t0), 1)
+        t0 = time.perf_counter()
+        got = read_warc(spark, tmp).count()
+        r = round(got / (time.perf_counter() - t0), 1)
+        assert got == n, f"warc roundtrip row loss: {got} != {n}"
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "warc_sink_pages_per_sec": w,
+        "warc_read_pages_per_sec": r,
+    }
 
 
 _CDC_PATHS = ("full", "inc", "idx", "stf", "sti")
