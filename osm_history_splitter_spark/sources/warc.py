@@ -215,6 +215,7 @@ def write_warc(
     partitions: int = 4,
     wet: bool = True,
     by: str | None = None,
+    prefix: str = "",
 ) -> dict:
     """Distributed WARC(+WET) sink for a pages frame
     ``(url, warc_ts, html, text, lang)``.
@@ -226,6 +227,11 @@ def write_warc(
     in parquet and the driver streams one ``part-NNNNN.warc.gz`` (and
     ``.wet.gz``) + ``.gz.idx`` per partition — bounded driver memory,
     payload compressed before it ever moves.
+
+    ``prefix``: prepended to every part-file name — a continuous fetch
+    service stamps each tick (``prefix=f"b{n:06d}-"``) so successive
+    batches never collide and stay lexicographically ordered (the
+    crawl-feed streaming source's offset contract).
 
     ``by``: optional grouping column (e.g. ``extract``) — output lands
     in one subdirectory per group, still ONE distributed job for all
@@ -350,7 +356,7 @@ def write_warc(
             cur = (row["grp"], row["pid"])
             dest = out / row["grp"] if by else out
             dest.mkdir(parents=True, exist_ok=True)
-            name = f"part-{row['pid']:05d}"
+            name = f"{prefix}part-{row['pid']:05d}"
             warc_path = dest / f"{name}.warc.gz"
             info = gzip_member(encode_warcinfo_record(warc_path.name))
             warc_fh = open(warc_path, "wb")
