@@ -97,6 +97,7 @@ _DRIVER_EXCLUDE = {
     "hits",  # same: window full; twin certified there too
     "phrase_match",  # same: window full; twin certified there too
     "pmi_bigrams",  # same: window full; twin certified there too
+    "robots_filter",  # same: window full; twin certified there too
     "bm25_topk",  # ln() ulps differ across engines — pytest compares
     # rounded scores (tests/test_bm25.py); the exact-hash gate would
     # flake on the last decimal

@@ -4217,6 +4217,125 @@ JOIN und e2 ON e2.a = e1.b
 JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b"""
 
 
+#: synthetic robots world shared by both twins: 16 hosts, rule grid
+#: derived from the host index (see q_robots_filter docstring)
+ROBOTS_HOSTS = 16
+
+
+def apply_robots(urls: DataFrame, rules: DataFrame) -> DataFrame:
+    """RFC 9309 (robots.txt) rule evaluation: for each url row
+    ``(doc_id, host, path)`` pick the winning rule among
+    ``rules(host, prefix, allow)`` — the LONGEST matching path prefix
+    wins; on a length tie ``Allow`` wins (the published Google/REP
+    tiebreak); no matching rule ⇒ allowed (REP default-allow).
+
+    Returns ``(doc_id, allowed, rule_len)`` with ``rule_len = -1`` for
+    the default case.
+
+    Scale shape: a real robots corpus is O(hosts) — broadcast; the
+    match is one broadcast equi-join on host + a ``startswith`` refine,
+    and the winner is a map-side-combinable ``max(struct(len, allow))``
+    per doc (struct ordering encodes the longest-then-allow rule — no
+    window sort, no shuffle beyond the doc groupBy)."""
+    cand = urls.join(F.broadcast(rules), "host").filter(
+        F.col("path").startswith(F.col("prefix"))
+    )
+    win = cand.groupBy("doc_id").agg(
+        F.max(
+            F.struct(
+                F.length("prefix").cast("long").alias("len"),
+                F.col("allow"),
+            )
+        ).alias("w")
+    )
+    return urls.join(win, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("w.allow"), F.lit(True)).alias("allowed"),
+        F.coalesce(F.col("w.len"), F.lit(-1).cast("long")).alias("rule_len"),
+    )
+
+
+def q_robots_filter(spark, sf_dir):
+    """Crawl-compliance filtering: evaluate RFC 9309 robots rules over a
+    deterministic synthetic url+rules world derived from ``documents``
+    (no external data — BASELINE.json rule). Per doc:
+    ``host = h(doc_id % 16).test``, ``path = /{a|b|b/ok|c}/{doc_id}``;
+    per host k the rule grid exercises every REP decision branch:
+
+    - k % 2 = 0: ``Disallow: /b/``            (prefix deny)
+    - k % 4 = 0: ``Allow: /b/ok/``            (longer allow overrides)
+    - k % 3 = 0: ``Disallow: /c``             (partial-segment prefix)
+    - k % 5 = 0: ``Disallow:`` (empty prefix)  (blanket, lowest priority)
+    - k % 7 = 0: ``Allow: /a/`` AND ``Disallow: /a/`` (length tie ⇒ allow)
+    """
+    d = _t(spark, sf_dir, "documents")
+    k = (F.col("doc_id") % ROBOTS_HOSTS).cast("long")
+    seg = F.element_at(
+        F.array(F.lit("a"), F.lit("b"), F.lit("b/ok"), F.lit("c")),
+        ((F.col("doc_id") % 4) + 1).cast("int"),
+    )
+    urls = d.select(
+        "doc_id",
+        F.concat(F.lit("h"), k.cast("string"), F.lit(".test")).alias("host"),
+        F.concat(
+            F.lit("/"), seg, F.lit("/"), F.col("doc_id").cast("string")
+        ).alias("path"),
+    )
+    hosts = spark.range(ROBOTS_HOSTS).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".test")).alias(
+            "host"
+        ),
+        F.col("id").alias("hk"),
+    )
+
+    def rule(mod, prefix, allow):
+        return hosts.filter(F.col("hk") % mod == 0).select(
+            "host", F.lit(prefix).alias("prefix"), F.lit(allow).alias("allow")
+        )
+
+    rules = (
+        rule(2, "/b/", False)
+        .unionByName(rule(4, "/b/ok/", True))
+        .unionByName(rule(3, "/c", False))
+        .unionByName(rule(5, "", False))
+        .unionByName(rule(7, "/a/", True))
+        .unionByName(rule(7, "/a/", False))
+    )
+    return apply_robots(urls, rules)
+
+
+Q_ROBOTS_FILTER_SQL = f"""WITH urls AS (
+  SELECT doc_id,
+    'h' || CAST(doc_id % {ROBOTS_HOSTS} AS VARCHAR) || '.test' AS host,
+    '/' || (['a','b','b/ok','c'])[(doc_id % 4) + 1]
+        || '/' || CAST(doc_id AS VARCHAR) AS path
+  FROM documents),
+hostk AS (SELECT unnest(generate_series(0, {ROBOTS_HOSTS - 1})) AS hk),
+rules AS (
+  SELECT 'h'||CAST(hk AS VARCHAR)||'.test' AS host, '/b/' AS prefix,
+         FALSE AS allow FROM hostk WHERE hk % 2 = 0
+  UNION ALL SELECT 'h'||CAST(hk AS VARCHAR)||'.test', '/b/ok/', TRUE
+    FROM hostk WHERE hk % 4 = 0
+  UNION ALL SELECT 'h'||CAST(hk AS VARCHAR)||'.test', '/c', FALSE
+    FROM hostk WHERE hk % 3 = 0
+  UNION ALL SELECT 'h'||CAST(hk AS VARCHAR)||'.test', '', FALSE
+    FROM hostk WHERE hk % 5 = 0
+  UNION ALL SELECT 'h'||CAST(hk AS VARCHAR)||'.test', '/a/', TRUE
+    FROM hostk WHERE hk % 7 = 0
+  UNION ALL SELECT 'h'||CAST(hk AS VARCHAR)||'.test', '/a/', FALSE
+    FROM hostk WHERE hk % 7 = 0),
+m AS (
+  SELECT u.doc_id, r.allow, length(r.prefix) AS len,
+    row_number() OVER (
+      PARTITION BY u.doc_id
+      ORDER BY length(r.prefix) DESC, r.allow DESC) AS rn
+  FROM urls u JOIN rules r
+    ON r.host = u.host AND starts_with(u.path, r.prefix))
+SELECT u.doc_id, COALESCE(w.allow, TRUE) AS allowed,
+  CAST(COALESCE(w.len, -1) AS BIGINT) AS rule_len
+FROM urls u LEFT JOIN (SELECT * FROM m WHERE rn = 1) w USING (doc_id)"""
+
+
 TEXT_QUERIES = {
     "exact_substr": (q_exact_substr, Q_EXACT_SUBSTR_SQL),
     "gopher_filter": (q_gopher_filter, Q_GOPHER_FILTER_SQL),
@@ -4284,4 +4403,5 @@ TEXT_QUERIES = {
     "triangles": (q_triangles, Q_TRIANGLES_SQL),
     "co_citation": (q_co_citation, Q_CO_CITATION_SQL),
     "token_quantiles": (q_token_quantiles, Q_TOKEN_QUANTILES_SQL),
+    "robots_filter": (q_robots_filter, Q_ROBOTS_FILTER_SQL),
 }
