@@ -144,6 +144,32 @@ def main() -> None:
         q.stop()
     print(f"streaming change feed OK ({ns} rows == batch)")
 
+    # crawl-container roundtrip: pages -> per-extract WARC+WET -> pages
+    import shutil
+    import tempfile
+
+    from osm_history_splitter_spark.oracle_queries import catalog
+    from osm_history_splitter_spark.sources.pages import synth_pages
+    from osm_history_splitter_spark.sources.warc import (
+        read_pages,
+        split_pages_to_warc,
+    )
+
+    pages = synth_pages(spark, "/root/testdata/sf0.001")
+    tmp = tempfile.mkdtemp(prefix="verify_warc_")
+    try:
+        res = split_pages_to_warc(spark, pages, catalog(), tmp, partitions=2)
+        back = sum(
+            read_pages(spark, f"{tmp}/{e}").count() for e in res["groups"]
+        )
+        assert back == res["records"], (back, res["records"])
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    print(
+        f"WARC split drive OK ({res['records']} records, "
+        f"{len(res['groups'])} extracts, roundtrip counts match)"
+    )
+
 
 if __name__ == "__main__":
     main()
