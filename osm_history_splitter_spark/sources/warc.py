@@ -507,6 +507,7 @@ def split_pages_to_warc(
     catalog,
     out_dir: str,
     partitions: int = 4,
+    wet: bool = True,
 ) -> dict:
     """The flagship web-text split emitted in the crawl's own container
     format: geotag extraction → broadcast cell-cover spatial join →
@@ -532,5 +533,5 @@ def split_pages_to_warc(
     )
     tagged = pages.join(members, "url")
     return write_warc(
-        tagged, out_dir, partitions=partitions, by="extract"
+        tagged, out_dir, partitions=partitions, wet=wet, by="extract"
     )

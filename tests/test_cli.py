@@ -157,3 +157,67 @@ def test_cli_compact_cover_split_identical(
             (r.id, r.version) for r in got.collect()
         )
     assert counts["plain"] == counts["compact"]
+
+
+def test_pages_cli_warc_in_warc_out_with_publish(
+    spark, tmp_path, monkeypatch, capsys
+):
+    """pages_cli: WARC crawl dir in → per-extract WARC dirs out +
+    membership VersionedTable; membership equals the oracle-certified
+    pages_split rows."""
+    import json as _json
+
+    from osm_history_splitter_spark.pages_cli import main as pages_main
+    from osm_history_splitter_spark.oracle_queries import q_pages_split
+    from osm_history_splitter_spark.plans.table import VersionedTable
+    from osm_history_splitter_spark.sources.pages import synth_pages
+    from osm_history_splitter_spark.sources.warc import write_warc
+
+    crawl = tmp_path / "crawl"
+    write_warc(
+        synth_pages(spark, "/root/testdata/sf0.001"), str(crawl), partitions=2
+    )
+    cfg = tmp_path / "pages.config"
+    cfg.write_text(
+        "west  BBOX  -180,-90,0,90\n"
+        "east  BBOX  0,-90,180,90\n"
+    )
+    out = tmp_path / "out"
+    monkeypatch.setattr(
+        sys, "argv",
+        [
+            "pages_cli",
+            "--input", str(crawl),
+            "--config", str(cfg),
+            "--output", str(out),
+            "--partitions", "2",
+            "--publish-table", str(tmp_path / "members"),
+        ],
+    )
+    pages_main()
+    manifest = _json.loads(capsys.readouterr().out)
+    assert manifest["published_version"] == 1
+    t = VersionedTable(spark, str(tmp_path / "members"))
+    got = {
+        (r["url"], r["extract"]) for r in t.read().collect()
+    }
+    # oracle-certified membership over the same catalog shape
+    from osm_history_splitter_spark.plans.catalog import Extract, ExtractCatalog
+    from osm_history_splitter_spark.functions.geotags import extract_geotags
+    from osm_history_splitter_spark.operators.spatial_join import assign_extracts
+    from pyspark.sql import functions as F
+
+    pages = synth_pages(spark, "/root/testdata/sf0.001")
+    pts = pages.select(
+        "url", F.explode(extract_geotags(F.col("text"))).alias("g")
+    ).select("url", F.col("g.lat").alias("lat"), F.col("g.lon").alias("lon"))
+    cat = ExtractCatalog([
+        Extract.bbox("west", -180.0, -90.0, 0.0, 90.0),
+        Extract.bbox("east", 0.0, -90.0, 180.0, 90.0),
+    ])
+    want = {
+        (r["url"], r["extract"])
+        for r in assign_extracts(pts, cat).select("url", "extract")
+        .distinct().collect()
+    }
+    assert {(u, e) for u, e in got} == want
