@@ -72,6 +72,14 @@ _EXPORTS = {
     "run_hierarchy": "plans.hierarchy",
     "fetch_and_split": "fetch",
     "get_spark": "session",
+    "write_warc": "sources.warc",
+    "read_warc": "sources.warc",
+    "read_wet": "sources.warc",
+    "read_pages": "sources.warc",
+    "split_pages_to_warc": "sources.warc",
+    "stream_crawl": "streaming.crawl_feed",
+    "convex_overlay_join": "operators.overlay",
+    "synth_pages": "sources.pages",
 }
 
 __all__ = ["__version__", *sorted(_EXPORTS)]
