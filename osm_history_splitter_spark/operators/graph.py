@@ -300,7 +300,11 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 30) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_rounds):
+    # max_rounds + 1 convergence probes bracket max_rounds deletions, so
+    # a peel chain of EXACTLY max_rounds rounds still converges (matches
+    # the SQL twin, which unrolls max_rounds deletion rounds then reads
+    # the fixpoint) — the last probe only checks, never deletes
+    for round_no in range(max_rounds + 1):
         deg = alive.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
         low = deg.filter(F.col("deg") < k).select("a").localCheckpoint(
             eager=True
@@ -309,6 +313,8 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 30) -> DataFrame:
             return deg.select(
                 F.col("a").alias("id"), F.col("deg").cast("long").alias("deg")
             )
+        if round_no == max_rounds:
+            break
         alive = (
             alive.join(low, "a", "left_anti")
             .join(low.select(F.col("a").alias("b")), "b", "left_anti")
@@ -362,7 +368,13 @@ def hits(
             .unionByName(e.select(F.col("dst").alias("id")))
             .distinct()
         )
-    verts = vertices.select(F.col("id").cast("long").alias("id")).persist()
+    # localCheckpoint, not persist(): it materializes the double-used
+    # vertex set the same way but is released by the ContextCleaner when
+    # the result frame is garbage-collected — repeated hits() calls in
+    # one session never accumulate dead cached partitions
+    verts = vertices.select(
+        F.col("id").cast("long").alias("id")
+    ).localCheckpoint(eager=True)
 
     def _renorm(raw: DataFrame, col: str) -> DataFrame:
         """x·scale div max(x) over (id, col); empty/zero-safe."""

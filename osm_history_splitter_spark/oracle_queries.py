@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions import grid
+from .functions.eventpos import event_lon_lat
 from .operators.hardcut import hardcut
 from .operators.softcut import softcut_membership
 from .plans.catalog import Extract, ExtractCatalog
@@ -602,8 +603,7 @@ def q_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     k, e = F.col("user_id"), F.col("event_id")
-    lon = ((k * 7919 + e * 13) % 36000) / F.lit(100.0) - F.lit(180.0)
-    lat = ((k * 104729 + e * 29) % 18000) / F.lit(100.0) - F.lit(90.0)
+    lon, lat = event_lon_lat(k, e)
     pos = ev.select(
         "user_id",
         "event_id",
@@ -700,8 +700,7 @@ def q_mk_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     k, e = F.col("user_id"), F.col("event_id")
-    lon = ((k * 7919 + e * 13) % 36000) / F.lit(100.0) - F.lit(180.0)
-    lat = ((k * 104729 + e * 29) % 18000) / F.lit(100.0) - F.lit(90.0)
+    lon, lat = event_lon_lat(k, e)
     cube = (
         ev.select(
             grid.cell_id_expr(lon, lat, MK_RES).alias("cell"),
@@ -754,8 +753,7 @@ COLOC_TAU = 172800
 def _event_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     k, e = F.col("user_id"), F.col("event_id")
-    lon = ((k * 7919 + e * 13) % 36000) / F.lit(100.0) - F.lit(180.0)
-    lat = ((k * 104729 + e * 29) % 18000) / F.lit(100.0) - F.lit(90.0)
+    lon, lat = event_lon_lat(k, e)
     return ev.select(
         "user_id",
         "event_id",

@@ -80,12 +80,17 @@ def main() -> None:
     if args.publish_table:
         from .plans.table import VersionedTable
 
-        members = None
+        # a config whose extracts matched nothing still publishes a clean
+        # EMPTY version (never commit(None)) — consumers see "the split
+        # ran and selected zero rows", not a crash after the split work
+        members = spark.createDataFrame(
+            [], "url string, warc_ts timestamp, extract string, lang string"
+        )
         for ext in manifest["groups"]:
             part = read_pages(spark, f"{args.output}/{ext}").select(
                 "url", "warc_ts", F.lit(ext).alias("extract"), "lang"
             )
-            members = part if members is None else members.unionByName(part)
+            members = members.unionByName(part)
         t = VersionedTable(spark, args.publish_table)
         v = t.commit(
             members,

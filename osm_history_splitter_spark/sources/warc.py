@@ -41,6 +41,7 @@ import glob as _glob
 import gzip
 import hashlib
 import io
+import os
 import zlib
 from pathlib import Path
 
@@ -77,8 +78,18 @@ def _record_id(url: str, ts_iso: str) -> str:
 
 
 def _ts_iso(ts) -> str:
-    """Naive-UTC timestamp (the engine pins sessions to UTC) → WARC-Date."""
-    return pd.Timestamp(ts).strftime("%Y-%m-%dT%H:%M:%SZ")
+    """Naive-UTC timestamp (the engine pins sessions to UTC) → WARC-Date.
+
+    Sub-second timestamps keep their microseconds (Spark timestamps are
+    microsecond-precision) so the WARC roundtrip is lossless and the
+    ``read_pages`` (url, warc_ts) join never fans out when two snapshots
+    of a url land in the same second; whole-second timestamps keep the
+    compact classic form so existing fixtures stay byte-identical.
+    """
+    t = pd.Timestamp(ts)
+    if t.microsecond or t.nanosecond:
+        return t.strftime("%Y-%m-%dT%H:%M:%S.%fZ")
+    return t.strftime("%Y-%m-%dT%H:%M:%SZ")
 
 
 def _record(headers: list[tuple[str, str]], payload: bytes) -> bytes:
@@ -118,20 +129,24 @@ def encode_response_record(url: str, ts, html: bytes) -> bytes:
 
 
 def encode_conversion_record(url: str, ts, text: str, lang: str) -> bytes:
-    """WET ``conversion`` record: extracted text + identified language."""
+    """WET ``conversion`` record: extracted text + identified language.
+
+    NULL-tolerant: a null ``text`` serializes as the empty payload and a
+    null/empty ``lang`` omits the language header entirely (``read_wet``
+    reads an absent header back as ``""`` — never the string "None").
+    """
     ts_iso = _ts_iso(ts)
-    return _record(
-        [
-            ("WARC-Type", "conversion"),
-            ("WARC-Record-ID", _record_id(url + "#wet", ts_iso)),
-            ("WARC-Refers-To", _record_id(url, ts_iso)),
-            ("WARC-Date", ts_iso),
-            ("WARC-Target-URI", url),
-            ("WARC-Identified-Content-Language", lang),
-            ("Content-Type", "text/plain"),
-        ],
-        text.encode("utf-8"),
-    )
+    headers = [
+        ("WARC-Type", "conversion"),
+        ("WARC-Record-ID", _record_id(url + "#wet", ts_iso)),
+        ("WARC-Refers-To", _record_id(url, ts_iso)),
+        ("WARC-Date", ts_iso),
+        ("WARC-Target-URI", url),
+    ]
+    if lang:
+        headers.append(("WARC-Identified-Content-Language", lang))
+    headers.append(("Content-Type", "text/plain"))
+    return _record(headers, (text or "").encode("utf-8"))
 
 
 def encode_warcinfo_record(filename: str) -> bytes:
@@ -159,18 +174,40 @@ def gzip_member(data: bytes) -> bytes:
     return buf.getvalue()
 
 
+#: bounded feed size for the member decoder — caps the per-member
+#: ``unused_data`` copy so a 2000-member task does O(range) memcpy, not
+#: O(members × range) (the naive whole-tail ``decompress(data[i:])``
+#: materializes the entire remaining buffer once per member)
+_DECODE_CHUNK = 64 << 10
+
+
 def iter_members(data: bytes):
     """Yield the decompressed payload of each gzip member in ``data``
     (a byte slice that starts ON a member boundary — e.g. a whole file
-    or an index-aligned range)."""
+    or an index-aligned range).
+
+    Streams each member through the decompressor in ``_DECODE_CHUNK``
+    slices of a zero-copy memoryview: per member the only overshoot
+    copy is the < one-chunk tail in ``unused_data``, so total memcpy is
+    O(len(data) + members·chunk) instead of quadratic in the range.
+    """
+    mv = memoryview(data)
     i = 0
     n = len(data)
     while i < n:
         d = zlib.decompressobj(wbits=47)  # gzip wrapper
-        out = d.decompress(data[i:])
-        out += d.flush()
-        yield out
-        consumed = (n - i) - len(d.unused_data)
+        parts = []
+        j = i
+        while not d.eof:
+            if j >= n:
+                raise ValueError(
+                    f"truncated gzip member at offset {i}"
+                )
+            parts.append(d.decompress(mv[j:j + _DECODE_CHUNK]))
+            j += _DECODE_CHUNK
+        parts.append(d.flush())
+        yield b"".join(parts)
+        consumed = (min(j, n) - i) - len(d.unused_data)
         if consumed <= 0:  # pragma: no cover - corrupt stream guard
             raise ValueError(f"gzip member at offset {i} consumed 0 bytes")
         i += consumed
@@ -336,6 +373,11 @@ def write_warc(
     base = wet_base = 0
 
     def close_current():
+        # publish is ATOMIC: data streams into a ``*.tmp`` name invisible
+        # to the ``*.warc.gz`` / ``*.wet.gz`` globs, the idx lands first,
+        # and os.replace flips the final name last — a concurrent reader
+        # (the crawl-feed source's latestOffset listing) can never see a
+        # half-written file or a file without its index
         nonlocal warc_fh, wet_fh
         if warc_fh is not None:
             warc_fh.close()
@@ -343,12 +385,14 @@ def write_warc(
             Path(str(warc_path) + ".idx").write_text(
                 "\n".join(offsets) + "\n"
             )
+            os.replace(str(warc_path) + ".tmp", warc_path)
         if wet_fh is not None:
             wet_fh.close()
             wet_fh = None
             Path(str(wet_path) + ".idx").write_text(
                 "\n".join(wet_offsets) + "\n"
             )
+            os.replace(str(wet_path) + ".tmp", wet_path)
 
     for row in frags.orderBy("grp", "pid", "seq").toLocalIterator():
         if (row["grp"], row["pid"]) != cur:
@@ -359,7 +403,7 @@ def write_warc(
             name = f"{prefix}part-{row['pid']:05d}"
             warc_path = dest / f"{name}.warc.gz"
             info = gzip_member(encode_warcinfo_record(warc_path.name))
-            warc_fh = open(warc_path, "wb")
+            warc_fh = open(str(warc_path) + ".tmp", "wb")
             warc_fh.write(info)
             offsets = [f"0\t{len(info)}"]
             base = len(info)
@@ -367,7 +411,7 @@ def write_warc(
             if wet:
                 wet_path = dest / f"{name}.wet.gz"
                 winfo = gzip_member(encode_warcinfo_record(wet_path.name))
-                wet_fh = open(wet_path, "wb")
+                wet_fh = open(str(wet_path) + ".tmp", "wb")
                 wet_fh.write(winfo)
                 wet_offsets = [f"0\t{len(winfo)}"]
                 wet_base = len(winfo)
@@ -493,7 +537,19 @@ def read_pages(spark: SparkSession, path: str) -> DataFrame:
     from a WARC+WET directory — response and conversion records joined
     on (url, warc_ts). The join is a plain equi-join on narrow keys;
     both payload columns arrive already distributed (never on the
-    driver), so this is the standard crawl→table ingest shape."""
+    driver), so this is the standard crawl→table ingest shape.
+
+    Raises ``ValueError`` on a WARC-only directory (written with
+    ``wet=False``): the pages table needs the extracted ``text`` that
+    only WET carries, and the inner join would otherwise return an
+    empty frame that looks like a successful-but-empty split.
+    """
+    if not _glob.glob(str(Path(path) / "*.wet.gz")):
+        raise ValueError(
+            f"no *.wet.gz in {path}: read_pages needs WARC+WET "
+            "(write the crawl with write_warc(..., wet=True), or use "
+            "read_warc for the html-only frame)"
+        )
     w = read_warc(spark, path)
     t = read_wet(spark, path)
     return w.join(t, ["url", "warc_ts"]).select(
@@ -527,7 +583,7 @@ def split_pages_to_warc(
         "url", F.explode(extract_geotags(F.col("text"))).alias("g")
     ).select(
         "url", F.col("g.lat").alias("lat"), F.col("g.lon").alias("lon")
-    ).persist()
+    )
     members = (
         assign_extracts(pts, catalog).select("url", "extract").distinct()
     )

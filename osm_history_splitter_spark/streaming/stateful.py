@@ -153,10 +153,10 @@ def event_cell_counts(events: DataFrame, res: int) -> DataFrame:
     construction, the cms/hll twin pattern): grid-cell counts of the
     deterministic od-matrix event positions at resolution ``res``."""
     from ..functions import grid
+    from ..functions.eventpos import event_lon_lat
 
     k, e = F.col("user_id").cast("long"), F.col("event_id").cast("long")
-    lon = ((k * 7919 + e * 13) % 36000) / F.lit(100.0) - F.lit(180.0)
-    lat = ((k * 104729 + e * 29) % 18000) / F.lit(100.0) - F.lit(90.0)
+    lon, lat = event_lon_lat(k, e)
     return (
         events.select(grid.cell_id_expr(lon, lat, res).alias("cell"))
         .groupBy("cell")

@@ -221,3 +221,40 @@ def test_pages_cli_warc_in_warc_out_with_publish(
         .distinct().collect()
     }
     assert {(u, e) for u, e in got} == want
+
+
+def test_pages_cli_publish_empty_membership(spark, tmp_path, monkeypatch, capsys):
+    """A config whose extracts match no page publishes a clean EMPTY
+    version instead of crashing on commit(None) after the split work."""
+    import json as _json
+
+    from osm_history_splitter_spark.pages_cli import main as pages_main
+    from osm_history_splitter_spark.plans.table import VersionedTable
+    from osm_history_splitter_spark.sources.pages import synth_pages
+    from osm_history_splitter_spark.sources.warc import write_warc
+
+    crawl = tmp_path / "crawl"
+    write_warc(
+        synth_pages(spark, "/root/testdata/sf0.001").limit(40),
+        str(crawl),
+        partitions=1,
+    )
+    cfg = tmp_path / "nowhere.config"
+    # 0.0001°-wide sliver in the Pacific: no synthetic geotag lands here
+    cfg.write_text("void  BBOX  -139.99995,-0.00005,-139.9999,0\n")
+    monkeypatch.setattr(
+        sys, "argv",
+        [
+            "pages_cli",
+            "--input", str(crawl),
+            "--config", str(cfg),
+            "--output", str(tmp_path / "out"),
+            "--publish-table", str(tmp_path / "members"),
+        ],
+    )
+    pages_main()
+    manifest = _json.loads(capsys.readouterr().out)
+    assert manifest["groups"] == {}
+    assert manifest["published_version"] == 1
+    t = VersionedTable(spark, str(tmp_path / "members"))
+    assert t.read().count() == 0

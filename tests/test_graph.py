@@ -225,3 +225,13 @@ def test_hits_validation(spark):
     df = spark.createDataFrame([(0, 1)], "src long, dst long")
     with pytest.raises(ValueError):
         hits(df, num_iter=0)
+
+
+def test_kcore_converges_at_exactly_max_rounds(spark):
+    # 7-vertex path at k=2 peels one layer per round from both ends:
+    # exactly 3 deletion rounds to the empty fixpoint. max_rounds=3
+    # must CONVERGE (the bound brackets deletions, the last probe only
+    # checks) — the round-5 off-by-one regression.
+    path = [(i, i + 1) for i in range(6)]
+    df = spark.createDataFrame(path, "src long, dst long")
+    assert kcore(df, 2, max_rounds=3).count() == 0

@@ -187,3 +187,97 @@ def test_split_pages_to_warc_membership_and_byte_identity(
     for ext, n_rec in res["groups"].items():
         urls = {u for u, e in got_members if e == ext}
         assert n_rec == sum(n_per_url[u] for u in urls)
+
+
+# ------------------------------------------------- round-5 regressions
+
+def test_conversion_record_null_text_and_lang():
+    # null text ⇒ empty payload; null lang ⇒ header absent (never "None")
+    rec = W.encode_conversion_record("u", TS, None, None)
+    [(h, p)] = list(W.parse_records(rec))
+    assert p == b""
+    assert "warc-identified-content-language" not in h
+
+
+def test_ts_iso_subsecond_lossless():
+    import pandas as pd
+
+    t = dt.datetime(2024, 3, 1, 12, 30, 0, 500000)
+    assert W._ts_iso(t) == "2024-03-01T12:30:00.500000Z"
+    assert W._ts_parse(W._ts_iso(t)) == pd.Timestamp(t)
+    # whole seconds keep the compact classic form (fixture stability)
+    assert W._ts_iso(TS) == "2024-03-01T12:30:00Z"
+
+
+def test_iter_members_many_and_truncated():
+    members = [
+        W.gzip_member(bytes([i % 251]) * ((i * 997) % 5000 + 1))
+        for i in range(50)
+    ]
+    data = b"".join(members)
+    outs = list(W.iter_members(data))
+    assert len(outs) == 50
+    assert outs[7] == bytes([7]) * ((7 * 997) % 5000 + 1)
+    # a truncated final member (a file caught mid-write) raises loudly
+    # instead of silently yielding a partial record
+    with pytest.raises(ValueError, match="truncated"):
+        list(W.iter_members(data[:-10]))
+
+
+def test_read_pages_warc_only_dir_raises(spark, pages, tmp_path):
+    W.write_warc(pages.limit(20), str(tmp_path), partitions=1, wet=False)
+    with pytest.raises(ValueError, match="wet"):
+        W.read_pages(spark, str(tmp_path))
+
+
+def test_null_text_and_lang_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [
+            ("u1", TS, bytearray(b"<h>"), None, None),
+            ("u2", TS, None, "txt", "en"),
+        ],
+        "url string, warc_ts timestamp, html binary,"
+        " text string, lang string",
+    )
+    W.write_warc(df, str(tmp_path), partitions=1)
+    got = {
+        r["url"]: (bytes(r["html"]), r["text"], r["lang"])
+        for r in W.read_pages(spark, str(tmp_path)).collect()
+    }
+    assert got == {"u1": (b"<h>", "", ""), "u2": (b"", "txt", "en")}
+
+
+def test_subsecond_snapshots_roundtrip_without_fanout(spark, tmp_path):
+    # two snapshots of one url inside the same second: the roundtrip
+    # keeps both timestamps distinct, so the read_pages (url, warc_ts)
+    # join yields 2 rows — not a 2x2 key collision
+    t1 = dt.datetime(2024, 3, 1, 12, 30, 0, 500000)
+    t2 = dt.datetime(2024, 3, 1, 12, 30, 0, 900000)
+    df = spark.createDataFrame(
+        [("u", t1, bytearray(b"a"), "A", "en"),
+         ("u", t2, bytearray(b"b"), "B", "en")],
+        "url string, warc_ts timestamp, html binary,"
+        " text string, lang string",
+    )
+    W.write_warc(df, str(tmp_path), partitions=1)
+    rows = W.read_pages(spark, str(tmp_path)).collect()
+    assert len(rows) == 2
+    assert {r["warc_ts"] for r in rows} == {t1, t2}
+    assert {(r["text"], bytes(r["html"])) for r in rows} == {
+        ("A", b"a"), ("B", b"b"),
+    }
+
+
+def test_sink_publish_is_atomic_rename(spark, pages, tmp_path):
+    # final names appear only via os.replace: afterwards no *.tmp
+    # remains and every data file already has its idx sidecar — the
+    # invariant the crawl-feed streaming source's listing relies on
+    W.write_warc(pages.limit(50), str(tmp_path), partitions=2)
+    tmps = list(Path(tmp_path).rglob("*.tmp"))
+    assert tmps == []
+    data = sorted(Path(tmp_path).rglob("*.warc.gz")) + sorted(
+        Path(tmp_path).rglob("*.wet.gz")
+    )
+    assert data, "sink wrote nothing"
+    for f in data:
+        assert Path(str(f) + ".idx").exists()
