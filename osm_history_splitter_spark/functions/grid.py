@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from .geometry import close_ring, points_in_rings
 
 __all__ = [
+    "fdiv",
     "cell_width",
     "cell_id_expr",
     "cell_ids_np",
@@ -52,6 +53,21 @@ __all__ = [
     "hexbin_sql",
     "hexbin_py",
 ]
+
+def fdiv(col: Column, d: Column | int) -> Column:
+    """Exact integer floor division for NON-NEGATIVE columns — THE
+    grid-cell-key primitive shared by every integer ε-join/extent cover
+    in ``operators/`` (neighbors, extents, segjoin, ptseg).
+
+    ``(col - col % d) / d`` subtracts the remainder first, so the float
+    division's numerator is an exact multiple of ``d`` and the result is
+    IEEE-exact at ANY magnitude — a bare ``col / d`` cast is one ulp
+    from flooring the wrong way once values outgrow the 2^52
+    exact-integer range of doubles.
+    """
+    d = F.lit(d) if isinstance(d, int) else d
+    return ((col - col % d) / d).cast("long")
+
 
 CELL_SHIFT = 2**32
 

@@ -39,6 +39,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import grid
+
 __all__ = ["rect_overlap_join"]
 
 _COLS = ("id", "x0", "y0", "x1", "y1")
@@ -54,12 +56,12 @@ def _replicate(rects: DataFrame, side: str, cell: int) -> DataFrame:
     )
     c = F.lit(cell)
 
-    def fdiv(col) -> Column:
-        return ((F.col(col) - F.col(col) % c) / c).cast("long")
+    def fd(col) -> Column:
+        return grid.fdiv(F.col(col), c)
 
     return sel.withColumn(
-        "cx", F.explode(F.sequence(fdiv(f"{p}x0"), fdiv(f"{p}x1")))
-    ).withColumn("cy", F.explode(F.sequence(fdiv(f"{p}y0"), fdiv(f"{p}y1"))))
+        "cx", F.explode(F.sequence(fd(f"{p}x0"), fd(f"{p}x1")))
+    ).withColumn("cy", F.explode(F.sequence(fd(f"{p}y0"), fd(f"{p}y1"))))
 
 
 def rect_overlap_join(a: DataFrame, b: DataFrame, cell: int) -> DataFrame:
@@ -85,8 +87,8 @@ def rect_overlap_join(a: DataFrame, b: DataFrame, cell: int) -> DataFrame:
     ix1 = F.least("ax1", "bx1")
     iy1 = F.least("ay1", "by1")
     overlap = (ix0 <= ix1) & (iy0 <= iy1)
-    canonical = (((ix0 - ix0 % c) / c).cast("long") == F.col("cx")) & (
-        ((iy0 - iy0 % c) / c).cast("long") == F.col("cy")
+    canonical = (grid.fdiv(ix0, c) == F.col("cx")) & (
+        grid.fdiv(iy0, c) == F.col("cy")
     )
     return (
         lhs.join(rhs, ["cx", "cy"])

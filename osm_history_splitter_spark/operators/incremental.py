@@ -230,375 +230,384 @@ def incremental_markers(
     Caller unpersists ``cleanup`` frames after its commits.
     """
     keep: list[DataFrame] = []
+    # every persisted frame lands in `keep` the moment it exists, so a
+    # ChurnTooLarge bail-out (or any other failure) can release ALL of
+    # them — not just the over-budget frame — before the caller falls
+    # back to the full marker rebuild
+    try:
 
-    def _ids(df):
-        return df.select(F.col("id").cast("long").alias("id"))
+        def _ids(df):
+            return df.select(F.col("id").cast("long").alias("id"))
 
-    # ---------------- nodes ------------------------------------------------
-    if entity_same["nodes"]:
-        _adopt_missing(new, old, _NODE_STAGES)
-        changed_nodes, n_changed_nodes = _empty_ids(spark), 0
-        node_flips = _empty_ids(spark)
-    else:
-        new.get_or_compute("node_sigs", lambda: per_id_sigs(nodes))
-        changed_nodes, n_changed_nodes = _counted(
-            _ids(sig_changed_ids(new.load("node_sigs"), old.load("node_sigs"))),
-            churn_cap, "changed nodes",
-        )
-        keep.append(changed_nodes)
-        old_nm = old.load_plain("node_members")
-        if n_changed_nodes == 0:
-            _adopt_missing(new, old, ("node_members",))
+        # ---------------- nodes ------------------------------------------------
+        if entity_same["nodes"]:
+            _adopt_missing(new, old, _NODE_STAGES)
+            changed_nodes, n_changed_nodes = _empty_ids(spark), 0
             node_flips = _empty_ids(spark)
         else:
+            new.get_or_compute("node_sigs", lambda: per_id_sigs(nodes))
+            changed_nodes, n_changed_nodes = _counted(
+                _ids(sig_changed_ids(new.load("node_sigs"), old.load("node_sigs"))),
+                churn_cap, "changed nodes",
+            )
+            keep.append(changed_nodes)
+            old_nm = old.load_plain("node_members")
+            if n_changed_nodes == 0:
+                _adopt_missing(new, old, ("node_members",))
+                node_flips = _empty_ids(spark)
+            else:
+                new.get_or_compute(
+                    "node_members",
+                    # PIP strictly over the churned ids; survivors ride along
+                    lambda: old_nm.join(
+                        F.broadcast(changed_nodes), "id", "left_anti"
+                    ).unionByName(
+                        assign_extracts(
+                            nodes.join(F.broadcast(changed_nodes), "id", "left_semi"),
+                            catalog,
+                        )
+                        .select("id", "extract")
+                        .distinct()
+                    ),
+                )
+                node_flips = _sym_diff_ids(
+                    new.load_plain("node_members").join(
+                        F.broadcast(changed_nodes), "id", "left_semi"
+                    ),
+                    old_nm.join(F.broadcast(changed_nodes), "id", "left_semi"),
+                )
+        node_flips, n_node_flips = _counted(node_flips, churn_cap, "node flips")
+        keep.append(node_flips)
+
+        # ---------------- ways + extra nodes -----------------------------------
+        if entity_same["ways"]:
+            changed_ways, n_changed_ways = _empty_ids(spark), 0
+        else:
+            new.get_or_compute("way_sigs", lambda: per_id_sigs(ways))
+            changed_ways, n_changed_ways = _counted(
+                _ids(sig_changed_ids(new.load("way_sigs"), old.load("way_sigs"))),
+                churn_cap, "changed ways",
+            )
+            keep.append(changed_ways)
+
+        # ways whose membership can move: edited ways ∪ ways referencing a
+        # flipped node (reverse index lookup — refs of unchanged ways are
+        # identical in the old index, edited ways are caught by the sig diff)
+        aff_ways_src = changed_ways
+        if n_node_flips:
+            aff_ways_src = aff_ways_src.unionByName(
+                old.load_plain("node_ways")
+                .join(F.broadcast(node_flips), "id", "left_semi")
+                .select(F.col("way_id").alias("id"))
+            )
+        affected_ways, n_aff_ways = _counted(
+            aff_ways_src.distinct(), churn_cap, "affected ways"
+        )
+        keep.append(affected_ways)
+
+        if n_aff_ways == 0:
+            _adopt_missing(new, old, _WAY_STAGES)
+            way_flips = _empty_ids(spark)
+            extra_flips = _empty_ids(spark)
+        else:
+            old_way_refs = old.load_plain("way_refs")
+            if n_changed_ways == 0:
+                _adopt_missing(new, old, ("way_sigs", "way_refs", "node_ways"))
+            else:
+                new.get_or_compute(
+                    "way_refs",
+                    lambda: old_way_refs.join(
+                        F.broadcast(changed_ways), "id", "left_anti"
+                    ).unionByName(
+                        ways.join(F.broadcast(changed_ways), "id", "left_semi")
+                        .select("id", F.explode("refs").alias("ref"))
+                        .distinct()
+                    ),
+                )
+                new.get_or_compute(
+                    "node_ways",
+                    lambda: new.load_plain("way_refs").select(
+                        F.col("ref").alias("id"), F.col("id").alias("way_id")
+                    ),
+                )
+
+            # J2 over the affected ways only, against the FULL new node markers
+            # (broadcast the delta-side refs; the marker table never shuffles)
+            aff_refs = (
+                new.load_plain("way_refs")
+                .join(F.broadcast(affected_ways), "id", "left_semi")
+                .persist()
+            )
+            keep.append(aff_refs)
+            old_wm = old.load_plain("way_members")
             new.get_or_compute(
-                "node_members",
-                # PIP strictly over the churned ids; survivors ride along
-                lambda: old_nm.join(
-                    F.broadcast(changed_nodes), "id", "left_anti"
+                "way_members",
+                lambda: old_wm.join(
+                    F.broadcast(affected_ways), "id", "left_anti"
                 ).unionByName(
-                    assign_extracts(
-                        nodes.join(F.broadcast(changed_nodes), "id", "left_semi"),
-                        catalog,
-                    )
+                    new.load_plain("node_members")
+                    .select(F.col("id").alias("ref"), "extract")
+                    .join(F.broadcast(aff_refs), "ref")
                     .select("id", "extract")
                     .distinct()
                 ),
             )
-            node_flips = _sym_diff_ids(
-                new.load_plain("node_members").join(
-                    F.broadcast(changed_nodes), "id", "left_semi"
+            way_flips = _sym_diff_ids(
+                new.load_plain("way_members").join(
+                    F.broadcast(affected_ways), "id", "left_semi"
                 ),
-                old_nm.join(F.broadcast(changed_nodes), "id", "left_semi"),
-            )
-    node_flips, n_node_flips = _counted(node_flips, churn_cap, "node flips")
-    keep.append(node_flips)
-
-    # ---------------- ways + extra nodes -----------------------------------
-    if entity_same["ways"]:
-        changed_ways, n_changed_ways = _empty_ids(spark), 0
-    else:
-        new.get_or_compute("way_sigs", lambda: per_id_sigs(ways))
-        changed_ways, n_changed_ways = _counted(
-            _ids(sig_changed_ids(new.load("way_sigs"), old.load("way_sigs"))),
-            churn_cap, "changed ways",
-        )
-        keep.append(changed_ways)
-
-    # ways whose membership can move: edited ways ∪ ways referencing a
-    # flipped node (reverse index lookup — refs of unchanged ways are
-    # identical in the old index, edited ways are caught by the sig diff)
-    aff_ways_src = changed_ways
-    if n_node_flips:
-        aff_ways_src = aff_ways_src.unionByName(
-            old.load_plain("node_ways")
-            .join(F.broadcast(node_flips), "id", "left_semi")
-            .select(F.col("way_id").alias("id"))
-        )
-    affected_ways, n_aff_ways = _counted(
-        aff_ways_src.distinct(), churn_cap, "affected ways"
-    )
-    keep.append(affected_ways)
-
-    if n_aff_ways == 0:
-        _adopt_missing(new, old, _WAY_STAGES)
-        way_flips = _empty_ids(spark)
-        extra_flips = _empty_ids(spark)
-    else:
-        old_way_refs = old.load_plain("way_refs")
-        if n_changed_ways == 0:
-            _adopt_missing(new, old, ("way_sigs", "way_refs", "node_ways"))
-        else:
-            new.get_or_compute(
-                "way_refs",
-                lambda: old_way_refs.join(
-                    F.broadcast(changed_ways), "id", "left_anti"
-                ).unionByName(
-                    ways.join(F.broadcast(changed_ways), "id", "left_semi")
-                    .select("id", F.explode("refs").alias("ref"))
-                    .distinct()
-                ),
-            )
-            new.get_or_compute(
-                "node_ways",
-                lambda: new.load_plain("way_refs").select(
-                    F.col("ref").alias("id"), F.col("id").alias("way_id")
-                ),
+                old_wm.join(F.broadcast(affected_ways), "id", "left_semi"),
             )
 
-        # J2 over the affected ways only, against the FULL new node markers
-        # (broadcast the delta-side refs; the marker table never shuffles)
-        aff_refs = (
-            new.load_plain("way_refs")
-            .join(F.broadcast(affected_ways), "id", "left_semi")
-            .persist()
-        )
-        keep.append(aff_refs)
-        old_wm = old.load_plain("way_members")
-        new.get_or_compute(
-            "way_members",
-            lambda: old_wm.join(
-                F.broadcast(affected_ways), "id", "left_anti"
-            ).unionByName(
-                new.load_plain("node_members")
-                .select(F.col("id").alias("ref"), "extract")
-                .join(F.broadcast(aff_refs), "ref")
-                .select("id", "extract")
-                .distinct()
-            ),
-        )
-        way_flips = _sym_diff_ids(
-            new.load_plain("way_members").join(
+            # extra-node contribution deltas: OLD stages give the exact rows the
+            # affected ways contributed before, NEW stages what they contribute
+            # now; counts merge, presence (cnt>0) is the marker (module doc)
+            old_aff_refs = old_way_refs.join(
                 F.broadcast(affected_ways), "id", "left_semi"
-            ),
-            old_wm.join(F.broadcast(affected_ways), "id", "left_semi"),
-        )
-
-        # extra-node contribution deltas: OLD stages give the exact rows the
-        # affected ways contributed before, NEW stages what they contribute
-        # now; counts merge, presence (cnt>0) is the marker (module doc)
-        old_aff_refs = old_way_refs.join(
-            F.broadcast(affected_ways), "id", "left_semi"
-        )
-        removed = (
-            old_wm.join(F.broadcast(affected_ways), "id", "left_semi")
-            .join(old_aff_refs, "id")
-            .groupBy(F.col("ref").alias("id"), "extract")
-            .agg(F.count(F.lit(1)).alias("rem"))
-        )
-        added = (
-            new.load_plain("way_members")
-            .join(F.broadcast(affected_ways), "id", "left_semi")
-            .join(aff_refs, "id")
-            .groupBy(F.col("ref").alias("id"), "extract")
-            .agg(F.count(F.lit(1)).alias("add"))
-        )
-        delta_counts = (
-            added.join(removed, ["id", "extract"], "full_outer")
-            .select(
-                "id",
-                "extract",
-                (
-                    F.coalesce("add", F.lit(0)) - F.coalesce("rem", F.lit(0))
-                ).alias("dc"),
             )
-            .filter(F.col("dc") != 0)
-            .persist()
-        )
-        keep.append(delta_counts)
-        touched = delta_counts.select("id").distinct().persist()
-        keep.append(touched)
-        old_counts = old.load_plain("extra_counts")
-
-        def _merge_counts():
-            merged = (
-                old_counts.join(F.broadcast(touched), "id", "left_semi")
-                .join(delta_counts, ["id", "extract"], "full_outer")
+            removed = (
+                old_wm.join(F.broadcast(affected_ways), "id", "left_semi")
+                .join(old_aff_refs, "id")
+                .groupBy(F.col("ref").alias("id"), "extract")
+                .agg(F.count(F.lit(1)).alias("rem"))
+            )
+            added = (
+                new.load_plain("way_members")
+                .join(F.broadcast(affected_ways), "id", "left_semi")
+                .join(aff_refs, "id")
+                .groupBy(F.col("ref").alias("id"), "extract")
+                .agg(F.count(F.lit(1)).alias("add"))
+            )
+            delta_counts = (
+                added.join(removed, ["id", "extract"], "full_outer")
                 .select(
                     "id",
                     "extract",
                     (
-                        F.coalesce("cnt", F.lit(0)) + F.coalesce("dc", F.lit(0))
-                    ).alias("cnt"),
+                        F.coalesce("add", F.lit(0)) - F.coalesce("rem", F.lit(0))
+                    ).alias("dc"),
                 )
-                .filter(F.col("cnt") > 0)
+                .filter(F.col("dc") != 0)
+                .persist()
             )
-            return old_counts.join(
-                F.broadcast(touched), "id", "left_anti"
-            ).unionByName(merged)
+            keep.append(delta_counts)
+            touched = delta_counts.select("id").distinct().persist()
+            keep.append(touched)
+            old_counts = old.load_plain("extra_counts")
 
-        new.get_or_compute("extra_counts", _merge_counts)
-        new.get_or_compute(
-            "extra_nodes",
-            lambda: new.load_plain("extra_counts").select("id", "extract"),
-        )
-        # presence can only change for refs of affected ways (old or new)
-        cand = (
-            old_aff_refs.select(F.col("ref").alias("id"))
-            .unionByName(aff_refs.select(F.col("ref").alias("id")))
-            .distinct()
-            .persist()
-        )
-        keep.append(cand)
-        extra_flips = _sym_diff_ids(
-            new.load_plain("extra_counts").join(
-                F.broadcast(cand), "id", "left_semi"
-            ),
-            old_counts.join(F.broadcast(cand), "id", "left_semi"),
-        )
-    way_flips, n_way_flips = _counted(way_flips, churn_cap, "way flips")
-    keep.append(way_flips)
-    extra_flips, _ = _counted(extra_flips, churn_cap, "extra-node flips")
-    keep.append(extra_flips)
-
-    # ---------------- relations --------------------------------------------
-    if entity_same["relations"]:
-        changed_rels, n_changed_rels = _empty_ids(spark), 0
-    else:
-        new.get_or_compute("rel_sigs", lambda: per_id_sigs(relations))
-        changed_rels, n_changed_rels = _counted(
-            _ids(sig_changed_ids(new.load("rel_sigs"), old.load("rel_sigs"))),
-            churn_cap, "changed relations",
-        )
-        keep.append(changed_rels)
-
-    seeds_src = changed_rels
-    old_member_rels = old.load_plain("member_rels")
-    if n_node_flips:
-        seeds_src = seeds_src.unionByName(
-            old_member_rels.filter(F.col("mtype") == "n")
-            .join(F.broadcast(node_flips), "id", "left_semi")
-            .select(F.col("rel_id").alias("id"))
-        )
-    if n_way_flips:
-        seeds_src = seeds_src.unionByName(
-            old_member_rels.filter(F.col("mtype") == "w")
-            .join(F.broadcast(way_flips), "id", "left_semi")
-            .select(F.col("rel_id").alias("id"))
-        )
-    seeds, n_seeds = _counted(seeds_src.distinct(), churn_cap, "relation seeds")
-    keep.append(seeds)
-
-    if n_seeds == 0:
-        _adopt_missing(new, old, _REL_STAGES)
-        rel_flips = _empty_ids(spark)
-        aff_rels, n_aff_rels = _empty_ids(spark), 0
-    else:
-        old_idx = old.load_plain("rel_member_idx")
-        if n_changed_rels == 0:
-            _adopt_missing(new, old, ("rel_sigs", "rel_member_idx", "member_rels"))
-        else:
-            new.get_or_compute(
-                "rel_member_idx",
-                lambda: old_idx.join(
-                    F.broadcast(changed_rels), "id", "left_anti"
-                ).unionByName(
-                    relations.join(F.broadcast(changed_rels), "id", "left_semi")
-                    .select("id", F.explode("members").alias("m"))
+            def _merge_counts():
+                merged = (
+                    old_counts.join(F.broadcast(touched), "id", "left_semi")
+                    .join(delta_counts, ["id", "extract"], "full_outer")
                     .select(
                         "id",
-                        F.col("m.type").alias("mtype"),
-                        F.col("m.ref").alias("ref"),
+                        "extract",
+                        (
+                            F.coalesce("cnt", F.lit(0)) + F.coalesce("dc", F.lit(0))
+                        ).alias("cnt"),
                     )
-                    .distinct()
-                ),
-            )
-            new.get_or_compute(
-                "member_rels",
-                lambda: new.load_plain("rel_member_idx").select(
-                    F.col("ref").alias("id"), "mtype", F.col("id").alias("rel_id")
-                ),
-            )
-        new_idx = new.load_plain("rel_member_idx")
-        edges = (
-            new_idx.filter(F.col("mtype") == "r")
-            .select(F.col("ref").alias("child"), F.col("id").alias("parent"))
-            .distinct()
-            .persist()
-        )
-        keep.append(edges)
-        # close affectedness UPWARD first so the recompute set is closed:
-        # parents of a possibly-flipping relation may flip too (new edges
-        # suffice — an edge add/remove edits the parent, seeding it)
-        aff_rels = _upward(seeds, edges)
-        aff_rels, n_aff_rels = _counted(aff_rels, churn_cap, "affected relations")
-        keep.append(aff_rels)
-
-        idx_aff = new_idx.join(F.broadcast(aff_rels), "id", "left_semi").persist()
-        keep.append(idx_aff)
-        direct = (
-            new.load_plain("node_members")
-            .select(F.lit("n").alias("mtype"), F.col("id").alias("ref"), "extract")
-            .unionByName(
-                new.load_plain("way_members").select(
-                    F.lit("w").alias("mtype"), F.col("id").alias("ref"), "extract"
+                    .filter(F.col("cnt") > 0)
                 )
+                return old_counts.join(
+                    F.broadcast(touched), "id", "left_anti"
+                ).unionByName(merged)
+
+            new.get_or_compute("extra_counts", _merge_counts)
+            new.get_or_compute(
+                "extra_nodes",
+                lambda: new.load_plain("extra_counts").select("id", "extract"),
             )
-            .join(
-                F.broadcast(idx_aff.filter(F.col("mtype").isin("n", "w"))),
-                ["mtype", "ref"],
+            # presence can only change for refs of affected ways (old or new)
+            cand = (
+                old_aff_refs.select(F.col("ref").alias("id"))
+                .unionByName(aff_refs.select(F.col("ref").alias("id")))
+                .distinct()
+                .persist()
             )
-            .select("id", "extract")
-        )
-        # membership flowing in from UNaffected children is fixed ground
-        # truth — inject it as seeds of the affected parents, then close
-        # strictly within the affected subgraph (aff is upward-closed, so
-        # no edge leaves it)
-        old_rm = old.load_plain("relation_members")
-        par_edges = edges.join(
-            F.broadcast(aff_rels.withColumnRenamed("id", "parent")), "parent",
-            "left_semi",
-        ).persist()
-        keep.append(par_edges)
-        outside = par_edges.join(
-            F.broadcast(aff_rels.withColumnRenamed("id", "child")), "child",
-            "left_anti",
-        )
-        inject = (
-            old_rm.withColumnRenamed("id", "child")
-            .join(F.broadcast(outside), "child")
-            .select(F.col("parent").alias("id"), "extract")
-        )
-        sub_edges = par_edges.join(
-            F.broadcast(aff_rels.withColumnRenamed("id", "child")), "child",
-            "left_semi",
-        )
-        closed = relation_closure(
-            direct.unionByName(inject).distinct(), sub_edges
-        ).persist()
-        keep.append(closed)
-        new.get_or_compute(
-            "relation_members",
-            lambda: old_rm.join(
-                F.broadcast(aff_rels), "id", "left_anti"
-            ).unionByName(closed),
-        )
-        rel_flips = _sym_diff_ids(
-            closed, old_rm.join(F.broadcast(aff_rels), "id", "left_semi")
-        )
-    rel_flips, _ = _counted(rel_flips, churn_cap, "relation flips")
-    keep.append(rel_flips)
+            keep.append(cand)
+            extra_flips = _sym_diff_ids(
+                new.load_plain("extra_counts").join(
+                    F.broadcast(cand), "id", "left_semi"
+                ),
+                old_counts.join(F.broadcast(cand), "id", "left_semi"),
+            )
+        way_flips, n_way_flips = _counted(way_flips, churn_cap, "way flips")
+        keep.append(way_flips)
+        extra_flips, _ = _counted(extra_flips, churn_cap, "extra-node flips")
+        keep.append(extra_flips)
 
-    # ---------------- pass-2 affected sets ---------------------------------
-    # output rows change iff the id's marker set flipped, or its world rows
-    # changed while it IS a member (changed ∩ markers — the data diff, no
-    # published-table scan needed: signatures subsume it)
-    def _members_of(changed, n_changed, marker_names):
-        if n_changed == 0:
-            return None
-        m = new.load_plain(marker_names[0]).select("id")
-        for extra_name in marker_names[1:]:
-            m = m.unionByName(new.load_plain(extra_name).select("id"))
-        return m.join(F.broadcast(changed), "id", "left_semi").distinct()
+        # ---------------- relations --------------------------------------------
+        if entity_same["relations"]:
+            changed_rels, n_changed_rels = _empty_ids(spark), 0
+        else:
+            new.get_or_compute("rel_sigs", lambda: per_id_sigs(relations))
+            changed_rels, n_changed_rels = _counted(
+                _ids(sig_changed_ids(new.load("rel_sigs"), old.load("rel_sigs"))),
+                churn_cap, "changed relations",
+            )
+            keep.append(changed_rels)
 
-    def _affected(flip_sets, changed, n_changed, marker_names):
-        parts = [f for f in flip_sets] + (
-            [m] if (m := _members_of(changed, n_changed, marker_names)) is not None
-            else []
-        )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out.distinct().persist()
+        seeds_src = changed_rels
+        old_member_rels = old.load_plain("member_rels")
+        if n_node_flips:
+            seeds_src = seeds_src.unionByName(
+                old_member_rels.filter(F.col("mtype") == "n")
+                .join(F.broadcast(node_flips), "id", "left_semi")
+                .select(F.col("rel_id").alias("id"))
+            )
+        if n_way_flips:
+            seeds_src = seeds_src.unionByName(
+                old_member_rels.filter(F.col("mtype") == "w")
+                .join(F.broadcast(way_flips), "id", "left_semi")
+                .select(F.col("rel_id").alias("id"))
+            )
+        seeds, n_seeds = _counted(seeds_src.distinct(), churn_cap, "relation seeds")
+        keep.append(seeds)
 
-    affected = {
-        "nodes": _affected(
-            [node_flips, extra_flips], changed_nodes, n_changed_nodes,
-            ("node_members", "extra_nodes"),
-        ),
-        "ways": _affected(
-            [way_flips], changed_ways, n_changed_ways, ("way_members",)
-        ),
-        "relations": _affected(
-            [rel_flips], changed_rels, n_changed_rels, ("relation_members",)
-        ),
-    }
-    keep.extend(affected.values())
-    return {
-        "affected": affected,
-        "n_affected": {k: v.count() for k, v in affected.items()},
-        "cleanup": keep,
-    }
+        if n_seeds == 0:
+            _adopt_missing(new, old, _REL_STAGES)
+            rel_flips = _empty_ids(spark)
+            aff_rels, n_aff_rels = _empty_ids(spark), 0
+        else:
+            old_idx = old.load_plain("rel_member_idx")
+            if n_changed_rels == 0:
+                _adopt_missing(new, old, ("rel_sigs", "rel_member_idx", "member_rels"))
+            else:
+                new.get_or_compute(
+                    "rel_member_idx",
+                    lambda: old_idx.join(
+                        F.broadcast(changed_rels), "id", "left_anti"
+                    ).unionByName(
+                        relations.join(F.broadcast(changed_rels), "id", "left_semi")
+                        .select("id", F.explode("members").alias("m"))
+                        .select(
+                            "id",
+                            F.col("m.type").alias("mtype"),
+                            F.col("m.ref").alias("ref"),
+                        )
+                        .distinct()
+                    ),
+                )
+                new.get_or_compute(
+                    "member_rels",
+                    lambda: new.load_plain("rel_member_idx").select(
+                        F.col("ref").alias("id"), "mtype", F.col("id").alias("rel_id")
+                    ),
+                )
+            new_idx = new.load_plain("rel_member_idx")
+            edges = (
+                new_idx.filter(F.col("mtype") == "r")
+                .select(F.col("ref").alias("child"), F.col("id").alias("parent"))
+                .distinct()
+                .persist()
+            )
+            keep.append(edges)
+            # close affectedness UPWARD first so the recompute set is closed:
+            # parents of a possibly-flipping relation may flip too (new edges
+            # suffice — an edge add/remove edits the parent, seeding it)
+            aff_rels = _upward(seeds, edges)
+            aff_rels, n_aff_rels = _counted(aff_rels, churn_cap, "affected relations")
+            keep.append(aff_rels)
+
+            idx_aff = new_idx.join(F.broadcast(aff_rels), "id", "left_semi").persist()
+            keep.append(idx_aff)
+            direct = (
+                new.load_plain("node_members")
+                .select(F.lit("n").alias("mtype"), F.col("id").alias("ref"), "extract")
+                .unionByName(
+                    new.load_plain("way_members").select(
+                        F.lit("w").alias("mtype"), F.col("id").alias("ref"), "extract"
+                    )
+                )
+                .join(
+                    F.broadcast(idx_aff.filter(F.col("mtype").isin("n", "w"))),
+                    ["mtype", "ref"],
+                )
+                .select("id", "extract")
+            )
+            # membership flowing in from UNaffected children is fixed ground
+            # truth — inject it as seeds of the affected parents, then close
+            # strictly within the affected subgraph (aff is upward-closed, so
+            # no edge leaves it)
+            old_rm = old.load_plain("relation_members")
+            par_edges = edges.join(
+                F.broadcast(aff_rels.withColumnRenamed("id", "parent")), "parent",
+                "left_semi",
+            ).persist()
+            keep.append(par_edges)
+            outside = par_edges.join(
+                F.broadcast(aff_rels.withColumnRenamed("id", "child")), "child",
+                "left_anti",
+            )
+            inject = (
+                old_rm.withColumnRenamed("id", "child")
+                .join(F.broadcast(outside), "child")
+                .select(F.col("parent").alias("id"), "extract")
+            )
+            sub_edges = par_edges.join(
+                F.broadcast(aff_rels.withColumnRenamed("id", "child")), "child",
+                "left_semi",
+            )
+            closed = relation_closure(
+                direct.unionByName(inject).distinct(), sub_edges
+            ).persist()
+            keep.append(closed)
+            new.get_or_compute(
+                "relation_members",
+                lambda: old_rm.join(
+                    F.broadcast(aff_rels), "id", "left_anti"
+                ).unionByName(closed),
+            )
+            rel_flips = _sym_diff_ids(
+                closed, old_rm.join(F.broadcast(aff_rels), "id", "left_semi")
+            )
+        rel_flips, _ = _counted(rel_flips, churn_cap, "relation flips")
+        keep.append(rel_flips)
+
+        # ---------------- pass-2 affected sets ---------------------------------
+        # output rows change iff the id's marker set flipped, or its world rows
+        # changed while it IS a member (changed ∩ markers — the data diff, no
+        # published-table scan needed: signatures subsume it)
+        def _members_of(changed, n_changed, marker_names):
+            if n_changed == 0:
+                return None
+            m = new.load_plain(marker_names[0]).select("id")
+            for extra_name in marker_names[1:]:
+                m = m.unionByName(new.load_plain(extra_name).select("id"))
+            return m.join(F.broadcast(changed), "id", "left_semi").distinct()
+
+        def _affected(flip_sets, changed, n_changed, marker_names):
+            parts = [f for f in flip_sets] + (
+                [m] if (m := _members_of(changed, n_changed, marker_names)) is not None
+                else []
+            )
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out.distinct().persist()
+
+        affected = {
+            "nodes": _affected(
+                [node_flips, extra_flips], changed_nodes, n_changed_nodes,
+                ("node_members", "extra_nodes"),
+            ),
+            "ways": _affected(
+                [way_flips], changed_ways, n_changed_ways, ("way_members",)
+            ),
+            "relations": _affected(
+                [rel_flips], changed_rels, n_changed_rels, ("relation_members",)
+            ),
+        }
+        keep.extend(affected.values())
+        return {
+            "affected": affected,
+            "n_affected": {k: v.count() for k, v in affected.items()},
+            "cleanup": keep,
+        }
+    except BaseException:
+        for f in keep:
+            f.unpersist()
+        raise
 
 
 def _upward(seeds: DataFrame, edges: DataFrame, max_iterations: int = 50) -> DataFrame:

@@ -39,6 +39,8 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import grid
+
 __all__ = [
     "within_distance_pairs",
     "within_distance_join",
@@ -68,10 +70,9 @@ def _cell(xs: Column, ys: Column, r: int) -> Column:
     once coordinates outgrow the 2^52 exact-integer range of doubles).
     """
 
-    def fdiv(c: Column) -> Column:
-        return ((c - c % F.lit(r)) / F.lit(r)).cast("long")
-
-    return (fdiv(xs) * F.lit(_PACK) + fdiv(ys)).cast("long")
+    return (grid.fdiv(xs, r) * F.lit(_PACK) + grid.fdiv(ys, r)).cast(
+        "long"
+    )
 
 
 def within_distance_pairs(
@@ -407,7 +408,7 @@ def _geodesic_candidates(
     # 2·scale/edge (25 bits at metre radii), so a single packed int64
     # would overflow — Catalyst hashes composite keys natively anyway
     def fdiv(c: Column) -> Column:
-        return ((c - c % F.lit(edge)) / F.lit(edge)).cast("long")
+        return grid.fdiv(c, edge)
 
     lhs = _sphere_quant(left, left_id).select(
         F.col("_id").alias("id_l"),

@@ -43,6 +43,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from ..functions import grid
 from pyspark.sql.window import Window as WindowSpec
 
 __all__ = ["points_near_segments", "snap_to_segments"]
@@ -54,7 +56,7 @@ _MAX_Y = 18000 - 1
 
 def _fdiv(col: Column, c: Column) -> Column:
     """Floor division for NON-NEGATIVE integer columns (callers clamp)."""
-    return ((col - col % c) / c).cast("long")
+    return grid.fdiv(col, c)
 
 
 def _within(eps: int) -> Column:

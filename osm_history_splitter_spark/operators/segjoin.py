@@ -40,6 +40,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import grid
+
 __all__ = [
     "segment_intersections",
     "segment_self_intersections",
@@ -109,7 +111,7 @@ def _replicate(segs: DataFrame, side: str, cell: int) -> DataFrame:
     c = F.lit(cell)
 
     def fdiv(col: Column) -> Column:
-        return ((col - col % c) / c).cast("long")
+        return grid.fdiv(col, c)
 
     return (
         sel.withColumn("cx", F.explode(F.sequence(fdiv(lox), fdiv(hix))))

@@ -85,6 +85,37 @@ class ExtractCatalog:
     def __len__(self):
         return len(self.extracts)
 
+    def fingerprint(self) -> str:
+        """sha256 over the MEMBERSHIP-RELEVANT definition of every
+        extract — name, kind, bbox, rings, hole flags — so checkpointed
+        marker stages can be tied to the catalog that produced them.
+        ``incremental_resplit`` refuses signature-based marker reuse
+        when this differs between ticks: an edited config/.poly changes
+        every id's membership without changing a single world row, which
+        a world-only signature can never see. Cover tuning knobs
+        (resolutions, compaction) are deliberately EXCLUDED — they change
+        the candidate index, never the final membership."""
+        import hashlib
+
+        h = hashlib.sha256()
+        for e in sorted(self.extracts, key=lambda x: x.name):
+            h.update(e.name.encode())
+            h.update(b"\x00")
+            h.update(e.kind.encode())
+            h.update(
+                np.asarray(
+                    [e.minlon, e.minlat, e.maxlon, e.maxlat],
+                    dtype=np.float64,
+                ).tobytes()
+            )
+            for r in e.rings or []:
+                arr = np.asarray(r, dtype=np.float64)
+                h.update(str(arr.shape).encode())
+                h.update(arr.tobytes())
+            h.update(bytes(bool(x) for x in (e.holes or [])))
+            h.update(b"\x01")
+        return h.hexdigest()
+
     # -- driver-side tables ------------------------------------------------
 
     def to_df(self, spark: SparkSession) -> DataFrame:

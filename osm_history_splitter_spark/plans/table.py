@@ -471,8 +471,14 @@ class VersionedTable:
         from pyspark.sql import functions as F
 
         vs = self.versions()
+        if not vs:
+            raise FileNotFoundError(
+                f"no committed version at {self.root}"
+            )
         if since not in vs and since != 0:
             raise FileNotFoundError(f"version {since} not in {vs}")
+        if until is not None and until not in vs:
+            raise FileNotFoundError(f"version {until} not in {vs}")
         until = until if until is not None else vs[-1]
         parts = []
         prev_files: set[str] = set(

@@ -333,10 +333,17 @@ def run_split(
         store.get_or_compute("way_members", lambda: m.way_members)
         store.get_or_compute("extra_nodes", lambda: m.extra_nodes)
         store.get_or_compute("relation_members", lambda: m.relation_members)
-        # record per-entity world signatures next to the markers: a later
+        # record per-entity world signatures next to the markers (plus
+        # the catalog fingerprint they are only valid under): a later
         # incremental_resplit against this checkpoint can then prove which
         # entities' worlds did not change and skip their work entirely
-        _write_world_sigs(store.root, _world_sigs(nodes, ways, relations))
+        _write_world_sigs(
+            store.root,
+            {
+                **_world_sigs(nodes, ways, relations),
+                "catalog": catalog.fingerprint(),
+            },
+        )
     if write_indexes:
         from .operators.incremental import save_index_stages
 
@@ -628,11 +635,18 @@ def incremental_resplit(
     # instead of recomputed — the common daily-diff shape where a few
     # node edits leave every way/relation marker identical.
     sigs = _world_sigs(nodes, ways, relations)
+    sigs["catalog"] = catalog.fingerprint()
     old_sigs = _read_world_sigs(old_store.root)
     _write_world_sigs(new_store.root, sigs)
-    nodes_same = sigs["nodes"] == old_sigs.get("nodes")
-    ways_same = sigs["ways"] == old_sigs.get("ways")
-    rels_same = sigs["relations"] == old_sigs.get("relations")
+    # a changed extract catalog invalidates EVERY checkpointed marker —
+    # membership can change for ids whose world rows are byte-identical,
+    # which no world signature can see — so reuse is gated on the
+    # fingerprint first (old checkpoints without one never match: one
+    # full rebuild re-stamps them)
+    cat_same = sigs["catalog"] == old_sigs.get("catalog")
+    nodes_same = cat_same and sigs["nodes"] == old_sigs.get("nodes")
+    ways_same = cat_same and sigs["ways"] == old_sigs.get("ways")
+    rels_same = cat_same and sigs["relations"] == old_sigs.get("relations")
 
     # --- indexed path: pass 1 in O(churn) ---------------------------------
     from .operators.incremental import (
@@ -651,8 +665,15 @@ def incremental_resplit(
             "the index stages (seed with run_split(write_indexes=True) or "
             "run one 'auto' tick to bootstrap them)"
         )
+    if marker_strategy == "indexed" and not cat_same:
+        raise ValueError(
+            "extract catalog changed since the previous checkpoint: an "
+            "indexed tick diffs per-id world signatures, which cannot see "
+            "membership changes caused by new geometry — run this tick "
+            "with marker_strategy='auto' or 'full' to rebuild the markers"
+        )
     inc = None
-    if marker_strategy != "full" and indexed_ready:
+    if marker_strategy != "full" and indexed_ready and cat_same:
         try:
             inc = incremental_markers(
                 spark, nodes, ways, relations, catalog,

@@ -30,6 +30,14 @@ file tick fans out to ≥1000 partitions with zero driver decode work.
 Why the offset is not "directory mtime" or a seen-set: Structured
 Streaming replays ``partitions(start, end)`` from the offset log after
 a crash; only a pure function of (start, end) → files is exactly-once.
+
+Visibility contract: ``write_warc`` publishes atomically (data streams
+into a ``*.tmp`` name the globs here never match, the idx sidecar lands
+first, ``os.replace`` flips the final name last), so a file listed by
+``latestOffset`` is always complete — a producer mid-write can never be
+half-read or skipped. Defense in depth: ``iter_members`` raises on a
+truncated gzip member (a non-atomic foreign producer fails the batch
+loudly instead of committing past silently-dropped records).
 """
 
 from __future__ import annotations

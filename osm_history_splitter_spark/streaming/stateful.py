@@ -92,9 +92,9 @@ def trending_counts_stream(
     query's pre-rank counts row-for-row, and ranking the drained sink
     reproduces the batch top-k exactly
     (tests/test_streaming_stateful.py)."""
-    from ..text_queries import TREND_BASE, TREND_SPAN, TREND_WIN
+    from ..text_queries import TREND_WIN, _trend_tse
 
-    tse = F.lit(TREND_BASE) + (F.col("doc_id") * 977) % F.lit(TREND_SPAN)
+    tse = _trend_tse()
     stamped = docs.withColumn(
         "ts", F.timestamp_seconds(tse).cast("timestamp")
     )

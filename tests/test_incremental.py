@@ -392,3 +392,60 @@ def test_signature_gate_matrix_ways_only_change(spark, tmp_path):
         inc = VersionedTable(spark, f"{pub}/{entity}")
         full = VersionedTable(spark, str(tmp_path / "pubf" / entity))
         assert _contents(inc) == _contents(full), entity
+
+
+def test_catalog_change_invalidates_marker_reuse(spark, tmp_path):
+    """Editing the extract config between ticks (same world!) must force
+    a marker rebuild: membership can change for ids whose world rows are
+    byte-identical, which the world signatures cannot see — the round-5
+    review live-repro (stale rows published, affected_ids=0)."""
+    import pytest
+
+    pub = str(tmp_path / "pub")
+    ck1 = str(tmp_path / "ck1")
+    n1, w1, r1 = _world1(spark)
+    cat1 = ExtractCatalog([Extract.bbox("t", -1.0, -1.0, 1.0, 1.0)])
+    run_split(
+        spark, n1, w1, r1, cat1, str(tmp_path / "out1"),
+        checkpoint_dir=ck1, publish_table=pub,
+    )
+    assert _contents(VersionedTable(spark, f"{pub}/nodes"))
+
+    # same world, extract moved to where no node is: everything vanishes
+    cat2 = ExtractCatalog([Extract.bbox("t", 10.0, 10.0, 20.0, 20.0)])
+    report = incremental_resplit(
+        spark, n1, w1, r1, cat2, pub, ck1, str(tmp_path / "ck2")
+    )
+    assert report["nodes"]["affected_ids"] > 0
+    assert _contents(VersionedTable(spark, f"{pub}/nodes")) == []
+
+    # the explicit 'indexed' strategy refuses loudly instead
+    with pytest.raises(ValueError, match="catalog changed"):
+        incremental_resplit(
+            spark, n1, w1, r1, cat1, pub, str(tmp_path / "ck2"),
+            str(tmp_path / "ck3"), marker_strategy="indexed",
+        )
+
+
+def test_catalog_fingerprint_distinguishes_geometry():
+    c1 = ExtractCatalog([Extract.bbox("t", -1.0, -1.0, 1.0, 1.0)])
+    c2 = ExtractCatalog([Extract.bbox("t", -1.0, -1.0, 1.0, 2.0)])
+    c3 = ExtractCatalog([Extract.bbox("u", -1.0, -1.0, 1.0, 1.0)])
+    ring = [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)]
+    p1 = ExtractCatalog([Extract.poly("t", [ring])])
+    p2 = ExtractCatalog([Extract.poly("t", [ring], holes=[True])])
+    fps = {c.fingerprint() for c in (c1, c2, c3, p1, p2)}
+    assert len(fps) == 5
+    # deterministic and order-independent
+    assert c1.fingerprint() == ExtractCatalog(
+        [Extract.bbox("t", -1.0, -1.0, 1.0, 1.0)]
+    ).fingerprint()
+    two = ExtractCatalog([
+        Extract.bbox("a", 0.0, 0.0, 1.0, 1.0),
+        Extract.bbox("b", 2.0, 2.0, 3.0, 3.0),
+    ])
+    swapped = ExtractCatalog([
+        Extract.bbox("b", 2.0, 2.0, 3.0, 3.0),
+        Extract.bbox("a", 0.0, 0.0, 1.0, 1.0),
+    ])
+    assert two.fingerprint() == swapped.fingerprint()
