@@ -221,4 +221,13 @@ def fetch_and_split(
     if latest.is_symlink() or latest.exists():
         latest.unlink()
     latest.symlink_to(date)
+    # drop superseded dumps (each is ~100 GB planet-scale; the reference
+    # cron driver removes them too) — only after the stamp flip, so a
+    # crashed tick can still resume from the dump it was processing
+    for old in sorted((work / "full-history").iterdir()):
+        if old.name not in (dump.name, f"{dump.name}.md5") and (
+            old.suffix != ".part"
+        ):
+            old.unlink()
+            report.setdefault("pruned_dumps", []).append(old.name)
     return report

@@ -62,6 +62,8 @@ class SoftcutMembership:
     way_refs: DataFrame | None = None  # distinct (way id, ref) across versions
     #   — exposed so the CDC index bootstrap (operators/incremental.py)
     #   reuses the persisted explode instead of re-running it
+    _persisted: list | None = None  # every frame _p() cached (incl. the
+    #   internal members explode), released together by unpersist()
 
     @property
     def relation_members(self) -> DataFrame:
@@ -69,6 +71,14 @@ class SoftcutMembership:
         if callable(self._relation_members):
             self._relation_members = self._relation_members()
         return self._relation_members
+
+    def unpersist(self) -> None:
+        """Release every frame pass 1 cached. Call once the markers are
+        CHECKPOINTED (run_split / the CDC fallback re-read them from the
+        store) — a long-lived service would otherwise pin each tick's
+        full-world explodes in executor storage forever."""
+        for df in self._persisted or []:
+            df.unpersist()
 
     def all_nodes(self) -> DataFrame:
         """node ∪ extra-node trackers (reference ``softcut.hpp:339``)."""
@@ -91,8 +101,14 @@ def softcut_membership(
 ) -> SoftcutMembership:
     """Pass 1 (mark): build the four marker tables (``softcut.hpp:88-304``)."""
 
+    persisted: list[DataFrame] = []
+
     def _p(df: DataFrame) -> DataFrame:
-        return df.persist(StorageLevel.MEMORY_AND_DISK) if persist else df
+        if not persist:
+            return df
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted.append(df)
+        return df
 
     # J1 — per-version containment, then per-id distinct (softcut.hpp:140-147)
     node_members = _p(
@@ -164,6 +180,7 @@ def softcut_membership(
         extra_nodes=extra_nodes,
         _relation_members=lambda: _p(relation_closure(direct_nw, edges)),
         way_refs=way_refs,
+        _persisted=persisted,
     )
 
 

@@ -104,6 +104,25 @@ class VersionedTable:
             (self.path / "_manifests" / f"v{version}.json").read_text()
         )
 
+    def _empty_frame(self, m: dict) -> DataFrame:
+        """Typed empty DataFrame for a snapshot with NO data files —
+        schema from this manifest (or the nearest ancestor that has
+        one; manifests predating the schema stamp may lack it)."""
+        from pyspark.sql.types import StructType
+
+        while m is not None:
+            s = m.get("schema")
+            if s:
+                return self.spark.createDataFrame(
+                    [], StructType.fromJson(json.loads(s))
+                )
+            p = m.get("parent")
+            m = self._manifest(p) if p is not None else None
+        raise FileNotFoundError(
+            f"snapshot at {self.path} has no data files and no stamped "
+            "schema (pre-schema-stamp table?): cannot type the empty frame"
+        )
+
     def commit(
         self,
         df: DataFrame,
@@ -295,6 +314,15 @@ class VersionedTable:
                 "bytes": sum(os.path.getsize(f) for f in files),
                 "committed_at": time.time(),
             }
+            # schema rides in the manifest so an all-empty snapshot
+            # (zero parquet files — Spark writes none for an empty
+            # frame) still reads back as a typed empty DataFrame
+            if df is not None:
+                manifest["schema"] = df.schema.json()
+            elif vs:
+                prev_schema = self._manifest(vs[-1]).get("schema")
+                if prev_schema:
+                    manifest["schema"] = prev_schema
             if txn is not None:
                 manifest["txn"] = {"app": str(txn[0]), "id": int(txn[1])}
             if stats:
@@ -382,9 +410,17 @@ class VersionedTable:
         from pyspark.sql import functions as F
 
         if not kept:
-            # empty frame with the snapshot's schema (read one file's
-            # schema, filter to nothing)
-            out = self.spark.read.parquet(files[0]).filter(F.lit(False))
+            if files:
+                # empty result with the snapshot's schema (read one
+                # file's schema, filter to nothing)
+                out = self.spark.read.parquet(files[0]).filter(
+                    F.lit(False)
+                )
+            else:
+                # zero data files in the whole snapshot (an empty
+                # commit): rebuild the typed empty frame from the
+                # schema stamped into the manifest chain
+                out = self._empty_frame(m)
         elif not deletes:
             out = self.spark.read.parquet(*kept)
         else:
@@ -473,7 +509,7 @@ class VersionedTable:
         vs = self.versions()
         if not vs:
             raise FileNotFoundError(
-                f"no committed version at {self.root}"
+                f"no committed version at {self.path}"
             )
         if since not in vs and since != 0:
             raise FileNotFoundError(f"version {since} not in {vs}")
@@ -614,6 +650,16 @@ class VersionedTable:
                     continue
                 f.unlink()
                 deleted.append(str(f))
+            # prune emptied SUBdirectories (e.g. a crashed MOR commit's
+            # _deletes_N/) deepest-first, else the cdir rmdir below
+            # never fires and orphaned commit dirs accumulate forever
+            for d in sorted(
+                (d for d in cdir.rglob("*") if d.is_dir()),
+                key=lambda d: len(d.parts),
+                reverse=True,
+            ):
+                if not any(d.iterdir()):
+                    d.rmdir()
             if not any(cdir.iterdir()):
                 cdir.rmdir()
         return deleted

@@ -325,25 +325,35 @@ def run_split(
         bucket_by=("id", n_buckets),
     )
 
-    # pass 1 with per-stage resume: each marker table is a checkpoint
+    # pass 1 with per-stage resume: each marker table is a checkpoint.
+    # Resume is only sound against the SAME world and catalog: existing
+    # stages are validated against the signature stamp BEFORE anything
+    # is adopted (resuming a checkpoint built from another dump or
+    # config would silently join this world against stale markers), and
+    # a fresh pass 1 stamps BEFORE computing, so a mid-pass-1 crash can
+    # never masquerade later as a checkpoint of whatever world resumed
+    # it. The stamp doubles as incremental_resplit's reuse evidence.
+    cur_sigs = {
+        **_world_sigs(nodes, ways, relations),
+        "catalog": catalog.fingerprint(),
+    }
+    old_sigs = _read_world_sigs(store.root)
+    if any(store.has(n) for n in MARKER_STAGES) and old_sigs != cur_sigs:
+        raise ValueError(
+            f"checkpoint at {store.root} holds marker stages built from "
+            "a different world or extract catalog (or predates the "
+            "signature stamp): resuming would silently reuse stale "
+            "markers — use a fresh checkpoint_dir, or incremental_resplit "
+            "to roll a published split forward"
+        )
     m = None
     if not all(store.has(n) for n in MARKER_STAGES):
+        _write_world_sigs(store.root, cur_sigs)
         m = softcut_membership(nodes, ways, relations, catalog, persist=True)
         store.get_or_compute("node_members", lambda: m.node_members)
         store.get_or_compute("way_members", lambda: m.way_members)
         store.get_or_compute("extra_nodes", lambda: m.extra_nodes)
         store.get_or_compute("relation_members", lambda: m.relation_members)
-        # record per-entity world signatures next to the markers (plus
-        # the catalog fingerprint they are only valid under): a later
-        # incremental_resplit against this checkpoint can then prove which
-        # entities' worlds did not change and skip their work entirely
-        _write_world_sigs(
-            store.root,
-            {
-                **_world_sigs(nodes, ways, relations),
-                "catalog": catalog.fingerprint(),
-            },
-        )
     if write_indexes:
         from .operators.incremental import save_index_stages
 
@@ -351,6 +361,12 @@ def run_split(
             store, nodes, ways, relations,
             way_refs=m.way_refs if m is not None else None,
         )
+    if m is not None:
+        # markers are checkpointed; pass 2 reads the store, so the pass-1
+        # caches (full-world explodes included) can be released now — a
+        # service running many splits in one session must not accumulate
+        # them (StorageLevel caches are never GC-cleaned)
+        m.unpersist()
 
     # pass 2: membership by id fans out to every version (history-complete)
     outs = pass2_outputs(nodes, ways, relations, store)
@@ -480,6 +496,21 @@ def main():
             publish_strategy=args.publish_strategy,
             marker_strategy=args.marker_strategy,
         )
+        if osm_filenames:
+            # keep the reference-format files in step with the published
+            # tables (the fetch service's emit discipline, fetch.py): CDC
+            # tracks changes per id, not per extract, so any change
+            # refreshes every dest from the freshly-committed tables —
+            # a no-op tick rebuilds nothing
+            affected = sum(
+                manifest.get(e, {}).get("affected_ids", 0)
+                for e in ("nodes", "ways", "relations")
+            )
+            if affected > 0:
+                manifest["osm_files"] = emit_osm_from_published(
+                    spark, args.publish_table, catalog,
+                    f"{args.output}/osm", filenames=osm_filenames,
+                )
         if args.compact_after:
             manifest["compacted"] = compact_published(
                 spark, args.publish_table, args.compact_after
@@ -497,9 +528,6 @@ def main():
 
     print(json.dumps(manifest, indent=2))
 
-
-if __name__ == "__main__":
-    main()
 
 
 def compact_published(
@@ -873,6 +901,8 @@ def incremental_resplit(
         new_store, nodes, ways, relations,
         way_refs=_m[0].way_refs if _m else None,
     )
+    if _m:
+        _m[0].unpersist()  # markers checkpointed; release pass-1 caches
     # every entity's commit (or provable no-op) landed: pin the set as
     # one consistent group snapshot (see _publish). An entity whose table
     # has NO committed version (possible only for an all-empty no-op
@@ -1021,3 +1051,6 @@ def emit_osm_from_published(
         frames["nodes"], frames["ways"], frames["relations"],
         sub_catalog, out_dir, filenames=filenames,
     )
+
+if __name__ == "__main__":
+    main()

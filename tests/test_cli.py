@@ -258,3 +258,79 @@ def test_pages_cli_publish_empty_membership(spark, tmp_path, monkeypatch, capsys
     assert manifest["published_version"] == 1
     t = VersionedTable(spark, str(tmp_path / "members"))
     assert t.read().count() == 0
+
+
+def test_cli_module_guard_is_last_statement():
+    """`python -m ...splitter` executes the module top-to-bottom: the
+    __main__ guard must be the LAST statement, else the CLI calls main()
+    before later defs (incremental_resplit, compact_published) bind —
+    the round-5 NameError regression that in-process tests cannot see."""
+    import ast
+    import osm_history_splitter_spark.splitter as S
+
+    tree = ast.parse(open(S.__file__).read())
+    last = tree.body[-1]
+    assert isinstance(last, ast.If)
+    assert isinstance(last.test, ast.Compare)
+    assert getattr(last.test.left, "id", None) == "__name__"
+
+
+def test_cli_incremental_emit_osm_refreshes_files(
+    spark, tmp_path, monkeypatch, capsys
+):
+    """--emit-osm on an --incremental-from tick regenerates the
+    reference-format files from the published tables (was silently
+    skipped)."""
+    import datetime as dt
+    import json
+
+    from osm_history_splitter_spark.model import (
+        NODE_SCHEMA,
+        RELATION_SCHEMA,
+        WAY_SCHEMA,
+    )
+    from osm_history_splitter_spark.sources.osm_xml import parse_osm_xml
+    from osm_history_splitter_spark.splitter import main
+
+    ts = dt.datetime(2020, 1, 1)
+
+    def stage(extra_version, path):
+        rows = [(i, 1, True, ts, 0, 0, "u", 0.5, 0.5, {}) for i in range(5)]
+        if extra_version:
+            rows.append((0, 2, True, ts, 0, 0, "u", 0.6, 0.6, {}))
+        spark.createDataFrame(rows, NODE_SCHEMA).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/nodes")
+        spark.createDataFrame([], WAY_SCHEMA).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/ways")
+        spark.createDataFrame([], RELATION_SCHEMA).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/relations")
+
+    cfg = tmp_path / "c.config"
+    cfg.write_text("t.osh BBOX -1,-1,1,1\n")
+    stage(False, str(tmp_path / "w1"))
+    pub, ck1 = str(tmp_path / "pub"), str(tmp_path / "ck1")
+    monkeypatch.setattr(sys, "argv", [
+        "s", "--input", str(tmp_path / "w1"), "--config", str(cfg),
+        "--output", str(tmp_path / "o1"), "--checkpoint-dir", ck1,
+        "--publish-table", pub,
+    ])
+    main()
+    capsys.readouterr()
+
+    stage(True, str(tmp_path / "w2"))
+    monkeypatch.setattr(sys, "argv", [
+        "s", "--input", str(tmp_path / "w2"), "--config", str(cfg),
+        "--output", str(tmp_path / "o2"), "--incremental-from", ck1,
+        "--publish-table", pub, "--emit-osm",
+    ])
+    main()
+    report = json.loads(capsys.readouterr().out)
+    assert "osm_files" in report
+    path = report["osm_files"]["t"]
+    out_n, _, _ = parse_osm_xml(path)
+    assert {(r[0], r[1]) for r in out_n} == {(i, 1) for i in range(5)} | {
+        (0, 2)
+    }

@@ -122,6 +122,11 @@ def test_new_dump_triggers_resplit_and_stamp_flip(spark, tmp_path, monkeypatch):
     assert (work / "extracts" / "latest").resolve().name == "2020-02-02"
     # both date dirs exist: old extracts are kept, the symlink moves
     assert (work / "extracts" / "2020-01-01" / "test").exists()
+    # superseded DUMPS are pruned (each is ~100 GB at planet scale);
+    # the current dump and its md5 stay
+    names = {p.name for p in (work / "full-history").iterdir()}
+    assert names == {name2}  # (the md5 sidecar is verified in-stream)
+    assert "history-2020-01-01.osm.xml" in report["pruned_dumps"]
 
 
 def test_continuous_incremental_fetch_service(spark, tmp_path, monkeypatch):

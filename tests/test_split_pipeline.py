@@ -298,3 +298,54 @@ def test_published_table_prunes_per_extract(spark, tmp_path):
     assert {r["extract"] for r in got.select("extract").distinct().collect()} == {
         "inner"
     }
+
+
+def test_run_split_refuses_stale_checkpoint(spark, tmp_path):
+    """Resuming a checkpoint built from a DIFFERENT world or catalog must
+    raise instead of silently joining this world against stale markers
+    (the round-5 resume-poisoning finding)."""
+    import datetime as dt
+
+    import pytest
+
+    from osm_history_splitter_spark.model import (
+        NODE_SCHEMA,
+        RELATION_SCHEMA,
+        WAY_SCHEMA,
+    )
+    from osm_history_splitter_spark.plans.catalog import Extract, ExtractCatalog
+    from osm_history_splitter_spark.splitter import run_split
+
+    ts = dt.datetime(2020, 1, 1)
+
+    def world(n):
+        return (
+            spark.createDataFrame(
+                [(i, 1, True, ts, 0, 0, "u", 0.5, 0.5, {}) for i in range(n)],
+                NODE_SCHEMA,
+            ),
+            spark.createDataFrame([], WAY_SCHEMA),
+            spark.createDataFrame([], RELATION_SCHEMA),
+        )
+
+    cat = ExtractCatalog([Extract.bbox("t", -1.0, -1.0, 1.0, 1.0)])
+    ck = str(tmp_path / "ck")
+    n1, w1, r1 = world(5)
+    run_split(spark, n1, w1, r1, cat, str(tmp_path / "o1"), checkpoint_dir=ck)
+
+    # same checkpoint, same world: resume is fine (idempotent)
+    run_split(spark, n1, w1, r1, cat, str(tmp_path / "o1b"), checkpoint_dir=ck)
+
+    # same checkpoint, DIFFERENT world: refuse
+    n2, w2, r2 = world(7)
+    with pytest.raises(ValueError, match="different world or extract catalog"):
+        run_split(
+            spark, n2, w2, r2, cat, str(tmp_path / "o2"), checkpoint_dir=ck
+        )
+
+    # same world, DIFFERENT catalog: refuse too
+    cat2 = ExtractCatalog([Extract.bbox("t", 0.0, 0.0, 2.0, 2.0)])
+    with pytest.raises(ValueError, match="different world or extract catalog"):
+        run_split(
+            spark, n1, w1, r1, cat2, str(tmp_path / "o3"), checkpoint_dir=ck
+        )

@@ -487,3 +487,56 @@ def test_compact_reclusters_mor_state(spark, tmp_path):
     assert after == before
     kept, total = t.pruned_files(("id", 0, 500), version=v)
     assert total == 4 and kept == 1
+
+
+def test_empty_initial_commit_reads_back_typed(spark, tmp_path):
+    """An all-empty first commit writes ZERO parquet files; read() and
+    changes() must still return a typed empty frame via the schema
+    stamped in the manifest (was IndexError on files[0])."""
+    from osm_history_splitter_spark.plans.table import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    empty = spark.createDataFrame([], "id long, extract string")
+    assert t.commit(empty) == 1
+    got = t.read()
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == ["id", "extract"]
+    feed = t.changes(0)
+    assert feed.count() == 0
+    assert "_change_version" in feed.columns
+    # and a later non-empty commit over the empty base works
+    t.commit(
+        spark.createDataFrame([(1, "a")], "id long, extract string"),
+        mode="merge", merge_key=["id", "extract"],
+    )
+    assert t.read().count() == 1
+
+
+def test_changes_validates_versions(spark, tmp_path):
+    from osm_history_splitter_spark.plans.table import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    with pytest.raises(FileNotFoundError, match="no committed version"):
+        t.changes(0)
+    t.commit(spark.createDataFrame([(1,)], "id long"))
+    with pytest.raises(FileNotFoundError, match="not in"):
+        t.changes(0, until=7)
+
+
+def test_vacuum_prunes_emptied_delete_dirs(spark, tmp_path):
+    """vacuum removes orphaned _deletes_* SUBdirs so emptied commit dirs
+    actually get rmdir'd (was: empty dirs accumulated forever)."""
+    from osm_history_splitter_spark.plans.table import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(spark.createDataFrame([(1, "a")], "id long, v string"))
+    # fake a crashed MOR commit: orphan data + an orphan delete-key dir
+    from pathlib import Path
+
+    cdir = Path(str(tmp_path / "t")) / "data" / "c99"
+    (cdir / "_deletes_0").mkdir(parents=True)
+    (cdir / "part-0.parquet").write_bytes(b"junk")
+    (cdir / "_deletes_0" / "keys.parquet").write_bytes(b"junk")
+    deleted = t.vacuum()
+    assert len(deleted) == 2
+    assert not cdir.exists()
