@@ -58,7 +58,14 @@ class StageStore:
         return self.root / f"{name}._DONE"
 
     def _table(self, name: str) -> str:
-        return self._tbl_prefix + re.sub(r"[^a-z0-9_]", "_", name.lower())
+        # a short digest of the RAW name keeps sanitized collisions apart
+        # ('markers-a' vs 'markers.a' must not hijack each other's table)
+        tag = hashlib.md5(name.encode()).hexdigest()[:6]
+        return (
+            self._tbl_prefix
+            + re.sub(r"[^a-z0-9_]", "_", name.lower())
+            + f"_{tag}"
+        )
 
     def has(self, name: str) -> bool:
         return self._marker(name).exists()

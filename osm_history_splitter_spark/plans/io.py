@@ -101,10 +101,18 @@ def write_extracts(
     observed.write.mode(mode).partitionBy("extract").parquet(path)
     wall = time.time() - t0
 
-    n_rows = obs.get["rows"]
+    try:
+        observation = dict(obs.get)
+    except Exception:
+        # a 0-partition plan (empty LocalRelation) runs no tasks, so the
+        # observation row never materializes — the output is empty (the
+        # same guard StageStore.save needed for this)
+        observation = {}
+    n_rows = observation.get("rows", 0)
     if catalog is not None:
         per_extract = {
-            name: int(obs.get[f"x{i}"] or 0) for i, name in enumerate(names)
+            name: int(observation.get(f"x{i}") or 0)
+            for i, name in enumerate(names)
         }
         bboxes = {
             e.name: [e.minlon, e.minlat, e.maxlon, e.maxlat] for e in catalog

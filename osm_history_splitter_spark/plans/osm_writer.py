@@ -160,10 +160,17 @@ def _wrap(open_tag: Column, children: Column, name: str) -> Column:
 def element_xml_exprs(history: bool) -> dict[str, Column]:
     """One Catalyst Column per entity kind rendering a row to its XML
     element (tab-indented like the reference's osmium XML output)."""
-    # nodes: deleted versions carry no lat/lon (OSM history convention)
+    # nodes: deleted versions carry no lat/lon (OSM history convention).
+    # Fixed 7-decimal rendering (the reference/osmium convention, and the
+    # PBF path's 100-nanodegree granularity): a bare double→string cast
+    # would emit scientific notation for |v| < 1e-3 ("5.0E-4"), which
+    # strict coordinate parsers reject.
     pos = F.when(
         F.col("lat").isNotNull() & F.col("lon").isNotNull(),
-        F.concat(_attr("lat", F.col("lat")), _attr("lon", F.col("lon"))),
+        F.concat(
+            _attr("lat", F.format_string("%.7f", F.col("lat"))),
+            _attr("lon", F.format_string("%.7f", F.col("lon"))),
+        ),
     ).otherwise(F.lit(""))
     node_open = F.concat(F.lit("\t<node"), _common_attrs(history), pos)
     node = _wrap(node_open, _tag_lines(), "node")
@@ -238,7 +245,17 @@ def _concat_fragments(
     Compressed fragments are concatenated as raw bytes (multi-member
     gzip / multi-stream bz2) — no recompression, bounded driver memory."""
     suffix = {"gzip": ".gz", "bzip2": ".bz2"}.get(compression, "")
-    parts = sorted(frag_dir.glob(f"part-*{suffix}"))
+    # NUMERIC part-index order: Spark pads task indices to 5 digits, so a
+    # >99,999-partition job writes part-100000-… which sorts
+    # lexicographically before part-99999-… and would splice the global
+    # element order out of sequence
+    import re
+
+    def _part_key(p: Path):
+        m = re.match(r"part-(\d+)", p.name)
+        return (int(m.group(1)) if m else -1, p.name)
+
+    parts = sorted(frag_dir.glob(f"part-*{suffix}"), key=_part_key)
     out_file.parent.mkdir(parents=True, exist_ok=True)
     with open(out_file, "wb") as out:
         out.write(_compress_bytes((header + "\n").encode(), compression))
@@ -287,7 +304,12 @@ def write_extracts_osm(
             " session.get_spark pins it — set it on custom sessions"
         )
 
-    filenames = filenames or {e.name: f"{e.name}.osh" for e in catalog}
+    # per-entry defaulting: a partial dict covers the extracts it names,
+    # the rest get the documented "<name>.osh" default (was: KeyError)
+    filenames = {
+        **{e.name: f"{e.name}.osh" for e in catalog},
+        **(filenames or {}),
+    }
     fmts = {name: parse_format(fn) for name, fn in filenames.items()}
     groups: dict[tuple, list] = {}
     for e in catalog:
@@ -376,8 +398,21 @@ def _write_xml_group(
     writer.text(str(frag_root))
 
     out_paths: dict[str, str] = {}
+    # partition dir values are Hive/URL-escaped on disk (an extract named
+    # europe/germany lands under extract=europe%2Fgermany) — resolve by
+    # UNQUOTING the written dirs, never by formatting the raw name (the
+    # same convention plans/io.py uses for its lineage listing)
+    from urllib.parse import unquote
+
+    frag_dirs = {
+        unquote(d.name.split("=", 1)[1]): d
+        for d in frag_root.glob("extract=*")
+        if d.is_dir()
+    }
     for e in catalog:
-        frag_dir = frag_root / f"extract={e.name}"
+        # an extract with zero rows wrote no partition dir: the fallback
+        # path does not exist and _concat_fragments emits header+footer
+        frag_dir = frag_dirs.get(e.name, frag_root / f"extract={e.name}")
         out_file = Path(out_dir) / filenames[e.name]
         bounds = (e.minlon, e.minlat, e.maxlon, e.maxlat)
         _concat_fragments(frag_dir, out_file, _header(bounds), compression)

@@ -157,7 +157,20 @@ def write_extracts_pbf(
     """Emit each extract as ONE ``.os[mh].pbf`` file; returns
     ``{extract: path}``. See module docstring for the plan shape."""
     spark = nodes.sparkSession
-    filenames = filenames or {e.name: f"{e.name}.osh.pbf" for e in catalog}
+    # same UTC guard as the XML entry point (write_extracts_osm): the
+    # encoders stamp epoch millis assuming naive==UTC, and this function
+    # is public API callable without going through that dispatcher
+    tz = spark.conf.get("spark.sql.session.timeZone", "")
+    if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+        raise ValueError(
+            f"OSM sinks require spark.sql.session.timeZone=UTC (got {tz!r});"
+            " session.get_spark pins it — set it on custom sessions"
+        )
+    ext = "osh" if history else "osm"
+    filenames = {
+        **{e.name: f"{e.name}.{ext}.pbf" for e in catalog},
+        **(filenames or {}),
+    }
     n = partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     stage = Path(out_dir) / "_pbf_fragments"
     # the three kind passes APPEND into one staging table — a retried run
@@ -181,9 +194,19 @@ def write_extracts_pbf(
             )
             .withColumn("kind_rank", F.lit(rank))
         )
-        staged.write.mode("append").parquet(str(stage))
+        # partitioned by extract so each final-assembly read scans ONLY
+        # its own extract's fragment files (E small reads, not E full
+        # scans of the whole staging table)
+        staged.write.mode("append").partitionBy("extract").parquet(
+            str(stage)
+        )
 
-    frags = spark.read.parquet(str(stage))
+    # explicit schema: an all-empty kind writes NO files under the
+    # partitioned layout, and inference would fail (it also pins the
+    # partition column to string against numeric-looking extract names)
+    frags = spark.read.schema(
+        "pid int, seq long, blob binary, kind_rank int, extract string"
+    ).parquet(str(stage))
     out_paths: dict[str, str] = {}
     for e in catalog:
         out_file = Path(out_dir) / filenames[e.name]

@@ -419,6 +419,30 @@ def _decode_dense(
     return out
 
 
+def _parse_block(payload: bytes):
+    """PrimitiveBlock envelope: (stringtable, groups, granularity,
+    date_granularity, lat_offset, lon_offset) — the one field loop both
+    the driver codec (read_pbf) and the distributed decoder
+    (_decode_payload) share."""
+    strings: list[str] = []
+    groups = []
+    gran, dgran, lat_off, lon_off = 100, 1000, 0, 0
+    for f, _, v in _fields(payload):
+        if f == 1:
+            strings = [s.decode() for ff, _, s in _fields(v) if ff == 1]
+        elif f == 2:
+            groups.append(v)
+        elif f == 17:
+            gran = v
+        elif f == 18:
+            dgran = v
+        elif f == 19:
+            lat_off = _to_signed64(v)
+        elif f == 20:
+            lon_off = _to_signed64(v)
+    return strings, groups, gran, dgran, lat_off, lon_off
+
+
 def read_pbf(path: str):
     """→ (node_rows, way_rows, relation_rows) matching model schemas —
     the same contract as ``osm_xml.parse_osm_xml``."""
@@ -427,26 +451,9 @@ def read_pbf(path: str):
     for btype, payload in iter_blobs(data):
         if btype != "OSMData":
             continue
-        strings: list[str] = []
-        groups = []
-        gran, dgran, lat_off, lon_off = 100, 1000, 0, 0
-        for f, _, v in _fields(payload):
-            if f == 1:
-                strings = [
-                    s.decode()
-                    for ff, _, s in _fields(v)
-                    if ff == 1
-                ]
-            elif f == 2:
-                groups.append(v)
-            elif f == 17:
-                gran = v
-            elif f == 18:
-                dgran = v
-            elif f == 19:
-                lat_off = _to_signed64(v)
-            elif f == 20:
-                lon_off = _to_signed64(v)
+        strings, groups, gran, dgran, lat_off, lon_off = _parse_block(
+            payload
+        )
         for g in groups:
             for f, _, v in _fields(g):
                 if f == 1:  # plain Node
@@ -569,22 +576,7 @@ def scan_blob_index(path: str) -> list[tuple[int, int, str]]:
 def _decode_payload(payload: bytes, want: str) -> list[tuple]:
     """Rows of one kind from one OSMData PrimitiveBlock payload; groups
     of other kinds are skipped without decoding their elements."""
-    strings: list[str] = []
-    groups = []
-    gran, dgran, lat_off, lon_off = 100, 1000, 0, 0
-    for f, _, v in _fields(payload):
-        if f == 1:
-            strings = [s.decode() for ff, _, s in _fields(v) if ff == 1]
-        elif f == 2:
-            groups.append(v)
-        elif f == 17:
-            gran = v
-        elif f == 18:
-            dgran = v
-        elif f == 19:
-            lat_off = _to_signed64(v)
-        elif f == 20:
-            lon_off = _to_signed64(v)
+    strings, groups, gran, dgran, lat_off, lon_off = _parse_block(payload)
     rows = []
     for g in groups:
         for f, _, v in _fields(g):

@@ -323,3 +323,111 @@ def test_xml_escape_fuzz_roundtrip(spark, tmp_path):
     for i, *_rest in rows:
         want_user, want_tags = rows[i][6], rows[i][9]
         assert got[i] == (want_user, want_tags), i
+
+
+def _tiny_world(spark, extract: str, lon: float = 0.5, lat: float = 0.5):
+    import datetime as dt
+
+    from osm_history_splitter_spark.model import (
+        NODE_SCHEMA,
+        RELATION_SCHEMA,
+        WAY_SCHEMA,
+    )
+
+    ts = dt.datetime(2020, 1, 1)
+    nodes = spark.createDataFrame(
+        [(1, 1, True, ts, 7, 70, "u", lat, lon, {})], schema=NODE_SCHEMA
+    ).withColumn("extract", F.lit(extract))
+    ways = spark.createDataFrame([], schema=WAY_SCHEMA).withColumn(
+        "extract", F.lit(extract)
+    )
+    rels = spark.createDataFrame([], schema=RELATION_SCHEMA).withColumn(
+        "extract", F.lit(extract)
+    )
+    return nodes, ways, rels
+
+
+def test_slash_extract_name_not_lost_to_hive_escaping(spark, tmp_path):
+    """An extract named 'europe/germany' is Hive-escaped on disk
+    (extract=europe%2Fgermany): the fragment lookup must unquote, not
+    format the raw name — the data was silently dropped before."""
+    from osm_history_splitter_spark.plans.catalog import Extract, ExtractCatalog
+
+    name = "europe/germany"
+    nodes, ways, rels = _tiny_world(spark, name)
+    cat = ExtractCatalog([Extract.bbox(name, -1.0, -1.0, 1.0, 1.0)])
+    paths = write_extracts_osm(nodes, ways, rels, cat, str(tmp_path))
+    out_n, _, _ = parse_osm_xml(paths[name])
+    assert [(r[0], r[1]) for r in out_n] == [(1, 1)]
+
+
+def test_small_coordinates_render_fixed_decimal(spark, tmp_path):
+    """|v| < 1e-3 must render as fixed 7-decimal (reference/osmium
+    convention), never scientific notation ('5.0E-4')."""
+    from osm_history_splitter_spark.plans.catalog import Extract, ExtractCatalog
+
+    nodes, ways, rels = _tiny_world(spark, "t", lon=0.0005, lat=-0.0000001)
+    cat = ExtractCatalog([Extract.bbox("t", -1.0, -1.0, 1.0, 1.0)])
+    paths = write_extracts_osm(nodes, ways, rels, cat, str(tmp_path))
+    text = open(paths["t"]).read()
+    assert 'lon="0.0005000"' in text
+    assert 'lat="-0.0000001"' in text
+    assert "E-" not in text and "e-0" not in text
+
+
+def test_partial_filenames_dict_defaults_rest(spark, tmp_path):
+    from osm_history_splitter_spark.plans.catalog import Extract, ExtractCatalog
+
+    nodes, ways, rels = _tiny_world(spark, "a")
+    nb, wb, rb = _tiny_world(spark, "b")
+    cat = ExtractCatalog([
+        Extract.bbox("a", -1.0, -1.0, 1.0, 1.0),
+        Extract.bbox("b", -1.0, -1.0, 1.0, 1.0),
+    ])
+    paths = write_extracts_osm(
+        nodes.unionByName(nb), ways.unionByName(wb), rels.unionByName(rb),
+        cat, str(tmp_path), filenames={"a": "custom.osm.gz"},
+    )
+    assert paths["a"].endswith("custom.osm.gz")
+    assert paths["b"].endswith("b.osh")  # documented default
+
+
+def test_pbf_sink_refuses_non_utc_session(spark, tmp_path):
+    from osm_history_splitter_spark.plans.catalog import Extract, ExtractCatalog
+    from osm_history_splitter_spark.plans.pbf_writer import write_extracts_pbf
+
+    nodes, ways, rels = _tiny_world(spark, "t")
+    cat = ExtractCatalog([Extract.bbox("t", -1.0, -1.0, 1.0, 1.0)])
+    spark.conf.set("spark.sql.session.timeZone", "Europe/Berlin")
+    try:
+        with pytest.raises(ValueError, match="timeZone=UTC"):
+            write_extracts_pbf(nodes, ways, rels, cat, str(tmp_path))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_pbf_default_name_tracks_history_flag(spark, tmp_path):
+    from osm_history_splitter_spark.plans.catalog import Extract, ExtractCatalog
+    from osm_history_splitter_spark.plans.pbf_writer import write_extracts_pbf
+
+    nodes, ways, rels = _tiny_world(spark, "t")
+    cat = ExtractCatalog([Extract.bbox("t", -1.0, -1.0, 1.0, 1.0)])
+    paths = write_extracts_pbf(
+        nodes, ways, rels, cat, str(tmp_path), history=False
+    )
+    assert paths["t"].endswith("t.osm.pbf")
+
+
+def test_fragment_concat_orders_parts_numerically(tmp_path):
+    """part-100000 must splice AFTER part-99999 (Spark's %05d padding
+    overflows past 99,999 tasks; lexicographic order would flip them)."""
+    from osm_history_splitter_spark.plans.osm_writer import _concat_fragments
+
+    frag = tmp_path / "frags"
+    frag.mkdir()
+    (frag / "part-99999-x.txt").write_bytes(b"FIRST\n")
+    (frag / "part-100000-x.txt").write_bytes(b"SECOND\n")
+    out = tmp_path / "out.osm"
+    _concat_fragments(frag, out, "<osm>", None)
+    body = out.read_text()
+    assert body.index("FIRST") < body.index("SECOND")

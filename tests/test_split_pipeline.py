@@ -349,3 +349,17 @@ def test_run_split_refuses_stale_checkpoint(spark, tmp_path):
         run_split(
             spark, n1, w1, r1, cat2, str(tmp_path / "o3"), checkpoint_dir=ck
         )
+
+
+def test_stagestore_sanitized_name_collision(spark, tmp_path):
+    """'markers-a' and 'markers.a' sanitize to the same catalog table
+    name; the digest suffix must keep their bucketed tables apart."""
+    from osm_history_splitter_spark.plans.checkpoint import StageStore
+
+    store = StageStore(spark, str(tmp_path / "ck"), bucket_by=("id", 4))
+    a = spark.createDataFrame([(1,)], "id long")
+    b = spark.createDataFrame([(2,)], "id long")
+    store.get_or_compute("markers-a", lambda: a)
+    store.get_or_compute("markers.a", lambda: b)
+    assert [r["id"] for r in store.load("markers-a").collect()] == [1]
+    assert [r["id"] for r in store.load("markers.a").collect()] == [2]
