@@ -110,11 +110,19 @@ def unwrap_ring(ring: np.ndarray) -> np.ndarray:
     """Rewrite ring longitudes as a continuous sequence (each step takes the
     ±360-shifted image closest to its predecessor). A ring that merely
     crosses the antimeridian comes back to its starting longitude; a ring
-    that winds the globe (polar cap) ends ±360 away."""
+    that winds the globe (polar cap) ends ±360 away.
+
+    EXACT by construction: each vertex gets ``lon + 360·k`` for an
+    integer wrap count ``k`` (one floating add of an exact multiple of
+    360) — never a re-accumulated cumsum of diffs. A non-wrapping ring
+    therefore comes back BIT-IDENTICAL, and a wrapped vertex matches the
+    same computation a point image ``lon + shift`` performs, so the
+    exact on-boundary test keeps its knife-edge row-for-row behavior.
+    """
     r = close_ring(ring).copy()
     d = np.diff(r[:, 0])
-    d -= 360.0 * np.round(d / 360.0)
-    r[1:, 0] = r[0, 0] + np.cumsum(d)
+    k = np.concatenate([[0.0], np.cumsum(-np.round(d / 360.0))])
+    r[:, 0] = r[:, 0] + 360.0 * k
     return r
 
 
@@ -123,6 +131,38 @@ def ring_winds_globe(ring: np.ndarray) -> float:
     ~0 otherwise. Computed on the unwrapped ring."""
     r = unwrap_ring(ring)
     return float(r[-1, 0] - r[0, 0])
+
+
+def _ring_even_odd(
+    lon: np.ndarray, lat: np.ndarray, r: np.ndarray
+) -> np.ndarray:
+    """Planar even-odd crossing test of each point against ONE closed
+    ring ``r`` — the PNPOLY half-open formulation shared by the planar
+    multipolygon path and the winding fallback's planar-ring branch."""
+    ring_in = np.zeros(lon.shape[0], dtype=bool)
+    x1, y1 = r[:-1, 0], r[:-1, 1]
+    x2, y2 = r[1:, 0], r[1:, 1]
+    for i in range(x1.shape[0]):
+        a, b, c, d = x1[i], y1[i], x2[i], y2[i]
+        if b == d:
+            continue  # horizontal edge never crosses the horizontal ray
+        straddles = (b > lat) != (d > lat)
+        if not straddles.any():
+            continue
+        # x coordinate where the edge crosses the point's latitude
+        t = (lat - b) / (d - b)
+        xi = a + t * (c - a)
+        ring_in ^= straddles & (lon < xi)
+    return ring_in
+
+
+def _has_pole_edge(r: np.ndarray) -> bool:
+    """True iff any edge of the CLOSED ring lies on a pole line (both
+    endpoint latitudes equal ±90) — the signature of an explicitly
+    planar-encoded polar polygon (e.g. an antarctica.poly with its
+    literal lat=-90 bottom edge), as opposed to a bare circumpolar rim."""
+    y1, y2 = r[:-1, 1], r[1:, 1]
+    return bool(np.any((y1 == y2) & (np.abs(y1) == 90.0)))
 
 
 def _winding_number(
@@ -172,9 +212,29 @@ def points_in_rings_winding(
     in_hole = np.zeros(lon.shape[0], dtype=bool)
     onb = np.zeros(lon.shape[0], dtype=bool)
     for ring_idx, ring in enumerate(rings):
-        rim = unwrap_ring(close_ring(ring))
-        if rim.shape[0] < 4:
+        raw = close_ring(ring)
+        if raw.shape[0] < 4:
             continue
+        if not ring_wraps_antimeridian(raw) or _has_pole_edge(raw):
+            # planar-encoded ring: (a) a non-wrapping ring that only
+            # landed here because a SIBLING ring wraps — it must get the
+            # bit-identical planar test, raw coordinates, no ±360 point
+            # images; (b) a polar polygon with an explicit pole edge
+            # (antarctica.poly's literal lat=-90 bottom): its seam/pole
+            # edges ARE the encoded boundary, and the unwrap would erase
+            # the 360° bottom jump and misread it as a bare rim of the
+            # OPPOSITE cap (membership inverted for the whole planet).
+            ring_in = _ring_even_odd(lon, lat, raw)
+            ring_on = points_on_boundary(lon, lat, [raw])
+            if holes is None:
+                inside ^= ring_in
+            elif holes[ring_idx]:
+                in_hole |= ring_in
+            else:
+                inside |= ring_in
+            onb |= ring_on
+            continue
+        rim = unwrap_ring(raw)
         r = rim
         at_pole = None
         wind = r[-1, 0] - r[0, 0]
@@ -263,21 +323,8 @@ def points_in_rings(
         r = close_ring(ring)
         if r.shape[0] < 4:  # degenerate (needs >= 3 distinct vertices)
             continue
-        x1, y1 = r[:-1, 0], r[:-1, 1]
-        x2, y2 = r[1:, 0], r[1:, 1]
-        ring_in = np.zeros(lon.shape[0], dtype=bool)
         # edges: loop over edges (small), vectorize over points (large)
-        for i in range(x1.shape[0]):
-            a, b, c, d = x1[i], y1[i], x2[i], y2[i]
-            if b == d:
-                continue  # horizontal edge never crosses the horizontal ray
-            straddles = (b > lat) != (d > lat)
-            if not straddles.any():
-                continue
-            # x coordinate where the edge crosses the point's latitude
-            t = (lat - b) / (d - b)
-            xi = a + t * (c - a)
-            ring_in ^= straddles & (lon < xi)
+        ring_in = _ring_even_odd(lon, lat, r)
         if holes is None:
             inside ^= ring_in
         elif holes[ring_idx]:
@@ -287,9 +334,14 @@ def points_in_rings(
     if holes is not None:
         inside &= ~in_hole
     if not boundary_is_inside:
-        onb = points_on_boundary(lon, lat, rings)
-        inside &= ~onb
+        # boundary ⇒ OUT can only FLIP points currently inside: run the
+        # exact O(edges × points) boundary pass on that (usually small)
+        # subset only — halves the Python edge-loop cost of the exact-PIP
+        # refine hot path, identical results
+        idx = np.nonzero(inside)[0]
+        if idx.size:
+            onb_sub = points_on_boundary(lon[idx], lat[idx], rings)
+            inside[idx[onb_sub]] = False
     else:
-        onb = points_on_boundary(lon, lat, rings)
-        inside |= onb
+        inside |= points_on_boundary(lon, lat, rings)
     return inside

@@ -117,6 +117,16 @@ def relation_closure(
         seen = seen.unionByName(parents).localCheckpoint(eager=True)
         frontier = parents
     else:
+        # the cap round may have discovered the LAST parents: converged
+        # exactly at max_iterations iff that final frontier has no
+        # further undiscovered ancestors — check before failing
+        leftover = (
+            frontier.join(edges, frontier["id"] == edges["child"])
+            .select(F.col("parent").alias("id"), "extract")
+            .join(seen, ["id", "extract"], "left_anti")
+        )
+        if leftover.isEmpty():
+            return seen
         # a truncated closure is silently-wrong membership — fail loudly
         # (real rel→rel nesting is single-digit deep; the reference's
         # cascading_relations recursion runs to fixpoint, softcut.hpp:269)

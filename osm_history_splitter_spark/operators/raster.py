@@ -104,7 +104,10 @@ def zonal_stats(
 ) -> DataFrame:
     """Raster×vector: per-extract aggregates over cell centers (count of
     cells, sum of band values)."""
-    pts = raster_to_points(raster, res)
+    # drop the raster's cell id before the spatial join: 'cell' is an
+    # internal join column of assign_extracts (which rejects it), and the
+    # zonal aggregate never reads it — the centers carry the position
+    pts = raster_to_points(raster, res).drop("cell")
     assigned = assign_extracts(pts, catalog)
     aggs = [
         F.count(F.lit(1)).alias("n_cells"),

@@ -86,6 +86,24 @@ def assign_extracts(
     """Inner spatial join: input columns + ``extract`` (one row per match)."""
     if strategy not in ("auto", "loop", "ladder"):
         raise ValueError(f"unknown strategy {strategy!r}")
+    if len(catalog) == 0:
+        raise ValueError(
+            "catalog has no extracts — nothing to assign (a config whose "
+            "every line was filtered out parses to an empty catalog)"
+        )
+    # internal join/cover columns: a caller column with one of these
+    # names would be silently overwritten or captured by the broadcast
+    # join — fail loudly at the API boundary instead
+    reserved = {
+        "cell", "res", "_rc", "extract", "fully_inside", "kind",
+        "minlon", "minlat", "maxlon", "maxlat",
+    } & set(points.columns)
+    if reserved:
+        raise ValueError(
+            f"points frame carries reserved column(s) {sorted(reserved)}: "
+            "rename them before assign_extracts (they collide with the "
+            "internal cell/cover join columns)"
+        )
     spark = points.sparkSession
     out_cols = [F.col(c) for c in points.columns] + [F.col("extract")]
 

@@ -66,6 +66,12 @@ def parse_poly_multipolygon_text(
         if len(parts) < 2:
             raise ValueError(f"bad coordinate line in .poly: {line!r}")
         current.append((float(parts[0]), float(parts[1])))
+    if current is not None and current:
+        # a ring whose END never arrived (file cut off mid-transfer):
+        # dropping it would silently shrink the extract's geometry
+        raise ValueError(
+            "truncated .poly: last ring has coordinates but no END"
+        )
     if not rings:
         raise ValueError("no rings in .poly file")
     return rings, is_hole

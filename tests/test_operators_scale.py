@@ -457,3 +457,18 @@ def test_mixture_sample_fills_budgets_minimally(spark):
             # under-filled ⇒ the language's corpus is exhausted
             assert len(docs) == lang_docs[lang]
     assert filled >= 1  # the budget binds somewhere — cutoff non-vacuous
+
+
+def test_closure_converges_exactly_at_iteration_cap(spark):
+    """A chain whose last parent is discovered in the FINAL permitted
+    round is a complete fixpoint — the cap check must verify the final
+    frontier has no further ancestors before declaring non-convergence
+    (round-5 off-by-one)."""
+    from osm_history_splitter_spark.operators.closure import relation_closure
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "child long, parent long"
+    )
+    direct = spark.createDataFrame([(0, "x")], "id long, extract string")
+    got = relation_closure(direct, edges, max_iterations=5, driver_threshold=0)
+    assert got.count() == 6

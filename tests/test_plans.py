@@ -563,3 +563,25 @@ def test_box_blur_is_two_pass_and_morphology_one(spark):
     assert "Join" not in blur_plan
     dil_plan = plan_of(dilate(base.select("cell"), 5, 2))
     assert dil_plan.count("Exchange hashpartitioning") == 1, dil_plan
+
+
+def test_assign_extracts_rejects_reserved_columns_and_empty_catalog(spark):
+    import pytest
+
+    from osm_history_splitter_spark.operators.spatial_join import (
+        assign_extracts,
+    )
+    from osm_history_splitter_spark.plans.catalog import (
+        Extract,
+        ExtractCatalog,
+    )
+
+    cat = ExtractCatalog([Extract.bbox("t", -1.0, -1.0, 1.0, 1.0)])
+    bad = spark.createDataFrame(
+        [(0.5, 0.5, 7)], "lon double, lat double, cell long"
+    )
+    with pytest.raises(ValueError, match="reserved column"):
+        assign_extracts(bad, cat)
+    ok = spark.createDataFrame([(0.5, 0.5)], "lon double, lat double")
+    with pytest.raises(ValueError, match="no extracts"):
+        assign_extracts(ok, ExtractCatalog([]))

@@ -281,3 +281,18 @@ def test_osm_nested_rings_are_outers_union():
     assert got[0]  # union keeps the nested ring's interior IN
     # the flag-less parity path would cancel it (compat behavior)
     assert not points_in_rings(np.array([cx]), np.array([cy]), e.rings)[0]
+
+
+def test_truncated_poly_trailing_ring_raises():
+    """A .poly cut off before a ring's END must raise, not silently drop
+    the trailing ring (smaller geometry = wrong membership)."""
+    import pytest
+
+    from osm_history_splitter_spark.sources.poly import (
+        parse_poly_multipolygon_text,
+    )
+
+    with pytest.raises(ValueError, match="truncated"):
+        parse_poly_multipolygon_text(
+            "name\nr1\n0 0\n10 0\n10 10\nEND\nr2\n20 20\n30 20\n30 30\n"
+        )

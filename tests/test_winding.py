@@ -225,3 +225,54 @@ def test_world_minus_antarctica_orientation():
     assert got_e.tolist() == [True, False, False, True, False]
     got_w = points_in_rings_winding(lon, lat, [west])
     assert got_w.tolist() == [False, True, False, False, True]
+
+
+def test_planar_pole_edge_ring_not_misread_as_bare_rim():
+    """An antarctica.poly-style ring with an EXPLICIT lat=-90 bottom edge
+    is planar-encoded: the winding path must not unwrap away its 360°
+    bottom jump and misread it as an eastward bare rim of the opposite
+    cap (which inverted membership for the whole planet)."""
+    import numpy as np
+
+    from osm_history_splitter_spark.functions.geometry import points_in_rings
+
+    ring = np.array(
+        [[-180.0, -60.0], [0.0, -60.0], [180.0, -60.0],
+         [180.0, -90.0], [-180.0, -90.0], [-180.0, -60.0]]
+    )
+    lon = np.array([0.0, 0.0, 0.0, 0.0])
+    lat = np.array([0.0, 50.0, -75.0, -60.0])
+    got = points_in_rings(lon, lat, [ring])
+    #                equator  north  interior  on-rim(OUT)
+    assert got.tolist() == [False, False, True, False]
+
+
+def test_nonwrapping_ring_bit_identical_in_mixed_list():
+    """A non-wrapping ring that routes to the winding path only because a
+    SIBLING ring wraps must keep the planar path's exact semantics —
+    including boundary ⇒ OUT on its own vertices (the fuzz-confirmed
+    round-5 regression: re-accumulated unwrap coordinates broke the
+    exact on-boundary match)."""
+    import numpy as np
+
+    from osm_history_splitter_spark.functions.geometry import points_in_rings
+
+    rng = np.random.default_rng(7)
+    wrapping = np.array(
+        [[170.0, -10.0], [-170.0, -10.0], [-170.0, 10.0], [170.0, 10.0]]
+    )
+    for _ in range(200):
+        # lon span < 180 ⇒ the ring provably does not wrap (the property
+        # under test is about NON-wrapping siblings of a wrapping ring)
+        pts = rng.uniform([-80.0, -80.0], [80.0, 80.0], size=(4, 2))
+        ring = np.vstack([pts, pts[:1]])
+        alone = points_in_rings(ring[:, 0], ring[:, 1], [ring])
+        mixed = points_in_rings(ring[:, 0], ring[:, 1], [wrapping, ring])
+        assert alone.tolist() == [False] * 5  # own vertices: boundary ⇒ OUT
+        assert mixed.tolist() == alone.tolist()
+        # interior/exterior sample points agree between the two routes
+        probe = rng.uniform([-170.0, -80.0], [160.0, 80.0], size=(32, 2))
+        a = points_in_rings(probe[:, 0], probe[:, 1], [ring])
+        m = points_in_rings(probe[:, 0], probe[:, 1], [wrapping, ring])
+        in_wrap = points_in_rings(probe[:, 0], probe[:, 1], [wrapping])
+        assert (m == (a ^ in_wrap)).all()  # parity composition holds
