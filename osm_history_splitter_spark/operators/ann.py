@@ -29,6 +29,25 @@ def _hyperplanes(n_planes: int, dim: int, seed: int = 7) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
+def _reject_reserved(df: DataFrame, names: tuple, fn: str) -> None:
+    """Internal join/projection columns must not pre-exist on the input —
+    withColumn would silently overwrite them and the probe join would
+    bind the wrong side (the assign_extracts API-boundary convention)."""
+    bad = sorted(set(names) & set(df.columns))
+    if bad:
+        raise ValueError(
+            f"{fn}: embeddings frame carries reserved column(s) {bad} — "
+            "rename them before calling"
+        )
+
+
+def _unit_rows(m: np.ndarray) -> np.ndarray:
+    """Row-normalize with the same zero-norm epsilon the candidate side
+    uses: an all-zero query must yield sim 0 everywhere, never NaN
+    (Spark sorts NaN above every double — arbitrary top-k)."""
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     queries: list[tuple[int, list[float]]],
@@ -37,9 +56,13 @@ def brute_force_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact cosine top-k of each query vector against every row."""
+    _reject_reserved(
+        embeddings, ("cid", "s", "qpos", "sim", "rnk", "qid"),
+        "brute_force_topk",
+    )
     qids = np.array([q[0] for q in queries], dtype=np.int64)
     qmat = np.array([q[1] for q in queries], dtype=np.float64)
-    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    qmat = _unit_rows(qmat)
 
     sim_type = T.ArrayType(T.DoubleType())
 
@@ -112,6 +135,9 @@ def ivf_topk(
     recovered by probing more lists. At scale the list id is a partition
     key: probing is a broadcast semi-join on ≤ n_probe keys per query.
     """
+    _reject_reserved(
+        embeddings, ("list_id", "qid", "cid", "v", "sim", "rnk"), "ivf_topk"
+    )
     dim = len(queries[0][1])
     rng = np.random.default_rng(seed)
     cents = rng.standard_normal((n_lists, dim))
@@ -127,7 +153,7 @@ def ivf_topk(
 
     qids = [q[0] for q in queries]
     qmat = np.array([q[1] for q in queries], dtype=np.float64)
-    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    qn = _unit_rows(qmat)
     qsims = qn @ cents.T
     probe_rows = [
         (int(qid), int(l))
@@ -172,6 +198,9 @@ def lsh_topk(
     """ANN top-k: bucket join on LSH signature (multi-probe: the query's
     bucket + its ``n_probes`` 1-bit neighbors), exact cosine rerank within
     candidates. Broadcasts the (tiny) probe table, shuffles nothing big."""
+    _reject_reserved(
+        embeddings, ("sig", "qid", "cid", "v", "sim", "rnk"), "lsh_topk"
+    )
     if dim is None:
         dim = len(queries[0][1])
     planes = _hyperplanes(n_planes, dim, seed)
@@ -179,7 +208,7 @@ def lsh_topk(
 
     qids = [q[0] for q in queries]
     qmat = np.array([q[1] for q in queries], dtype=np.float64)
-    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    qn = _unit_rows(qmat)
     margins = qmat @ planes.T
     qsigs = (margins > 0).astype(np.int64)
     probe_rows = []

@@ -48,6 +48,16 @@ def asof_join(
     no right row precedes). ``right`` must be unique per (on, right_ts) —
     dedup upstream to make the match deterministic."""
     lcols = left.columns
+    overlap = [c for c in payload_cols if c in lcols]
+    if overlap:
+        raise ValueError(
+            f"payload_cols {overlap} collide with left columns — alias "
+            "them on the right side first (interval_join convention)"
+        )
+    # a NULL right_ts can never satisfy right_ts <= left_ts: drop such
+    # rows, else asc-nulls-first ordering would attach their payload to
+    # EVERY left row (diverging from the DuckDB ASOF oracle)
+    right = right.filter(F.col(right_ts).isNotNull())
     l_tag = (
         left.withColumn("__ts", F.col(left_ts))
         .withColumn("__is_right", F.lit(0))

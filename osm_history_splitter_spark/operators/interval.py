@@ -10,8 +10,9 @@ uses (``operators/spatial_join.py``):
    ``floor(ts / W)``;
 2. every left row can only match right rows in buckets
    ``{b-1, b, b+1}`` where ``b = floor(l.ts / W)`` — explode the left
-   side into those three candidate buckets (3x the *narrow* probe keys,
-   never the payload);
+   side into those three candidate buckets (3x the LEFT rows through
+   the shuffle; with a wide left payload, project to (id, ts) first and
+   re-attach the payload by id after the join);
 3. equi-join on the bucket (hash join, shuffle on an evenly-distributed
    integer key) and refine with the exact ``|dt| <= tol`` filter.
 

@@ -25,7 +25,12 @@ Soundness of the split: raw ``<`` cannot appear in XML attribute values or
 text content (it must be ``&lt;``), so ``<node``/``<way``/``<relation``
 occur ONLY at element starts. ``>`` MAY appear raw inside attribute
 values, hence the quote-aware scan for the start-tag end instead of a
-naive ``find('>')``.
+naive ``find('>')``. KNOWN LIMITATION: the byte scanner does not parse
+XML comments/CDATA/processing instructions, so a comment containing a
+literal ``<node …/>`` would emit a phantom row — no OSM dump generator
+(osmium, planet-dump-ng, the API) emits comments inside the element
+stream, and the reference's SAX readers share the assumption for the
+formats it splits, but a hand-edited file can violate it.
 
 The driver-side fixture loader (``osm_xml.load_osm_dataframes``) remains
 for tiny files; equivalence of the two is asserted in
@@ -42,7 +47,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..model import NODE_SCHEMA, RELATION_SCHEMA, WAY_SCHEMA
 
-__all__ = ["ingest_osm_xml", "read_osm_elements"]
+__all__ = [
+    "ingest_osm_xml",
+    "read_osm_elements",
+    "read_osm_elements_ranged",
+]
 
 
 def _element_snippet(record: str, tag: str) -> str | None:
@@ -64,7 +73,9 @@ def _element_snippet(record: str, tag: str) -> str | None:
         i += 1
     if i >= n:
         return None
-    if record[i - 1] == "/":  # self-closing element
+    # i > 0 guard: an attribute-less element ('<relation>') puts '>' at
+    # index 0 and record[-1] would inspect the record's LAST byte
+    if i > 0 and record[i - 1] == "/":  # self-closing element
         return f"<{tag}" + record[: i + 1]
     close = f"</{tag}>"
     end = record.find(close, i)

@@ -119,11 +119,20 @@ class _ChangeFilePartition(InputPartition):
 class _TableChangeFeedReader(DataSourceStreamReader):
     def __init__(self, path: str, start: int, schema: StructType):
         self._path = Path(path)
+        vs = _versions(self._path)
+        if start != 0 and start not in vs:
+            # same contract as the batch changes(): an unknown since
+            # must fail loudly, not silently replay the next snapshot's
+            # EVERY file as inserts (duplicate rows downstream)
+            raise FileNotFoundError(
+                f"startingVersion {start} not in {vs} at {self._path}"
+            )
         self._start = start
-        self._base_cols = [
-            f.name for f in schema.fields
+        self._base_fields = [
+            f for f in schema.fields
             if f.name not in ("_change_version", "_change_type")
         ]
+        self._base_cols = [f.name for f in self._base_fields]
 
     # -- offsets (dicts; Spark JSON-logs them for replay) ------------------
 
@@ -151,16 +160,29 @@ class _TableChangeFeedReader(DataSourceStreamReader):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        from pyspark.sql.pandas.types import to_arrow_type
+
         pf = pq.ParquetFile(partition.file)
         for batch in pf.iter_batches():
             n = batch.num_rows
-            arrays = [
-                col
-                if col.type == (safe := _arrow_spark_safe(col.type))
-                else col.cast(safe)
-                for c in self._base_cols
-                for col in (batch.column(c),)
-            ]
+            present = set(batch.schema.names)
+            arrays = []
+            for f in self._base_fields:
+                if f.name in present:
+                    col = batch.column(f.name)
+                    safe = _arrow_spark_safe(col.type)
+                    arrays.append(col if col.type == safe else col.cast(safe))
+                else:
+                    # schema evolution: a column added AFTER this file's
+                    # commit reads back as typed nulls (the batch
+                    # changes() path gets this from per-version parquet
+                    # reads; the stream decodes against the head schema)
+                    arrays.append(
+                        pa.nulls(
+                            n,
+                            type=_arrow_spark_safe(to_arrow_type(f.dataType)),
+                        )
+                    )
             arrays.append(pa.repeat(pa.scalar(partition.version, pa.int64()), n))
             arrays.append(pa.repeat(pa.scalar("insert", pa.string()), n))
             yield pa.RecordBatch.from_arrays(
@@ -205,6 +227,14 @@ class TableChangeFeedSource(DataSource):
                 f"head snapshot v{vs[-1]} at {path} references no data "
                 "files — the feed's row schema is undefined"
             )
+        # the manifest-stamped schema is authoritative (a head FILE may
+        # predate a column added by a later commit — append snapshots
+        # keep old files first); footer inference is the fallback for
+        # tables committed before the schema stamp existed
+        stamped = _manifest(path, vs[-1]).get("schema")
+        if stamped:
+            base = StructType.fromJson(json.loads(stamped))
+            return StructType(list(base.fields) + list(_CHANGE_COLS))
         import pyarrow as pa
 
         raw = pq.read_schema(files[0])
@@ -235,6 +265,12 @@ def stream_changes(
     from the head snapshot at ``load()`` time (raises, rather than
     idling, on an empty table — start consumers after the first
     publish)."""
+    if starting_version != 0:
+        vs = _versions(Path(path))
+        if starting_version not in vs:
+            raise FileNotFoundError(
+                f"startingVersion {starting_version} not in {vs} at {path}"
+            )
     spark.dataSource.register(TableChangeFeedSource)
     return (
         spark.readStream.format("table_changes")

@@ -172,3 +172,41 @@ def test_follow_into_tracks_incremental_resplit(spark, tmp_path):
     )
     assert got == want
     assert (3, 2, "t") in got
+
+
+def test_stream_changes_rejects_unknown_starting_version(spark, tmp_path):
+    """Batch changes() raises on an unknown since; the stream twin must
+    not silently replay the next snapshot as inserts."""
+    import pytest
+
+    from osm_history_splitter_spark.plans.table import VersionedTable
+    from osm_history_splitter_spark.streaming.table_feed import stream_changes
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(spark.createDataFrame([(1,)], "id long"))
+    with pytest.raises(Exception, match="startingVersion 7 not in"):
+        stream_changes(spark, str(tmp_path / "t"), starting_version=7)
+
+
+def test_stream_changes_handles_added_column(spark, tmp_path):
+    """Schema evolution: files committed BEFORE a column existed stream
+    back with typed nulls for it (the head schema drives the decode)."""
+    from osm_history_splitter_spark.plans.table import VersionedTable
+    from osm_history_splitter_spark.streaming.table_feed import stream_changes
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(spark.createDataFrame([(1,)], "id long"))
+    t.commit(spark.createDataFrame([(2, 0.5)], "id long, score double"))
+    q = (
+        stream_changes(spark, str(tmp_path / "t"))
+        .writeStream.format("memory")
+        .queryName("evolved_feed")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        r["id"]: (r["score"], r["_change_version"])
+        for r in spark.sql("select * from evolved_feed").collect()
+    }
+    assert rows == {1: (None, 1), 2: (0.5, 2)}

@@ -182,3 +182,41 @@ def test_chunk_dedup_matches_python_reference_on_random_corpus(spark, tmp_path):
         for r in q_chunk_dedup(spark, str(tmp_path)).collect()
     }
     assert got == want
+
+
+def test_asof_null_right_ts_never_matches(spark):
+    """A right row with NULL right_ts cannot satisfy right_ts <= left_ts:
+    it must not be attached to any left row (asc-nulls-first ordering
+    previously attached its payload to EVERY left row)."""
+    from osm_history_splitter_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 100)], "k long, tse long")
+    right = spark.createDataFrame(
+        [(1, None, "ghost")], "k long, rts long, tag string"
+    )
+    out = asof_join(
+        left, right, on=["k"], left_ts="tse", right_ts="rts",
+        payload_cols=["tag"],
+    ).collect()
+    assert len(out) == 1 and out[0]["tag"] is None
+    # a real preceding row still matches
+    right2 = spark.createDataFrame(
+        [(1, None, "ghost"), (1, 50, "real")], "k long, rts long, tag string"
+    )
+    out2 = asof_join(
+        left, right2, on=["k"], left_ts="tse", right_ts="rts",
+        payload_cols=["tag"],
+    ).collect()
+    assert out2[0]["tag"] == "real"
+
+
+def test_asof_rejects_payload_collision(spark):
+    import pytest
+
+    from osm_history_splitter_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 100, "x")], "k long, tse long, tag string")
+    right = spark.createDataFrame([(1, 50, "y")], "k long, rts long, tag string")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, on=["k"], left_ts="tse", right_ts="rts",
+                  payload_cols=["tag"])

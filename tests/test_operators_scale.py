@@ -472,3 +472,33 @@ def test_closure_converges_exactly_at_iteration_cap(spark):
     direct = spark.createDataFrame([(0, "x")], "id long, extract string")
     got = relation_closure(direct, edges, max_iterations=5, driver_threshold=0)
     assert got.count() == 6
+
+
+def test_ann_zero_query_vector_yields_zero_sims_not_nan(spark):
+    """An all-zero query must produce sim 0 everywhere (deterministic),
+    never NaN (which Spark sorts above every double — arbitrary top-k)."""
+    import math
+
+    from osm_history_splitter_spark.operators.ann import brute_force_topk
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    out = brute_force_topk(emb, [(99, [0.0, 0.0])], k=3).collect()
+    assert len(out) == 3
+    assert all(not math.isnan(r["sim"]) and r["sim"] == 0.0 for r in out)
+
+
+def test_ann_rejects_reserved_columns(spark):
+    import pytest
+
+    from osm_history_splitter_spark.operators.ann import ivf_topk, lsh_topk
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0], 5)], "vec_id long, embedding array<double>, qid long"
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        ivf_topk(emb, [(0, [1.0, 0.0])])
+    with pytest.raises(ValueError, match="reserved"):
+        lsh_topk(emb, [(0, [1.0, 0.0])])

@@ -296,3 +296,15 @@ def test_truncated_poly_trailing_ring_raises():
         parse_poly_multipolygon_text(
             "name\nr1\n0 0\n10 0\n10 10\nEND\nr2\n20 20\n30 20\n30 30\n"
         )
+
+
+def test_element_snippet_attributeless_start_tag():
+    """A record whose element starts with an immediate '>' (no
+    attributes) must not inspect record[-1] via negative indexing."""
+    from osm_history_splitter_spark.sources.ingest import _element_snippet
+
+    # record as split on '<relation': starts directly with '>'
+    rec = '><member type="node" ref="1" role=""/></relation>\n  trailing/'
+    got = _element_snippet(rec, "relation")
+    assert got is not None and got.startswith("<relation>")
+    assert got.endswith("</relation>")
