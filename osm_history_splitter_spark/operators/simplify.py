@@ -43,6 +43,12 @@ __all__ = ["dp_simplify_py", "simplify_lines", "simplify_ways"]
 #: domains top out ~2.6e9, comfortably below
 _INT64_SAFE = 3_000_000_000
 
+#: int64 ceiling for the PRE-square intermediates (cross, d²) — the
+#: overflow gate must fire BEFORE the first int64 multiply, from input
+#: magnitudes alone, or the wrapped product can sneak under the guard
+#: (a cross of exactly 2^64 wraps to 0 and a huge deviation is dropped)
+_I64_MAX = 2**63 - 1
+
 
 def _max_dev_idx(xs: np.ndarray, ys: np.ndarray) -> tuple[int, int, int]:
     """(index, cross², len²) of the max-deviation interior point vs the
@@ -52,10 +58,18 @@ def _max_dev_idx(xs: np.ndarray, ys: np.ndarray) -> tuple[int, int, int]:
     x1, y1, x2, y2 = int(xs[0]), int(ys[0]), int(xs[-1]), int(ys[-1])
     dx, dy = x2 - x1, y2 - y1
     ix, iy = xs[1:-1], ys[1:-1]
+    # exact-arithmetic gate, decided from INPUT magnitudes in Python ints
+    # before any int64 product can wrap (see _I64_MAX note)
+    mx = max(abs(int(ix.min()) - x1), abs(int(ix.max()) - x1))
+    my = max(abs(int(iy.min()) - y1), abs(int(iy.max()) - y1))
     if dx == 0 and dy == 0:
+        if mx * mx + my * my > _I64_MAX:
+            ix, iy = ix.astype(object), iy.astype(object)
         d2 = (ix - x1) ** 2 + (iy - y1) ** 2
         j = int(np.argmax(d2))
         return j + 1, int(d2[j]), 1
+    if abs(dx) * my + abs(dy) * mx > _I64_MAX:
+        ix, iy = ix.astype(object), iy.astype(object)
     cross = dx * (iy - y1) - dy * (ix - x1)
     if np.abs(cross).max(initial=0) > _INT64_SAFE:
         cross = cross.astype(object)

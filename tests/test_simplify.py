@@ -101,6 +101,18 @@ def test_overflow_fallback_exact():
     assert _simplify(pts, 1000) == pts
 
 
+def test_overflow_gate_fires_before_multiply():
+    # the adversarial case: true cross = 2^32·2^32 = 2^64 wraps int64 to
+    # EXACTLY 0, so a post-multiply guard would drop a point deviating by
+    # ~4e9 — the gate must decide from input magnitudes instead
+    m = 2**32
+    pts = [(0, 0), (1, m), (m, 0)]
+    assert _simplify(pts, 10) == pts
+    # same for the degenerate-chord branch: d² = 2·(2^33)² wraps
+    pts2 = [(0, 0), (2**33, 2**33), (0, 0)]
+    assert _simplify(pts2, 10) == pts2
+
+
 def test_spark_wrapper_matches_kernel(spark):
     rng = np.random.default_rng(42)
     rows = []
