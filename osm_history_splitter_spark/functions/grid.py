@@ -965,11 +965,12 @@ def _uv_to_st_np(u):
     """S2 quadratic projection: s = 1/2·sqrt(1+3u) (mirrored for u<0) —
     sqrt is IEEE-correctly-rounded, so this stage is bit-deterministic."""
     u = np.asarray(u, np.float64)
-    return np.where(
-        u >= 0.0,
-        0.5 * np.sqrt(1.0 + 3.0 * u),
-        1.0 - 0.5 * np.sqrt(1.0 - 3.0 * u),
-    )
+    with np.errstate(invalid="ignore"):  # where() evaluates both branches
+        return np.where(
+            u >= 0.0,
+            0.5 * np.sqrt(1.0 + 3.0 * u),
+            1.0 - 0.5 * np.sqrt(1.0 - 3.0 * u),
+        )
 
 
 def _st_to_uv_np(s):

@@ -154,3 +154,33 @@ def test_spark_expr_matches_kernel(spark):
     }
     want = grid.s2_cell_np(lon, lat, 12)
     assert got == {i: int(w) for i, w in enumerate(want)}
+
+
+def test_polar_file_pruning_beats_equal_angle():
+    # the operational claim behind the index: range-partition a GLOBAL
+    # corpus into "files" by each key and ask how many files a 2°-radius
+    # polar query window touches. Equal-angle keys order primarily by
+    # the lon column index, so a polar disc (which spans all lons)
+    # smears across many files; s2-style keys keep the pole's
+    # neighborhood on one face chart in a few curve ranges (not ONE:
+    # the pole is the face center, where the curve's four quadrants
+    # meet — still a constant, vs O(files) for the lon smear).
+    res, files = 10, 64
+    rng = np.random.default_rng(7)  # local: module RNG state is order-dependent
+    lon = rng.uniform(-180.0, 180.0, 60_000)
+    lat = np.degrees(np.arcsin(rng.uniform(-1.0, 1.0, 60_000)))
+    eq = grid.cell_ids_np(lon, lat, res)
+    s2 = grid.s2_cell_np(lon, lat, res)
+    polar = lat > 88.0
+
+    def files_touched(key):
+        order = np.argsort(key, kind="stable")
+        touched = 0
+        for chunk in np.array_split(order, files):
+            touched += bool(polar[chunk].any())
+        return touched
+
+    t_eq, t_s2 = files_touched(eq), files_touched(s2)
+    assert int(polar.sum()) >= 10  # the window is populated
+    assert t_s2 <= 6
+    assert t_eq >= 3 * t_s2
