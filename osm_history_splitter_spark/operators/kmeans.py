@@ -7,7 +7,11 @@ and as a trained coarse quantizer for IVF.
 
 Determinism contract (what makes a DuckDB oracle possible):
 - centroids are INTEGER vectors: the update is a truncated-floor mean
-  ``floor(sum / count)`` per dimension, bit-identical across engines;
+  ``floor(sum / count)`` per dimension, bit-identical across engines.
+  The division IS double division in both engines; it stays exact while
+  each per-(cluster, dim) sum fits a double's 2^53 integer range —
+  ≈ 9e10 rows per cluster at the QUANT=1e5 component scale, far past
+  any real shard (the repo's exactness-envelope convention);
 - assignment is argmin of integer squared L2; ties break to the LOWEST
   cluster id (``array_position`` finds the FIRST minimum);
 - empty clusters keep their previous centroid;
