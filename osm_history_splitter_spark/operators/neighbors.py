@@ -120,8 +120,15 @@ def within_distance_pairs(
     d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
         F.col("ya") - F.col("yb")
     ) * (F.col("ya") - F.col("yb"))
+    # SHUFFLE_HASH, build = the unreplicated side: size estimates would
+    # otherwise pick a broadcast join, which runs the pair production
+    # (the dominant cost — up to occupancy²·9 candidate rows) at the
+    # SCAN's split parallelism instead of the cluster's; at 100 TB
+    # neither side broadcasts anyway, and the per-key build is bounded
+    # by cell occupancy — the bound the candidate volume already rests
+    # on. Measured on the bench ε-join queries in OPTIMIZATION_r06.md.
     return (
-        left.join(right, "cell")
+        left.hint("SHUFFLE_HASH").join(right, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(d2 <= F.lit(radius * radius))
         .select("id_a", "id_b", d2.cast("long").alias("dist2"))
@@ -247,8 +254,10 @@ def variogram_bins(
     for r in reversed(radii):
         bin_expr = F.when(d2 <= F.lit(r * r), F.lit(r)).otherwise(bin_expr)
     dv = F.col("va") - F.col("vb")
+    # SHUFFLE_HASH, build = the unreplicated side (see
+    # within_distance_pairs — same estimate-driven broadcast pitfall)
     hits = (
-        left.join(right, "cell")
+        left.hint("SHUFFLE_HASH").join(right, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(d2 <= F.lit(rmax * rmax))
         .select(bin_expr.alias("radius"), (dv * dv).alias("sq"))
@@ -444,7 +453,9 @@ def _geodesic_candidates(
         + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb"))
         + (F.col("za") - F.col("zb")) * (F.col("za") - F.col("zb"))
     )
-    out = lhs.join(rhs, ["cx", "cy", "cz"])
+    # SHUFFLE_HASH, build = the unreplicated side (see
+    # within_distance_pairs — same estimate-driven broadcast pitfall)
+    out = lhs.hint("SHUFFLE_HASH").join(rhs, ["cx", "cy", "cz"])
     if self_join:
         out = out.filter(F.col("id_l") < F.col("id_r"))
     return out.filter(d2 <= F.lit(thr2)).select(
@@ -573,8 +584,10 @@ def within_distance_join(
     d2 = (F.col("xl") - F.col("xr")) * (F.col("xl") - F.col("xr")) + (
         F.col("yl") - F.col("yr")
     ) * (F.col("yl") - F.col("yr"))
+    # SHUFFLE_HASH, build = the unreplicated side (see
+    # within_distance_pairs — same estimate-driven broadcast pitfall)
     return (
-        lhs.join(rhs, "cell")
+        lhs.hint("SHUFFLE_HASH").join(rhs, "cell")
         .filter(d2 <= F.lit(radius * radius))
         .select("id_l", "id_r", d2.cast("long").alias("dist2"))
     )

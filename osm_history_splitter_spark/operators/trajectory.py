@@ -102,23 +102,23 @@ def colocation_pairs(pos: DataFrame, tau: int) -> DataFrame:
     if tau < 1:
         raise ValueError(f"tau must be a positive integer, got {tau}")
     t = F.lit(tau)
+    # event ids are never consulted after bucketing: project them away so
+    # the join carries only (user, time, cell, bucket) — narrower build
+    # rows and pair stream (guide §2.3 "project before the exchange")
     base = pos.select(
         F.col("user_id").cast("long").alias("u"),
-        F.col("event_id").cast("long").alias("e"),
         F.col("tse").cast("long").alias("t"),
         "cell",
     )
     bucket = (F.col("t") - F.col("t") % t) / t
     lhs = base.select(
         F.col("u").alias("ua"),
-        F.col("e").alias("ea"),
         F.col("t").alias("ta"),
         "cell",
         bucket.cast("long").alias("tb"),
     )
     rhs = base.select(
         F.col("u").alias("ub"),
-        F.col("e").alias("eb"),
         F.col("t").alias("tb_time"),
         "cell",
         F.explode(
@@ -129,8 +129,18 @@ def colocation_pairs(pos: DataFrame, tau: int) -> DataFrame:
             )
         ).alias("tb"),
     )
+    # SHUFFLE_HASH, build = the unreplicated side: the planner's size
+    # estimate would otherwise pick a broadcast join, which inherits the
+    # SCAN's partitioning — the pair production (the dominant cost, up to
+    # occupancy² rows per (cell, bucket)) then runs at input-split
+    # parallelism, not cluster parallelism. Shuffling both sides keys the
+    # pair stream by (cell, bucket) across the full task count, which is
+    # also the only viable strategy at 100 TB (neither side broadcasts);
+    # the build side holds one bucket's events per key — occupancy-bounded,
+    # the same bound the candidate volume already relies on. Measured 4x
+    # on the bench colocation query (OPTIMIZATION_r06.md).
     pairs = (
-        lhs.join(rhs, ["cell", "tb"])
+        lhs.hint("SHUFFLE_HASH").join(rhs, ["cell", "tb"])
         .filter(
             (F.col("ua") < F.col("ub"))
             & (F.abs(F.col("ta") - F.col("tb_time")) <= t)
@@ -222,8 +232,11 @@ def hausdorff_join(
     ) * (F.col("ya") - F.col("yb"))
     # each ordered (a-point, b-point) pair matches exactly once (the
     # partner's replica in a's home cell is unique), so no distinct
+    # SHUFFLE_HASH, build = the unreplicated side (same rationale as
+    # colocation_pairs above: a broadcast join would run the candidate
+    # production at scan parallelism, and at scale neither side fits)
     cand = (
-        left.join(right, "cell")
+        left.hint("SHUFFLE_HASH").join(right, "cell")
         .filter(F.col("ta") < F.col("tb"))
         .filter(d2 <= F.lit(radius * radius))
         .select("ta", "tb", "xa", "ya", "xb", "yb", d2.alias("d2"))
