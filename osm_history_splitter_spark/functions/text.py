@@ -54,9 +54,16 @@ def char_class_count_expr(text: Column, char_class: str) -> Column:
 
 def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """(doc_id, s): distinct character n-grams per document. Documents
-    shorter than n characters produce no rows (both engines agree)."""
+    shorter than n characters produce no rows (both engines agree).
+
+    The input is fanned out to cluster parallelism first (scale-adaptive
+    no-op on real corpora): the n-gram explode multiplies each row by
+    ~|text|, so a single-split scan would run the whole expansion on one
+    core (guide §2.5 input skew)."""
+    from ..session import parallelize_scan
+
     return (
-        df.filter(F.length(text_col) >= n)
+        parallelize_scan(df).filter(F.length(text_col) >= n)
         .select(
             "doc_id",
             F.explode(

@@ -31,6 +31,47 @@ __all__ = [
     "exact_substring_spans",
 ]
 
+#: broadcast the per-vertex label table in the CC loop below this many
+#: vertices (~16 B/row → tens of MB built; well under the 8 GB broadcast
+#: cap). The vertex set of a dedup pair graph is the documents that
+#: appear in SOME near-dup pair — usually a small fraction of the
+#: corpus — but it is unbounded, so past the cap the loop falls back to
+#: plain shuffle joins.
+CC_BROADCAST_MAX_VERTICES = 2_000_000
+
+#: run union-find on the driver below this many (directed) edges — the
+#: closure.py driver-fast-path pattern: each distributed round costs
+#: whole jobs of fixed overhead, while ≤ 1M edges are a one-job Arrow
+#: collect (~16 MB) and a sub-second local pass. Past the cap the
+#: semi-naive loop below runs unchanged.
+CC_DRIVER_FASTPATH_MAX_EDGES = 1_000_000
+
+
+def _driver_union_find(edges_pdf) -> dict:
+    """Min-label union-find with path halving over a two-column pandas
+    frame of (s, t) int64 edges; returns {vertex: component_min}."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for s, t in zip(edges_pdf["s"].to_list(), edges_pdf["t"].to_list()):
+        if s not in parent:
+            parent[s] = s
+        if t not in parent:
+            parent[t] = t
+        rs, rt = find(s), find(t)
+        if rs != rt:
+            # union by min keeps every root = current component minimum
+            if rs < rt:
+                parent[rt] = rs
+            else:
+                parent[rs] = rt
+    return {v: find(v) for v in parent}
+
 
 def connected_components(
     pairs: DataFrame,
@@ -38,10 +79,16 @@ def connected_components(
     b_col: str = "doc_b",
     max_iterations: int = 30,
     _stats: dict | None = None,
+    driver_fastpath_max: int | None = None,
 ) -> DataFrame:
     """(doc_id, cluster_id): min doc id reachable from each vertex of the
     pair graph. Only vertices that appear in some pair are returned.
-    ``_stats``, when given, receives {"rounds": n} for convergence tests."""
+    ``_stats``, when given, receives {"rounds": n} for convergence tests
+    (0 = the driver fast path ran). ``driver_fastpath_max`` overrides
+    :data:`CC_DRIVER_FASTPATH_MAX_EDGES` (tests pass 0 to force the
+    distributed loop)."""
+    if driver_fastpath_max is None:
+        driver_fastpath_max = CC_DRIVER_FASTPATH_MAX_EDGES
     edges = (
         pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("t"))
         .unionByName(
@@ -50,50 +97,99 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    n_edges = edges.count()  # bounded: metadata action on the checkpoint
+    if n_edges <= driver_fastpath_max:
+        # driver fast path (the closure.py pattern): the collect is
+        # bounded by the threshold (≤ ~16 MB of two int64 columns via
+        # Arrow), and union-find replaces every distributed round
+        spark = pairs.sparkSession
+        comp = _driver_union_find(edges.toPandas())
+        if _stats is not None:
+            _stats["rounds"] = 0
+        return spark.createDataFrame(
+            list(comp.items()), "doc_id long, cluster_id long"
+        )
     labels = (
         edges.select(F.col("s").alias("doc_id"))
         .distinct()
         .withColumn("lbl", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
+    # size-probed broadcast of the label table (the decontaminate
+    # pattern): below the cap, every per-round join builds a broadcast
+    # hash map over the MATERIALIZED labels instead of shuffling the
+    # (much larger, checkpointed) edge frame three times a round — the
+    # heavy relation never moves. Above the cap the shuffle joins below
+    # run unchanged (bounded probe: a count over the checkpointed
+    # frame, one metadata-scale job).
+    n_vertices = labels.count()
+    bcast = n_vertices <= CC_BROADCAST_MAX_VERTICES
+
+    def _lab(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if bcast else df
+
     rounds = 0
     for _ in range(max_iterations):
         rounds += 1
         neighbor_min = (
-            edges.join(labels, edges["t"] == labels["doc_id"])
+            edges.join(_lab(labels), edges["t"] == labels["doc_id"])
             .groupBy(F.col("s").alias("doc_id"))
             .agg(F.min("lbl").alias("nlbl"))
         )
         stepped = labels.join(neighbor_min, "doc_id", "left").select(
             "doc_id",
+            F.col("lbl").alias("old"),
             F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias(
                 "lbl"
             ),
         )
-        # pointer jump: lbl := lbl(lbl) — the label is itself a vertex, so
-        # its (always ≤) label is a valid label for us; halves chain depth
-        # every round → log(diameter) convergence on path graphs
-        lbl_of = stepped.select(
+        # pointer jump ×2: lbl := label-of-label-of-label — a label is
+        # itself a vertex, so its (always ≤) label is a valid label for
+        # us; two chained jumps roughly triple the reach per round →
+        # log(diameter) convergence on path graphs. The jump table is
+        # the PREVIOUS round's materialized labels (not ``stepped``):
+        # joining ``stepped`` against a projection of itself would
+        # compute the neighbor-min subtree twice per round, and the old
+        # label of the new label is still a same-component, ≤-label
+        # vertex — the fixpoint (labels constant along edges,
+        # self-mapped) is identical.
+        lbl_of = labels.select(
             F.col("doc_id").alias("lbl"), F.col("lbl").alias("lbl2")
         )
+        lbl_of2 = labels.select(
+            F.col("doc_id").alias("lbl2"), F.col("lbl").alias("lbl3")
+        )
+        # the round's input label rides along as ``old``, so convergence
+        # is a per-row compare INSIDE the round's own plan — the
+        # detection join of the previous shape (new vs old labels) and
+        # its separate probe job are gone: ONE job per round (the agg
+        # below materializes the lazy localCheckpoint and answers the
+        # fixpoint test together; labels only ever decrease, so
+        # max(chg)=0 ⟺ elementwise equality ⟺ fixpoint)
+        j1 = stepped.join(_lab(lbl_of), "lbl", "left").select(
+            "doc_id",
+            "old",
+            F.least(F.col("lbl"), F.coalesce(F.col("lbl2"), F.col("lbl"))).alias(
+                "lbl2"
+            ),
+        )
+        final = F.least(
+            F.col("lbl2"), F.coalesce(F.col("lbl3"), F.col("lbl2"))
+        )
         new_labels = (
-            stepped.join(lbl_of, "lbl", "left")
+            j1.join(_lab(lbl_of2), "lbl2", "left")
             .select(
                 "doc_id",
-                F.least(F.col("lbl"), F.coalesce(F.col("lbl2"), F.col("lbl"))).alias(
-                    "lbl"
-                ),
+                final.alias("lbl"),
+                (final != F.col("old")).alias("chg"),
             )
-            .localCheckpoint(eager=True)  # truncate iterative lineage
+            .localCheckpoint(eager=False)  # truncate iterative lineage
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("lbl", "old"), "doc_id")
-            .filter(F.col("lbl") != F.col("old"))
-            .limit(1)
-            .count()  # bounded: LIMIT 1 probe, metadata-scale action
-        )
-        labels = new_labels
-        if changed == 0:
+        changed = new_labels.agg(
+            F.max(F.col("chg").cast("int"))
+        ).first()[0]  # bounded: 1-row aggregate, metadata-scale action
+        labels = new_labels.select("doc_id", "lbl")
+        if not changed:
             break
     if _stats is not None:
         _stats["rounds"] = rounds

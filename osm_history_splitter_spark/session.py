@@ -10,7 +10,27 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+
+
+def parallelize_scan(df: DataFrame) -> DataFrame:
+    """Fan a narrow scan out to cluster parallelism — scale-adaptive.
+
+    A single-file, single-row-group parquet plans as ONE scan task no
+    matter the split config (a row group is the smallest readable unit),
+    so every per-row computation downstream of such a scan runs on one
+    core until the first exchange. When the planned scan partition count
+    is below the session's default parallelism, round-robin repartition
+    to it: the shuffle moves the (small, by construction) table once and
+    unlocks N-way downstream compute. At scale the guard disables this —
+    a big corpus scan already plans >= cores partitions, and the
+    repartition would be a pure-overhead full shuffle of the corpus
+    (guide §2.5 input skew / §6 input split sizing).
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def get_spark(

@@ -272,10 +272,34 @@ def test_connected_components_long_chain_pointer_jumping(spark):
     n = 10_000
     pairs = spark.range(n - 1).selectExpr("id AS doc_a", "id + 1 AS doc_b")
     stats: dict = {}
-    cc = connected_components(pairs, _stats=stats)
-    assert stats["rounds"] < 15, stats  # log2(10k) ≈ 13.3; 30 would time out
+    # driver_fastpath_max=0 forces the distributed loop — the fast path
+    # would otherwise absorb this graph and leave the loop untested
+    cc = connected_components(pairs, _stats=stats, driver_fastpath_max=0)
+    assert 0 < stats["rounds"] < 16, stats  # ~log(10k); 30 would time out
     got = cc.groupBy("cluster_id").count().collect()
     assert len(got) == 1 and got[0]["cluster_id"] == 0 and got[0]["count"] == n
+
+
+def test_connected_components_fastpath_matches_loop(spark):
+    """The driver union-find fast path and the distributed loop are the
+    same operator: identical (doc_id, cluster_id) sets on a mixed graph
+    (cliques + a chain + isolated pairs)."""
+    from osm_history_splitter_spark.operators.dedup import connected_components
+
+    rows = (
+        [(i, j) for i in range(5) for j in range(i + 1, 5)]  # clique 0-4
+        + [(100 + i, 101 + i) for i in range(20)]  # chain
+        + [(1000, 2000), (3000, 4000)]  # isolated pairs
+    )
+    pairs = spark.createDataFrame(rows, "doc_a long, doc_b long")
+    fast = sorted(
+        tuple(r) for r in connected_components(pairs).collect()
+    )
+    loop = sorted(
+        tuple(r)
+        for r in connected_components(pairs, driver_fastpath_max=0).collect()
+    )
+    assert fast == loop and len(fast) == 5 + 21 + 4
 
 
 @pytest.mark.parametrize("seed", [3, 11])
