@@ -98,8 +98,22 @@ def softcut_membership(
     relations: DataFrame,
     catalog: ExtractCatalog,
     persist: bool = True,
+    way_refs_hint: DataFrame | None = None,
+    rel_members_hint: DataFrame | None = None,
 ) -> SoftcutMembership:
-    """Pass 1 (mark): build the four marker tables (``softcut.hpp:88-304``)."""
+    """Pass 1 (mark): build the four marker tables (``softcut.hpp:88-304``).
+
+    ``way_refs_hint`` / ``rel_members_hint``: optional PRE-EXPLODED forms
+    of the reference columns — ``(id, ref)`` way references (multiset
+    equal to exploding every version's ``refs``) and
+    ``(id, mtype, ref)`` relation members. Pass 1 only ever consumes the
+    exploded multisets, so a caller that derives the entity tables from a
+    normalized source (``collect_list`` → array) can hand the
+    pre-aggregation rows straight in and skip both the array assembly
+    and its re-explode — identical markers, two fewer wide aggregations
+    (guide §1.2 "don't compute things you throw away"). The hints are
+    trusted to match ``ways``/``relations``; the default path derives
+    them from the entity frames."""
 
     persisted: list[DataFrame] = []
 
@@ -117,7 +131,11 @@ def softcut_membership(
 
     # way refs across ALL versions of a way id, deduped once and reused for
     # J2 and J5 (replaces the version-adjacency streaming trick)
-    way_refs = ways.select("id", F.explode("refs").alias("ref")).distinct()
+    way_refs = (
+        way_refs_hint.select("id", "ref")
+        if way_refs_hint is not None
+        else ways.select("id", F.explode("refs").alias("ref"))
+    ).distinct()
     way_refs = _p(way_refs)
 
     # J2 — way tracked iff ANY ref is a tracked node (EXISTS => distinct)
@@ -143,7 +161,9 @@ def softcut_membership(
     # without the persist the (expensive, collect_list-grouped) relations
     # subtree re-runs once per action.
     mem = _p(
-        relations.select(
+        rel_members_hint.select("id", "mtype", "ref")
+        if rel_members_hint is not None
+        else relations.select(
             "id",
             F.explode("members").alias("m"),
         ).select(

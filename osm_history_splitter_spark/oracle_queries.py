@@ -134,12 +134,58 @@ def world_membership(spark: SparkSession, sf_dir: str):
     all outputs from them (the two-pass structure, SURVEY §3.2)."""
     key = (id(spark), sf_dir)
     if key not in _WORLD_CACHE:
+        # the marker DAG only consumes the EXPLODED reference multisets,
+        # and this world derives its entity tables from normalized rows
+        # (collect_list → array): hand pass 1 the pre-aggregation rows
+        # and skip both wide collect_list aggregations plus their
+        # re-explodes — identical markers (multiset equality), two fewer
+        # shuffles on the cold path
+        li = _t(spark, sf_dir, "lineitem")
+        way_refs_hint = li.select(
+            F.col("l_orderkey").alias("id"), F.col("l_partkey").alias("ref")
+        )
+        sup = _t(spark, sf_dir, "supplier")
+        nat = _t(spark, sf_dir, "nation")
+        rel_members_hint = (
+            li.select(
+                (F.col("l_suppkey") + 1000000).alias("id"),
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.lit("n").alias("mtype"),
+                            F.col("l_partkey").alias("ref"),
+                        ),
+                        F.struct(
+                            F.lit("w").alias("mtype"),
+                            F.col("l_orderkey").alias("ref"),
+                        ),
+                    )
+                ).alias("m"),
+            )
+            .select("id", F.col("m.mtype").alias("mtype"), F.col("m.ref").alias("ref"))
+            .unionByName(
+                sup.select(
+                    (F.col("s_nationkey").cast("long") + 2000000).alias("id"),
+                    F.lit("r").alias("mtype"),
+                    (F.col("s_suppkey") + 1000000).alias("ref"),
+                )
+            )
+            .unionByName(
+                nat.select(
+                    (F.col("n_regionkey").cast("long") + 3000000).alias("id"),
+                    F.lit("r").alias("mtype"),
+                    (F.col("n_nationkey").cast("long") + 2000000).alias("ref"),
+                )
+            )
+        )
         _WORLD_CACHE[key] = softcut_membership(
             part_nodes(spark, sf_dir),
             order_ways(spark, sf_dir),
             hierarchy_relations(spark, sf_dir),
             catalog(),
             persist=True,
+            way_refs_hint=way_refs_hint,
+            rel_members_hint=rel_members_hint,
         )
     return _WORLD_CACHE[key]
 
