@@ -38,10 +38,9 @@ serializes to the same bytes (the repo-wide reproducibility rule).
 from __future__ import annotations
 
 import glob as _glob
-import gzip
 import hashlib
-import io
 import os
+import struct
 import zlib
 from pathlib import Path
 
@@ -166,12 +165,29 @@ def encode_warcinfo_record(filename: str) -> bytes:
     )
 
 
+#: gzip member header for level-9 deflate: magic, CM=8, FLG=0, MTIME=0,
+#: XFL=2 (best compression), OS=255 — the exact bytes
+#: ``gzip.GzipFile(mtime=0)`` emits, pinned by
+#: tests/test_warc.py::test_gzip_member_matches_stdlib
+_GZ_HEADER = b"\x1f\x8b\x08\x00\x00\x00\x00\x00\x02\xff"
+
+
 def gzip_member(data: bytes) -> bytes:
-    """One deterministic gzip member (mtime=0, no filename)."""
-    buf = io.BytesIO()
-    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
-        g.write(data)
-    return buf.getvalue()
+    """One deterministic gzip member (mtime=0, no filename).
+
+    Hand-framed around a raw deflate stream with the same parameters the
+    stdlib ``GzipFile`` uses — byte-identical output without the
+    per-member ``GzipFile``/``BytesIO`` object churn (the sink calls
+    this once per record)."""
+    c = zlib.compressobj(
+        9, zlib.DEFLATED, -zlib.MAX_WBITS, zlib.DEF_MEM_LEVEL, 0
+    )
+    body = c.compress(data) + c.flush()
+    return (
+        _GZ_HEADER
+        + body
+        + struct.pack("<II", zlib.crc32(data), len(data) & 0xFFFFFFFF)
+    )
 
 
 #: bounded feed size for the member decoder — caps the per-member
@@ -253,17 +269,28 @@ def write_warc(
     wet: bool = True,
     by: str | None = None,
     prefix: str = "",
+    task_side: bool = True,
 ) -> dict:
     """Distributed WARC(+WET) sink for a pages frame
     ``(url, warc_ts, html, text, lang)``.
 
     Rows are range-partitioned and sorted by (url, warc_ts) — every
     snapshot of a url lands in the same file, in version order (the
-    O1/O2 order-reproduction rule applied to crawls). Executors pack
-    each partition into gzip members + a member index; fragments stage
-    in parquet and the driver streams one ``part-NNNNN.warc.gz`` (and
-    ``.wet.gz``) + ``.gz.idx`` per partition — bounded driver memory,
-    payload compressed before it ever moves.
+    O1/O2 order-reproduction rule applied to crawls).
+
+    Default path (``task_side=True``): each TASK packs its partition
+    into gzip members and writes its own ``part-NNNNN.warc.gz`` (and
+    ``.wet.gz``) + ``.gz.idx`` directly — publish stays atomic per file
+    (data streams into a ``.__tmp`` name, idx lands first,
+    ``os.replace`` flips last), retried/speculative attempts write
+    attempt-unique tmp names and the deterministic bytes make the final
+    replace idempotent. The driver sees only a MANIFEST row per file:
+    driver bandwidth is O(files), not O(corpus) — the bottleneck the
+    previous ``orderBy → toLocalIterator`` funnel had, where every
+    compressed byte crossed the driver single-threaded.
+    ``task_side=False`` keeps that funnel for storage layers where
+    executors cannot write the output directory (the fragments stage in
+    parquet and the driver streams them out).
 
     ``prefix``: prepended to every part-file name — a continuous fetch
     service stamps each tick (``prefix=f"b{n:06d}-"``) so successive
@@ -290,6 +317,8 @@ def write_warc(
         .sortWithinPartitions(*key, "url", "warc_ts")
         .withColumn("pid", F.spark_partition_id())
     )
+    if task_side:
+        return _write_warc_task_side(part, out, wet, by, prefix)
 
     def pack(batches):
         # one Spark partition per task ⇒ a single pid; flush a fragment
@@ -430,6 +459,125 @@ def write_warc(
         if by:
             groups[row["grp"]] = groups.get(row["grp"], 0) + n
     close_current()
+    return {"files": files, "records": total, "groups": groups}
+
+
+def _write_warc_task_side(
+    part: DataFrame, out: Path, wet: bool, by: str | None, prefix: str
+) -> dict:
+    """Executor-side body of :func:`write_warc`: every task writes its
+    own (group, partition) files and returns manifest rows only."""
+    out_str = str(out)
+
+    def write_partition(batches):
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        attempt = ctx.taskAttemptId() if ctx is not None else os.getpid()
+        state: dict = {"open": False}
+        manifest: list[tuple] = []
+
+        def start(grp: str, pid: int) -> None:
+            dest = Path(out_str) / grp if by else Path(out_str)
+            dest.mkdir(parents=True, exist_ok=True)
+            name = f"{prefix}part-{pid:05d}"
+            wp = dest / f"{name}.warc.gz"
+            info = gzip_member(encode_warcinfo_record(wp.name))
+            fh = open(f"{wp}.__tmp{attempt}", "wb")
+            fh.write(info)
+            state.update(
+                open=True, grp=grp, pid=pid, n=0,
+                warc_path=wp, warc_fh=fh,
+                offsets=[f"0\t{len(info)}"], base=len(info),
+            )
+            if wet:
+                wtp = dest / f"{name}.wet.gz"
+                winfo = gzip_member(encode_warcinfo_record(wtp.name))
+                wfh = open(f"{wtp}.__tmp{attempt}", "wb")
+                wfh.write(winfo)
+                state.update(
+                    wet_path=wtp, wet_fh=wfh,
+                    wet_offsets=[f"0\t{len(winfo)}"], wet_base=len(winfo),
+                )
+
+        def finish() -> None:
+            if not state["open"]:
+                return
+            # same publish order as the driver path: close the data tmp,
+            # land the idx under the FINAL name first, then os.replace
+            # flips the data name last — a concurrent reader (the
+            # crawl-feed source's latestOffset listing) can never see a
+            # half-written file or a file without its index; retried
+            # attempts replay the identical deterministic bytes, so the
+            # final replace is idempotent
+            wp = state["warc_path"]
+            state["warc_fh"].close()
+            Path(f"{wp}.idx").write_text("\n".join(state["offsets"]) + "\n")
+            os.replace(f"{wp}.__tmp{attempt}", wp)
+            wet_name = ""
+            if wet:
+                wtp = state["wet_path"]
+                state["wet_fh"].close()
+                Path(f"{wtp}.idx").write_text(
+                    "\n".join(state["wet_offsets"]) + "\n"
+                )
+                os.replace(f"{wtp}.__tmp{attempt}", wtp)
+                wet_name = str(wtp)
+            manifest.append(
+                (state["grp"], state["pid"], str(wp), wet_name, state["n"])
+            )
+            state["open"] = False
+
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                rg = getattr(r, by) if by else ""
+                if state["open"] and rg != state["grp"]:
+                    finish()
+                if not state["open"]:
+                    start(rg, int(r.pid))
+                html = bytes(r.html) if r.html is not None else b""
+                m = gzip_member(
+                    encode_response_record(r.url, r.warc_ts, html)
+                )
+                state["warc_fh"].write(m)
+                state["offsets"].append(f"{state['base']}\t{len(m)}")
+                state["base"] += len(m)
+                if wet:
+                    wm = gzip_member(
+                        encode_conversion_record(
+                            r.url, r.warc_ts, r.text, r.lang
+                        )
+                    )
+                    state["wet_fh"].write(wm)
+                    state["wet_offsets"].append(
+                        f"{state['wet_base']}\t{len(wm)}"
+                    )
+                    state["wet_base"] += len(wm)
+                state["n"] += 1
+        finish()
+        if manifest:
+            yield pd.DataFrame(
+                manifest,
+                columns=["grp", "pid", "warc_file", "wet_file", "n_records"],
+            )
+
+    rows = part.mapInPandas(
+        write_partition,
+        schema=(
+            "grp string, pid int, warc_file string, wet_file string,"
+            " n_records long"
+        ),
+    ).collect()  # bounded: one manifest row per output file, not data
+    files: list[str] = []
+    groups: dict[str, int] = {}
+    total = 0
+    for r in sorted(rows, key=lambda r: (r["grp"], r["pid"])):
+        files.append(r["warc_file"])
+        if wet:
+            files.append(r["wet_file"])
+        total += int(r["n_records"])
+        if by:
+            groups[r["grp"]] = groups.get(r["grp"], 0) + int(r["n_records"])
     return {"files": files, "records": total, "groups": groups}
 
 

@@ -281,3 +281,19 @@ def test_sink_publish_is_atomic_rename(spark, pages, tmp_path):
     assert data, "sink wrote nothing"
     for f in data:
         assert Path(str(f) + ".idx").exists()
+
+
+def test_gzip_member_matches_stdlib():
+    """The hand-framed member must stay byte-identical to
+    gzip.GzipFile(mtime=0) — readers and fixtures depend on the bytes."""
+    import gzip
+    import io
+    import random
+
+    rng = random.Random(7)
+    for n in (0, 1, 13, 4096, 100_000):
+        data = bytes(rng.randrange(256) for _ in range(n))
+        buf = io.BytesIO()
+        with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+            g.write(data)
+        assert W.gzip_member(data) == buf.getvalue()
