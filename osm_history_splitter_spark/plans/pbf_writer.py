@@ -201,29 +201,75 @@ def write_extracts_pbf(
             str(stage)
         )
 
-    # explicit schema: an all-empty kind writes NO files under the
-    # partitioned layout, and inference would fail (it also pins the
-    # partition column to string against numeric-looking extract names)
-    frags = spark.read.schema(
-        "pid int, seq long, blob binary, kind_rank int, extract string"
-    ).parquet(str(stage))
+    # final assembly: ONE file per extract is the format contract, so a
+    # driver-side concat must happen somewhere. The staging table is
+    # partitioned by extract on a filesystem the driver can read, so the
+    # driver streams each extract's fragment parquet directly with
+    # pyarrow — no per-extract Spark job, and the blobs never cross the
+    # py4j socket row-by-row (the previous orderBy → toLocalIterator
+    # tail serialized every output byte through task-result transport).
+    # Partition dir values are Hive/URL-escaped on disk (the
+    # plans/io.py convention) — resolve by unquoting the written dirs.
+    from urllib.parse import unquote
+
+    import pyarrow.parquet as pa_pq
+
+    frag_dirs = {
+        unquote(d.name.split("=", 1)[1]): d
+        for d in stage.glob("extract=*")
+        if d.is_dir()
+    }
+
+    def _ordered_fragment_files(frag_dir: Path) -> list[Path]:
+        # each staged part-file is one task's output for one kind pass:
+        # exactly one (kind_rank, pid), rows already in seq order — so
+        # ordering FILES by their first row's key reproduces the global
+        # (kind_rank, pid, seq) order without materializing anything
+        keyed = []
+        for f in sorted(frag_dir.rglob("*.parquet")):
+            pf = pa_pq.ParquetFile(str(f))
+            if pf.metadata.num_rows == 0:
+                continue
+            first = next(
+                pf.iter_batches(
+                    batch_size=1, columns=["kind_rank", "pid", "seq"]
+                )
+            )
+            keyed.append(
+                (
+                    (
+                        first["kind_rank"][0].as_py(),
+                        first["pid"][0].as_py(),
+                        first["seq"][0].as_py(),
+                    ),
+                    f,
+                )
+            )
+        keyed.sort()
+        return [f for _, f in keyed]
+
     out_paths: dict[str, str] = {}
     for e in catalog:
         out_file = Path(out_dir) / filenames[e.name]
         out_file.parent.mkdir(parents=True, exist_ok=True)
-        rows = (
-            frags.filter(F.col("extract") == e.name)
-            .orderBy("kind_rank", "pid", "seq")
-            .select("blob")
-        )
         with open(out_file, "wb") as out:
             out.write(
                 encode_header_blob(
                     (e.minlon, e.minlat, e.maxlon, e.maxlat), history=history
                 )
             )
-            for r in rows.toLocalIterator():
-                out.write(bytes(r["blob"]))
+            frag_dir = frag_dirs.get(e.name)
+            for f in (
+                _ordered_fragment_files(frag_dir)
+                if frag_dir is not None
+                else []
+            ):
+                pf = pa_pq.ParquetFile(str(f))
+                # blobs are ~16 MB blocks: stream small batches so driver
+                # memory stays bounded by a few blocks, as before
+                for batch in pf.iter_batches(columns=["blob"], batch_size=8):
+                    for blob in batch.column(0):
+                        out.write(blob.as_py())
         out_paths[e.name] = str(out_file)
 
     shutil.rmtree(stage, ignore_errors=True)
