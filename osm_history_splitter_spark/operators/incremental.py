@@ -135,41 +135,73 @@ def save_index_stages(
     the marker stages exist — a later ``incremental_resplit`` against this
     checkpoint then takes the indexed path. ``way_refs``: reuse the
     membership build's persisted refs frame instead of re-exploding."""
-    store.get_or_compute("node_sigs", lambda: per_id_sigs(nodes))
-    store.get_or_compute("way_sigs", lambda: per_id_sigs(ways))
-    store.get_or_compute("rel_sigs", lambda: per_id_sigs(relations))
-    store.get_or_compute(
-        "way_refs",
-        lambda: (
-            way_refs
-            if way_refs is not None
-            else ways.select("id", F.explode("refs").alias("ref")).distinct()
-        ),
+    from ..splitter import _concurrent
+
+    # two dependency waves, each wave's stages independent of each other
+    # — run them concurrently so the small bucketed writes overlap
+    # instead of queueing their fixed per-job overhead (guide §2.6):
+    # wave 1 reads only the world frames, wave 2 reads wave-1 stages
+    # (node_ways ← way_refs, member_rels ← rel_member_idx) or marker
+    # stages that predate this call (extra_counts ← way_members)
+    _concurrent(
+        [
+            lambda: store.get_or_compute(
+                "node_sigs", lambda: per_id_sigs(nodes)
+            ),
+            lambda: store.get_or_compute(
+                "way_sigs", lambda: per_id_sigs(ways)
+            ),
+            lambda: store.get_or_compute(
+                "rel_sigs", lambda: per_id_sigs(relations)
+            ),
+            lambda: store.get_or_compute(
+                "way_refs",
+                lambda: (
+                    way_refs
+                    if way_refs is not None
+                    else ways.select(
+                        "id", F.explode("refs").alias("ref")
+                    ).distinct()
+                ),
+            ),
+            lambda: store.get_or_compute(
+                "rel_member_idx",
+                lambda: relations.select(
+                    "id", F.explode("members").alias("m")
+                )
+                .select(
+                    "id",
+                    F.col("m.type").alias("mtype"),
+                    F.col("m.ref").alias("ref"),
+                )
+                .distinct(),
+            ),
+        ]
     )
-    store.get_or_compute(
-        "node_ways",
-        lambda: store.load_plain("way_refs").select(
-            F.col("ref").alias("id"), F.col("id").alias("way_id")
-        ),
-    )
-    store.get_or_compute(
-        "rel_member_idx",
-        lambda: relations.select("id", F.explode("members").alias("m"))
-        .select("id", F.col("m.type").alias("mtype"), F.col("m.ref").alias("ref"))
-        .distinct(),
-    )
-    store.get_or_compute(
-        "member_rels",
-        lambda: store.load_plain("rel_member_idx").select(
-            F.col("ref").alias("id"), "mtype", F.col("id").alias("rel_id")
-        ),
-    )
-    store.get_or_compute(
-        "extra_counts",
-        lambda: store.load_plain("way_members")
-        .join(store.load_plain("way_refs"), "id")
-        .groupBy(F.col("ref").alias("id"), "extract")
-        .agg(F.count(F.lit(1)).alias("cnt")),
+    _concurrent(
+        [
+            lambda: store.get_or_compute(
+                "node_ways",
+                lambda: store.load_plain("way_refs").select(
+                    F.col("ref").alias("id"), F.col("id").alias("way_id")
+                ),
+            ),
+            lambda: store.get_or_compute(
+                "member_rels",
+                lambda: store.load_plain("rel_member_idx").select(
+                    F.col("ref").alias("id"),
+                    "mtype",
+                    F.col("id").alias("rel_id"),
+                ),
+            ),
+            lambda: store.get_or_compute(
+                "extra_counts",
+                lambda: store.load_plain("way_members")
+                .join(store.load_plain("way_refs"), "id")
+                .groupBy(F.col("ref").alias("id"), "extract")
+                .agg(F.count(F.lit(1)).alias("cnt")),
+            ),
+        ]
     )
 
 
@@ -240,6 +272,7 @@ def incremental_markers(
             return df.select(F.col("id").cast("long").alias("id"))
 
         # ---------------- nodes ------------------------------------------------
+        n_node_flips = 0
         if entity_same["nodes"]:
             _adopt_missing(new, old, _NODE_STAGES)
             changed_nodes, n_changed_nodes = _empty_ids(spark), 0
@@ -256,28 +289,43 @@ def incremental_markers(
                 _adopt_missing(new, old, ("node_members",))
                 node_flips = _empty_ids(spark)
             else:
-                new.get_or_compute(
-                    "node_members",
-                    # PIP strictly over the churned ids; survivors ride along
-                    lambda: old_nm.join(
-                        F.broadcast(changed_nodes), "id", "left_anti"
-                    ).unionByName(
-                        assign_extracts(
-                            nodes.join(F.broadcast(changed_nodes), "id", "left_semi"),
-                            catalog,
-                        )
-                        .select("id", "extract")
-                        .distinct()
-                    ),
+                # PIP strictly over the churned ids (tiny by the churn
+                # cap); the flip diff runs on THIS frame before any stage
+                # write, because zero flips proves the new stage would be
+                # row-identical to the old one — the common tag-only-edit
+                # tick then ADOPTS (driver file copy) instead of paying a
+                # full O(markers) stage rewrite
+                churn_nm = (
+                    assign_extracts(
+                        nodes.join(
+                            F.broadcast(changed_nodes), "id", "left_semi"
+                        ),
+                        catalog,
+                    )
+                    .select("id", "extract")
+                    .distinct()
+                    .persist()
                 )
+                keep.append(churn_nm)
                 node_flips = _sym_diff_ids(
-                    new.load_plain("node_members").join(
-                        F.broadcast(changed_nodes), "id", "left_semi"
-                    ),
+                    churn_nm,
                     old_nm.join(F.broadcast(changed_nodes), "id", "left_semi"),
                 )
-        node_flips, n_node_flips = _counted(node_flips, churn_cap, "node flips")
-        keep.append(node_flips)
+                node_flips, n_node_flips = _counted(
+                    node_flips, churn_cap, "node flips"
+                )
+                keep.append(node_flips)
+                if n_node_flips == 0:
+                    _adopt_missing(new, old, ("node_members",))
+                else:
+                    new.get_or_compute(
+                        "node_members",
+                        # survivors ride along; churned ids take their
+                        # freshly computed memberships
+                        lambda: old_nm.join(
+                            F.broadcast(changed_nodes), "id", "left_anti"
+                        ).unionByName(churn_nm),
+                    )
 
         # ---------------- ways + extra nodes -----------------------------------
         if entity_same["ways"]:

@@ -39,6 +39,22 @@ __all__ = [
 MARKER_STAGES = ("node_members", "way_members", "extra_nodes", "relation_members")
 
 
+def _concurrent(thunks):
+    """Run independent Spark actions from a small thread pool so each
+    job's tail back-fills executors freed by the others (the scheduler
+    runs concurrent jobs FIFO — exactly the overlap the optimization
+    guide §2.6 describes). Results in submission order; the first
+    failure re-raises."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    thunks = list(thunks)
+    if len(thunks) <= 1:
+        return [t() for t in thunks]
+    with ThreadPoolExecutor(max_workers=len(thunks)) as ex:
+        futures = [ex.submit(t) for t in thunks]
+        return [f.result() for f in futures]
+
+
 def _world_sigs(nodes: DataFrame, ways: DataFrame, relations: DataFrame) -> dict:
     """Per-entity world signature: (row count, bit-XOR of
     xxhash64(id, version)) — one column-pruned scan each, commutative so
@@ -54,14 +70,18 @@ def _world_sigs(nodes: DataFrame, ways: DataFrame, relations: DataFrame) -> dict
     count still guards the common cases."""
     from pyspark.sql import functions as F
 
-    out = {}
-    for name, df in (("nodes", nodes), ("ways", ways), ("relations", relations)):
-        row = df.select(
+    frames = [("nodes", nodes), ("ways", ways), ("relations", relations)]
+    rows = _concurrent(
+        lambda df=df: df.select(
             F.count(F.lit(1)).alias("n"),
             F.expr("bit_xor(xxhash64(id, version))").alias("h"),
         ).first()
-        out[name] = [int(row["n"]), str(row["h"])]
-    return out
+        for _, df in frames
+    )
+    return {
+        name: [int(row["n"]), str(row["h"])]
+        for (name, _), row in zip(frames, rows)
+    }
 
 
 def _write_world_sigs(checkpoint_dir: str, sigs: dict) -> None:
@@ -220,8 +240,8 @@ def _publish(spark, outs: dict, publish_dir: str) -> dict:
 
     n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     key = ["id", "version", "extract"]
-    versions = {}
-    for entity in ("nodes", "ways", "relations"):
+
+    def _commit_entity(entity: str) -> int:
         t = VersionedTable(spark, f"{publish_dir}/{entity}")
         df = (
             outs[entity]
@@ -232,16 +252,24 @@ def _publish(spark, outs: dict, publish_dir: str) -> dict:
             gone = t.read().select(*key).join(
                 df.select(*key), key, "left_anti"
             )
-            versions[entity] = t.commit(
+            return t.commit(
                 df, mode="merge",
                 merge_key=key,
                 stats_cols=["extract", "id"],
                 also_delete=gone,
             )
-        else:
-            versions[entity] = t.commit(df, stats_cols=["extract", "id"])
+        return t.commit(df, stats_cols=["extract", "id"])
+
+    # the three entity commits touch three disjoint table dirs — run
+    # them concurrently so each commit's write tail back-fills the
+    # executors the others free (guide §2.6); the group pin still lands
+    # strictly after all three
+    entities = ("nodes", "ways", "relations")
+    versions = dict(
+        zip(entities, _concurrent(lambda e=e: _commit_entity(e) for e in entities))
+    )
     versions["group"] = TableGroup(spark, publish_dir).pin(
-        {e: versions[e] for e in ("nodes", "ways", "relations")}
+        {e: versions[e] for e in entities}
     )
     return versions
 
@@ -285,17 +313,25 @@ def run_split(
     manifests = {}
     if mode == "hardcut":
         res = hardcut(nodes, ways, relations, catalog)
-        manifests["nodes"] = write_extracts(
-            res.nodes, f"{out_path}/nodes", "hardcut_nodes",
-            sort_cols=["id", "version"], catalog=catalog,
-        )
-        manifests["ways"] = write_extracts(
-            res.ways, f"{out_path}/ways", "hardcut_ways",
-            sort_cols=["id", "version"], catalog=catalog,
-        )
-        manifests["relations"] = write_extracts(
-            res.relations, f"{out_path}/relations", "hardcut_relations",
-            sort_cols=["id", "version"], catalog=catalog,
+        # disjoint output dirs — concurrent writes, see the softcut branch
+        manifests["nodes"], manifests["ways"], manifests["relations"] = (
+            _concurrent(
+                [
+                    lambda: write_extracts(
+                        res.nodes, f"{out_path}/nodes", "hardcut_nodes",
+                        sort_cols=["id", "version"], catalog=catalog,
+                    ),
+                    lambda: write_extracts(
+                        res.ways, f"{out_path}/ways", "hardcut_ways",
+                        sort_cols=["id", "version"], catalog=catalog,
+                    ),
+                    lambda: write_extracts(
+                        res.relations, f"{out_path}/relations",
+                        "hardcut_relations",
+                        sort_cols=["id", "version"], catalog=catalog,
+                    ),
+                ]
+            )
         )
         if osm_filenames or publish_table:
             # the extra sinks read back the parquet JUST WRITTEN instead
@@ -368,19 +404,27 @@ def run_split(
         # them (StorageLevel caches are never GC-cleaned)
         m.unpersist()
 
-    # pass 2: membership by id fans out to every version (history-complete)
+    # pass 2: membership by id fans out to every version (history-complete).
+    # The three entity outputs land in disjoint directories — write them
+    # concurrently so each job's straggler tail back-fills the executors
+    # the others free (guide §2.6)
     outs = pass2_outputs(nodes, ways, relations, store)
-    manifests["nodes"] = write_extracts(
-        outs["nodes"], f"{out_path}/nodes", "softcut_nodes",
-        sort_cols=["id", "version"], catalog=catalog,
-    )
-    manifests["ways"] = write_extracts(
-        outs["ways"], f"{out_path}/ways", "softcut_ways",
-        sort_cols=["id", "version"], catalog=catalog,
-    )
-    manifests["relations"] = write_extracts(
-        outs["relations"], f"{out_path}/relations", "softcut_relations",
-        sort_cols=["id", "version"], catalog=catalog,
+    manifests["nodes"], manifests["ways"], manifests["relations"] = _concurrent(
+        [
+            lambda: write_extracts(
+                outs["nodes"], f"{out_path}/nodes", "softcut_nodes",
+                sort_cols=["id", "version"], catalog=catalog,
+            ),
+            lambda: write_extracts(
+                outs["ways"], f"{out_path}/ways", "softcut_ways",
+                sort_cols=["id", "version"], catalog=catalog,
+            ),
+            lambda: write_extracts(
+                outs["relations"], f"{out_path}/relations",
+                "softcut_relations",
+                sort_cols=["id", "version"], catalog=catalog,
+            ),
+        ]
     )
     manifests["checkpoints"] = store.manifest()
     if osm_filenames or publish_table:
@@ -718,23 +762,33 @@ def incremental_resplit(
             inc = None  # massive churn: the full rebuild is the right plan
     if inc is not None:
         report = {"marker_strategy": "indexed"}
-        for entity, df in (
-            ("nodes", nodes), ("ways", ways), ("relations", relations)
-        ):
+
+        def _entity_tick(entity: str, df: DataFrame) -> dict:
             t = VersionedTable(spark, f"{publish_dir}/{entity}")
             affected = inc["affected"][entity]
             n_aff = inc["n_affected"][entity]
             if n_aff == 0:
-                report[entity] = {
+                return {
                     "version": (t.versions() or [None])[-1],
                     "affected_ids": 0,
                     "upserted_rows": 0,
                 }
-                continue
             new_m = _load_markers(new_store, entity)
-            report[entity] = _commit_affected(
+            return _commit_affected(
                 t, df, new_m, affected, n_aff, n_buckets, publish_strategy
             )
+
+        # three disjoint table dirs — commit concurrently (guide §2.6);
+        # the group pin below still lands strictly after all three
+        ents = [("nodes", nodes), ("ways", ways), ("relations", relations)]
+        report.update(
+            zip(
+                (e for e, _ in ents),
+                _concurrent(
+                    lambda e=e, df=df: _entity_tick(e, df) for e, df in ents
+                ),
+            )
+        )
         for f in inc["cleanup"]:
             f.unpersist()
         # pin the consistent set exactly as the full path does below
@@ -825,9 +879,8 @@ def incremental_resplit(
         return sum(store._meta(n).get("rows", 0) for n in names)
 
     report = {"marker_strategy": "full"}
-    for entity, df in (
-        ("nodes", nodes), ("ways", ways), ("relations", relations)
-    ):
+
+    def _entity_diff_commit(entity: str, df: DataFrame) -> dict:
         t = VersionedTable(spark, f"{publish_dir}/{entity}")
         if entity_unchanged[entity] or _marker_rows(
             new_store, entity
@@ -836,12 +889,11 @@ def incremental_resplit(
             # world), or no members before or after: the published head
             # already equals this entity's output — skip the whole diff
             # machinery (metadata decision, zero jobs)
-            report[entity] = {
+            return {
                 "version": (t.versions() or [None])[-1],
                 "affected_ids": 0,
                 "upserted_rows": 0,
             }
-            continue
         new_m = _load_markers(new_store, entity)
         old_m = _load_markers(old_store, entity)
         # (1) membership diff, both directions, at (id, extract) grain
@@ -884,16 +936,29 @@ def incremental_resplit(
             # head stays the state of truth (a no-op tick costs the diff
             # jobs only)
             affected.unpersist()
-            report[entity] = {
+            return {
                 "version": (t.versions() or [None])[-1],
                 "affected_ids": 0,
                 "upserted_rows": 0,
             }
-            continue
-        report[entity] = _commit_affected(
+        out = _commit_affected(
             t, df, new_m, affected, n_aff, n_buckets, publish_strategy
         )
         affected.unpersist()
+        return out
+
+    # three disjoint table dirs — diff + commit concurrently (guide
+    # §2.6); the index bootstrap and group pin land strictly after
+    ents = [("nodes", nodes), ("ways", ways), ("relations", relations)]
+    report.update(
+        zip(
+            (e for e, _ in ents),
+            _concurrent(
+                lambda e=e, df=df: _entity_diff_commit(e, df)
+                for e, df in ents
+            ),
+        )
+    )
     # bootstrap the index stages into the new checkpoint so the NEXT tick
     # takes the indexed O(churn) path (idempotent; reuses the membership
     # build's persisted refs explode when it ran this tick)
