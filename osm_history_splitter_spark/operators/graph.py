@@ -196,19 +196,25 @@ def sssp_dists(
             .groupBy("id")
             .agg(F.min("nd").alias("nd"))
         )
+        # ONE materialization job per round: `improved` checkpoints
+        # lazily and materializes INSIDE the eager checkpoint of the new
+        # best table; the emptiness probe then reads the already-cached
+        # partitions. On the final (empty) round this builds one
+        # redundant best — identical to the previous one — which is
+        # cheaper than the extra job every productive round paid before.
         improved = (
             cand.join(best, "id", "left")
             .filter(F.col("dist").isNull() | (F.col("nd") < F.col("dist")))
             .select("id", F.col("nd").alias("dist"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        if not improved.take(1):
-            break
         best = (
             best.join(improved.select("id"), "id", "left_anti")
             .unionByName(improved)
             .localCheckpoint(eager=True)
         )
+        if not improved.take(1):
+            break
         frontier = improved
     return best
 
@@ -387,17 +393,21 @@ def hits(
     hub = verts.withColumn("hub", F.lit(scale).cast("long"))
     auth = None
     for _ in range(num_iter):
+        # lazy-checkpoint each gather BEFORE its renorm: the renorm's
+        # 1-row max rides a broadcast subtree, which would otherwise
+        # re-execute the whole gather a second time — and compound
+        # across iterations (the next gather embeds this one twice)
         a_raw = (
             e.join(hub.select(F.col("id").alias("src"), "hub"), "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum("hub").alias("a"))
-        )
+        ).localCheckpoint(eager=False)
         auth = _renorm(a_raw, "a")
         h_raw = (
             e.join(auth.select(F.col("id").alias("dst"), "a"), "dst")
             .groupBy(F.col("src").alias("id"))
             .agg(F.sum("a").alias("h"))
-        )
+        ).localCheckpoint(eager=False)
         hub = _renorm(h_raw, "h").select(
             "id", F.col("h").alias("hub")
         ).localCheckpoint(eager=False)
