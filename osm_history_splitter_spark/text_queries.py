@@ -322,8 +322,16 @@ def q_lsh_pairs(spark, sf_dir):
     bands = sized.filter(F.col("bsz") <= LSH_BUCKET_CAP).drop("bsz")
     a = bands.alias("a")
     b = bands.alias("b")
+    # SHUFFLE_HASH self-join: the planner's size estimate would broadcast
+    # one side — but the build side here is the ENTIRE shingle → minhash →
+    # band → window subtree, which at 100 TB blows the 8 GB broadcast cap
+    # and OOMs the driver long before that. Shuffling both sides by
+    # (band, bh) is the only strategy that survives scale, the per-key
+    # build is bounded by LSH_BUCKET_CAP, and the window's own exchange
+    # already provides the join partitioning (guide §3.1; local A/B is
+    # wall-neutral, see OPTIMIZATION_r06.md).
     return (
-        a.join(b, ["band", "bh"])
+        a.hint("SHUFFLE_HASH").join(b, ["band", "bh"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
@@ -959,8 +967,13 @@ def q_embedding_neardup(spark, sf_dir):
 
     a = capped.select(F.col("vid").alias("va"), "band_no", "band_key")
     b = capped.select(F.col("vid").alias("vb"), "band_no", "band_key")
+    # SHUFFLE_HASH self-join (same rationale as q_lsh_pairs): the default
+    # broadcast build side is the whole plane-dot + banding + window
+    # subtree — un-broadcastable at scale; shuffled-hash keys the pair
+    # production by (band_no, band_key) with the build bounded by
+    # NEARDUP_BUCKET_CAP (guide §3.1).
     cand = (
-        a.join(b, ["band_no", "band_key"])
+        a.hint("SHUFFLE_HASH").join(b, ["band_no", "band_key"])
         .filter(F.col("va") < F.col("vb"))
         .select("va", "vb")
         .distinct()
