@@ -988,7 +988,17 @@ def s2_cell_np(lon, lat, res: int):
     (i, j) the st-grid cell on the face. int64 in/out; boundary st = 1
     clamps into the last index (the zorder/hilbert edge convention)."""
     _check_s2_res(res)
-    face, u, v = s2_face_uv_np(lon, lat)
+    lon = np.asarray(lon, np.float64)
+    lat = np.asarray(lat, np.float64)
+    # non-finite coordinates must NOT fold into a plausible cell: NaN flows
+    # to face 5 and floor(NaN).astype(int64) is undefined-but-clampable, so
+    # a missing coordinate would silently land in a real bucket and corrupt
+    # write layout. Mask them through the kernel on 0.0 and stamp the
+    # sentinel key -1 (no valid key is negative: face*4^res + hilbert >= 0).
+    finite = np.isfinite(lon) & np.isfinite(lat)
+    face, u, v = s2_face_uv_np(
+        np.where(finite, lon, 0.0), np.where(finite, lat, 0.0)
+    )
     side = np.int64(1) << res
     i = np.minimum(
         np.floor(_uv_to_st_np(u) * side).astype(np.int64), side - 1
@@ -998,7 +1008,8 @@ def s2_cell_np(lon, lat, res: int):
     )
     i = np.maximum(i, 0)
     j = np.maximum(j, 0)
-    return face * (np.int64(1) << (2 * res)) + hilbert_np(i, j, res)
+    key = face * (np.int64(1) << (2 * res)) + hilbert_np(i, j, res)
+    return np.where(finite, key, np.int64(-1))
 
 
 def s2_cell_to_lonlat_np(key, res: int):

@@ -8,10 +8,16 @@ and as a trained coarse quantizer for IVF.
 Determinism contract (what makes a DuckDB oracle possible):
 - centroids are INTEGER vectors: the update is a truncated-floor mean
   ``floor(sum / count)`` per dimension, bit-identical across engines.
-  The division IS double division in both engines; it stays exact while
-  each per-(cluster, dim) sum fits a double's 2^53 integer range —
-  ≈ 9e10 rows per cluster at the QUANT=1e5 component scale, far past
-  any real shard (the repo's exactness-envelope convention);
+  The division IS double division in both engines, and THAT is the
+  binding contract: both engines perform the same correctly-rounded
+  double op on the same operands, so the result is bit-identical even
+  in the corner where it differs from the exact integer floor (the
+  rounded quotient can cross an integer boundary once counts reach
+  ~1/(half-ulp of the quotient), e.g. sum = k*count - 1 near the 2^53
+  envelope's edge). Exactness-vs-true-floor additionally holds while
+  each per-(cluster, dim) sum fits 2^53 AND 1/count exceeds half an
+  ulp of the quotient — comfortably true well inside ≈ 9e10 rows per
+  cluster at the QUANT=1e5 component scale;
 - assignment is argmin of integer squared L2; ties break to the LOWEST
   cluster id (``array_position`` finds the FIRST minimum);
 - empty clusters keep their previous centroid;

@@ -184,3 +184,31 @@ def test_polar_file_pruning_beats_equal_angle():
     assert int(polar.sum()) >= 10  # the window is populated
     assert t_s2 <= 6
     assert t_eq >= 3 * t_s2
+
+
+def test_nonfinite_coords_get_sentinel():
+    # a missing coordinate must NOT fold into a plausible cell (it would
+    # silently corrupt write layout): every non-finite lon/lat maps to the
+    # sentinel key -1, finite neighbors in the same batch are unaffected
+    lon = np.array([10.0, np.nan, 10.0, np.inf, -np.inf, 10.0])
+    lat = np.array([20.0, 20.0, np.nan, 20.0, 20.0, -np.inf])
+    k = grid.s2_cell_np(lon, lat, 12)
+    assert list(k[1:]) == [-1, -1, -1, -1, -1]
+    assert k[0] == grid.s2_cell_np([10.0], [20.0], 12)[0] >= 0
+
+
+def test_null_coords_get_sentinel_spark(spark):
+    # Spark nulls reach the Arrow kernel as NaN -> same -1 sentinel
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, 10.0, 20.0), (1, None, 20.0), (2, 10.0, None)],
+        "id long, lon double, lat double",
+    )
+    got = {
+        r["id"]: r["k"]
+        for r in df.select(
+            "id", grid.s2_cell_expr(F.col("lon"), F.col("lat"), 12).alias("k")
+        ).collect()
+    }
+    assert got[1] == -1 and got[2] == -1 and got[0] >= 0
